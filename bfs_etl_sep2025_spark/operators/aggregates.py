@@ -1,0 +1,1 @@
+"""aggregates operators — filled in by its milestone (SURVEY.md §2)."""

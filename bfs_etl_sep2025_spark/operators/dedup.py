@@ -1,0 +1,1 @@
+"""dedup operators — filled in by its milestone (SURVEY.md §2)."""

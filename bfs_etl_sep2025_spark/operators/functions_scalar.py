@@ -1,0 +1,1 @@
+"""functions_scalar operators — filled in by its milestone (SURVEY.md §2)."""

@@ -1,0 +1,1 @@
+"""joins operators — filled in by its milestone (SURVEY.md §2)."""

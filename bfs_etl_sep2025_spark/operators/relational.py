@@ -1,0 +1,173 @@
+"""Scans, projection, filtering — and the flagship pricing-summary query.
+
+Reference parity: the reference reaches these through its arbitrary-SQL
+pass-through (``dags/dev_db_test.py:41-70``); here they are declarative
+DataFrame plans so Catalyst pushes predicates and prunes columns into the
+parquet scan (verify with ``.explain("formatted")``: ``PushedFilters`` and a
+narrow ``ReadSchema``).
+
+Scale notes (100 TB): every query below is a scan->filter->project or
+scan->partial-agg->final-agg shape. No driver-side collection, no Python in
+the row path; group-by cardinality is tiny relative to input so map-side
+partial aggregation collapses the shuffle to ~|groups|×|mappers| rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bfs_etl_sep2025_spark.functions.portable import (
+    exact_avg,
+    exact_sum,
+    sql_exact_avg,
+    sql_exact_sum,
+)
+from bfs_etl_sep2025_spark.registry import query
+from bfs_etl_sep2025_spark.tables import load
+
+
+@query(
+    "q1_pricing_summary",
+    family="relational",
+    bench=True,
+    oracle=f"""
+        SELECT
+          l_returnflag,
+          l_linestatus,
+          {sql_exact_sum('l_quantity', 2)}                                        AS sum_qty,
+          {sql_exact_sum('l_extendedprice', 4)}                                   AS sum_base_price,
+          {sql_exact_sum('l_extendedprice * (1 - l_discount)', 6)}                AS sum_disc_price,
+          {sql_exact_sum('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 8)}  AS sum_charge,
+          {sql_exact_avg('l_quantity', 2)}                                        AS avg_qty,
+          {sql_exact_avg('l_extendedprice', 4)}                                   AS avg_price,
+          {sql_exact_avg('l_discount', 4)}                                        AS avg_disc,
+          count(*)                                                                AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q1-style pricing summary: scan -> filter -> hash agg -> sort.
+
+    The flagship query (SURVEY §7 minimum slice). Aggregates accumulate in
+    exact DECIMAL (see functions.portable) so results are identical at any
+    parallelism — the property that also makes them hash-match the oracle.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            exact_sum(F.col("l_quantity"), 2).alias("sum_qty"),
+            exact_sum(F.col("l_extendedprice"), 4).alias("sum_base_price"),
+            exact_sum(disc_price, 6).alias("sum_disc_price"),
+            exact_sum(disc_price * (1 + F.col("l_tax")), 8).alias("sum_charge"),
+            exact_avg(F.col("l_quantity"), 2).alias("avg_qty"),
+            exact_avg(F.col("l_extendedprice"), 4).alias("avg_price"),
+            exact_avg(F.col("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@query(
+    "scan_projection_pushdown",
+    family="relational",
+    oracle="""
+        SELECT l_orderkey, l_extendedprice
+        FROM lineitem
+        WHERE l_shipdate < TIMESTAMP '1996-01-01 00:00:00'
+    """,
+)
+def scan_projection_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Narrow projection + pushed filter. At 100 TB this is the difference
+    between reading 2 columns' pages and reading the whole table: the plan
+    must show ReadSchema with exactly these columns and the shipdate range
+    in PushedFilters."""
+    return (
+        load(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate") < F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        .select("l_orderkey", "l_extendedprice")
+    )
+
+
+@query(
+    "filter_predicates",
+    family="relational",
+    oracle="""
+        SELECT o_orderkey, o_orderstatus, o_orderpriority, o_totalprice
+        FROM orders
+        WHERE o_orderstatus IN ('F', 'O')
+          AND o_totalprice BETWEEN 1000 AND 200000
+          AND o_orderpriority LIKE '%URGENT'
+          AND o_custkey IS NOT NULL
+    """,
+)
+def filter_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate suite: IN, BETWEEN, LIKE, null checks — compiled to one
+    conjunctive filter Catalyst pushes to the scan."""
+    o = load(spark, sf_dir, "orders")
+    return o.filter(
+        F.col("o_orderstatus").isin("F", "O")
+        & F.col("o_totalprice").between(1000, 200000)
+        & F.col("o_orderpriority").like("%URGENT")
+        & F.col("o_custkey").isNotNull()
+    ).select("o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice")
+
+
+@query(
+    "project_computed_columns",
+    family="relational",
+    oracle="""
+        SELECT
+          l_orderkey,
+          l_linenumber,
+          l_extendedprice * (1 - l_discount) AS net_price,
+          l_extendedprice * (1 - l_discount) * (1 + l_tax) AS gross_price,
+          CASE WHEN l_discount >= 0.05 THEN 'deep' ELSE 'shallow' END AS discount_band
+        FROM lineitem
+        WHERE l_linenumber <= 2
+    """,
+)
+def project_computed_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Computed/renamed columns + CASE WHEN; pure narrow transformation,
+    whole-stage-codegen'd, zero shuffle. Raw double arithmetic is emitted
+    un-rounded: the same IEEE ops run in both engines, so values are
+    bitwise identical (rounding would *introduce* engine divergence)."""
+    li = load(spark, sf_dir, "lineitem")
+    net = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return li.filter(F.col("l_linenumber") <= 2).select(
+        "l_orderkey",
+        "l_linenumber",
+        net.alias("net_price"),
+        (net * (1 + F.col("l_tax"))).alias("gross_price"),
+        F.when(F.col("l_discount") >= 0.05, F.lit("deep"))
+        .otherwise(F.lit("shallow"))
+        .alias("discount_band"),
+    )
+
+
+@query(
+    "null_safe_equality",
+    family="relational",
+    oracle="""
+        SELECT
+          count(*) AS n_rows,
+          count(CASE WHEN o_orderstatus IS NOT DISTINCT FROM 'P' THEN 1 END) AS n_pending
+        FROM orders
+    """,
+)
+def null_safe_equality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality (<=> / IS NOT DISTINCT FROM)."""
+    o = load(spark, sf_dir, "orders")
+    return o.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(F.when(F.col("o_orderstatus").eqNullSafe("P"), F.lit(1))).alias(
+            "n_pending"
+        ),
+    )

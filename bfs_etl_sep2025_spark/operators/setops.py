@@ -1,0 +1,1 @@
+"""setops operators — filled in by its milestone (SURVEY.md §2)."""

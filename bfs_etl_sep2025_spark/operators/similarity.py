@@ -1,0 +1,1 @@
+"""similarity operators — filled in by its milestone (SURVEY.md §2)."""

@@ -1,0 +1,1 @@
+"""text operators — filled in by its milestone (SURVEY.md §2)."""

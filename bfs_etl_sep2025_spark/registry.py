@@ -1,0 +1,91 @@
+"""Named-query registry.
+
+The driver contract (``/root/repo/__spark_entry__.py``) wants two parallel
+dicts: ``queries()`` (name -> callable(spark, sf_dir) -> DataFrame) and
+``oracle_sql()`` (name -> equivalent DuckDB SQL). Operator modules register
+both through one decorator so they can never drift apart structurally, and so
+test/bench harnesses can iterate the same inventory.
+
+Ops whose semantics are not expressible in portable ANSI SQL (streaming with
+watermarks, approximate sketches) register with ``oracle=None`` and get the
+driver's weaker rows-only check — exactly as the contract permits.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass
+class QuerySpec:
+    name: str
+    fn: QueryFn
+    oracle: str | None
+    #: operator family (joins/aggregates/windows/...), for reporting & bench
+    family: str
+    #: include in bench.py's headline timing set
+    bench: bool = False
+    tags: tuple[str, ...] = field(default_factory=tuple)
+
+
+_REGISTRY: dict[str, QuerySpec] = {}
+
+
+def query(
+    name: str,
+    oracle: str | None,
+    family: str,
+    bench: bool = False,
+    tags: tuple[str, ...] = (),
+) -> Callable[[QueryFn], QueryFn]:
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in _REGISTRY:
+            raise ValueError(f"duplicate query name {name!r}")
+        _REGISTRY[name] = QuerySpec(
+            name=name, fn=fn, oracle=oracle, family=family, bench=bench, tags=tags
+        )
+        return fn
+
+    return deco
+
+
+def all_specs() -> dict[str, QuerySpec]:
+    _ensure_loaded()
+    return dict(_REGISTRY)
+
+
+def queries() -> dict[str, QueryFn]:
+    return {n: s.fn for n, s in all_specs().items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {n: s.oracle for n, s in all_specs().items() if s.oracle is not None}
+
+
+_LOADED = False
+
+
+def _ensure_loaded() -> None:
+    """Import every operator module exactly once so its @query decorators run."""
+    global _LOADED
+    if _LOADED:
+        return
+    from bfs_etl_sep2025_spark.operators import (  # noqa: F401
+        aggregates,
+        dedup,
+        functions_scalar,
+        joins,
+        relational,
+        setops,
+        similarity,
+        streaming_batch,
+        text,
+        windows,
+    )
+
+    _LOADED = True

@@ -1,0 +1,71 @@
+"""SparkSession factory.
+
+The reference resolves its execution context (warehouse, database, schema, role)
+at runtime from a named connection (``dags/dev_db_test.py:12-18,35`` — conn id
+``snowflake_conn`` plus per-DAG overrides). The Spark-native equivalent of that
+"session context" is a configured ``SparkSession``; this module is the single
+place it is built so every query/test/bench runs under identical semantics:
+
+- UTC session timezone — the reference's audit column is ``load_utc_ts`` and
+  ``sysdate()`` is UTC (``dags/dev_db_test.sql:1,3``); it also makes Spark
+  timestamps comparable with the DuckDB oracle's naive-UTC timestamps.
+- AQE on (runtime join-strategy switch, skew splitting, partition coalescing):
+  at 100 TB the static plan is never right; AQE re-plans from real map-output
+  statistics.
+- ANSI off: the oracle (DuckDB) and Snowflake both ignore... no — ANSI *on*
+  would change overflow/cast semantics vs the fixtures' DuckDB oracle; Spark
+  4.x defaults ANSI on, we pin it explicitly so behavior is stable across
+  Spark versions.
+- Arrow on for any pandas-UDF path (vectorized transfer).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+#: Shuffle parallelism. Local tests run tiny data where 200 (the Spark default)
+#: would create mostly-empty tasks; on a real cluster the AQE advisory target
+#: (64 MiB post-shuffle partitions) re-coalesces whatever initial number we
+#: pick, so a cores-sized default is right in both worlds.
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def build_spark(
+    app_name: str = "bfs_etl_sep2025_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or get) the engine's SparkSession.
+
+    One long-lived session is intended per process (driver contract and bench
+    both reuse it); ``getOrCreate`` makes repeated calls cheap.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master or f"local[{cpus}]")
+        .config(
+            "spark.sql.shuffle.partitions",
+            str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS),
+        )
+        # --- determinism / oracle comparability -------------------------
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.ansi.enabled", "true")
+        # --- adaptive execution: the 100 TB safety net ------------------
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # --- python<->jvm data path -------------------------------------
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # --- local-mode hygiene ------------------------------------------
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,44 @@
+"""Fixture-table catalog.
+
+The reference's only queryable abstraction is the warehouse-cataloged table
+(``dags/dev_db_test.py:13-18``). Here the catalog is a directory of parquet
+files (one per table — /root/repo/TESTDATA.md); this module is the single
+loader so that scans stay uniform (explicit paths, no schema inference
+surprises) and every query benefits from parquet pushdown/pruning.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one fixture table. Columnar parquet scan: Catalyst pushes filters
+    and prunes columns below this automatically."""
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every fixture as a temp view so SQL-surface operators
+    (the reference's pass-through contract) can address them by name."""
+    for name in TABLES:
+        load(spark, sf_dir, name).createOrReplaceTempView(name)
