@@ -1,1 +1,308 @@
-"""aggregates operators — filled in by its milestone (SURVEY.md §2)."""
+"""Aggregation operators — basic stats, distinct, approximate sketches,
+rollup/cube/grouping sets, HAVING, pivot, exact percentiles.
+
+Reference parity: reachable via the arbitrary-SQL pass-through
+(``dags/dev_db_test.py:41-70``).
+
+Scale notes (100 TB): every groupBy below has tiny key cardinality relative
+to input, so Spark's partial (map-side) aggregation collapses the shuffle to
+|groups| x |map tasks| rows — the plans must show HashAggregate(partial) ->
+Exchange -> HashAggregate(final). ``count(distinct)`` expands to a two-phase
+aggregate keyed on (group, value); for billion-cardinality values prefer the
+``approx_count_distinct`` sketch (one pass, mergeable HLL, no second
+shuffle) — both are provided. Rollup/cube expand rows BEFORE the partial
+aggregate (Expand node), so cost scales with #grouping-sets — fine for the
+2-3 used here.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bfs_etl_sep2025_spark.functions.portable import (
+    exact_avg,
+    exact_sum,
+    sql_exact_avg,
+    sql_exact_sum,
+)
+from bfs_etl_sep2025_spark.registry import query
+from bfs_etl_sep2025_spark.tables import load
+
+
+@query(
+    "agg_basic_stats",
+    family="aggregates",
+    oracle=f"""
+        SELECT event_type,
+               count(*) AS n_events,
+               count(DISTINCT user_id) AS n_users,
+               {sql_exact_sum('value', 2)} AS total_value,
+               {sql_exact_avg('value', 2)} AS avg_value,
+               min(value) AS min_value,
+               max(value) AS max_value
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+)
+def agg_basic_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            exact_sum(F.col("value"), 2).alias("total_value"),
+            exact_avg(F.col("value"), 2).alias("avg_value"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "agg_count_distinct_multi",
+    family="aggregates",
+    oracle="""
+        SELECT o_orderstatus,
+               count(DISTINCT o_custkey) AS n_customers,
+               count(DISTINCT o_orderpriority) AS n_priorities
+        FROM orders
+        GROUP BY o_orderstatus
+        ORDER BY o_orderstatus
+    """,
+)
+def agg_count_distinct_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two distinct aggregates in one query — Spark plans an Expand so both
+    distincts resolve in a single pass over the data."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.countDistinct("o_orderpriority").alias("n_priorities"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@query(
+    "agg_approx_count_distinct",
+    family="aggregates",
+    # HLL sketches are engine-specific — no cross-engine oracle exists; the
+    # unit test instead bounds the estimate against the exact count.
+    oracle=None,
+)
+def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scale path for distinct-counting: one-pass mergeable HLL sketch
+    (rsd 2.5%) — at 100 TB this avoids the (group, value) re-shuffle that
+    exact distinct needs."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_orderkey", rsd=0.025).alias("approx_orders"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "agg_rollup",
+    family="aggregates",
+    oracle="""
+        SELECT coalesce(r.r_name, 'ALL') AS region_name,
+               coalesce(n.n_name, 'ALL') AS nation_name,
+               count(c.c_custkey) AS n_customers,
+               grouping(r.r_name) + grouping(n.n_name) AS lvl
+        FROM customer c
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY ROLLUP (r.r_name, n.n_name)
+        ORDER BY region_name, nation_name
+    """,
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical subtotals region -> nation -> grand total. Subtotal NULLs
+    are coalesced to 'ALL' (fixture keys are never NULL, and it keeps the
+    order-insensitive hash comparison away from NULL-rendering differences);
+    grouping() disambiguates levels."""
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    joined = c.join(n, c.c_nationkey == n.n_nationkey).join(
+        F.broadcast(r), n.n_regionkey == r.r_regionkey
+    )
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(
+            F.count("c_custkey").alias("n_customers"),
+            (F.grouping("r_name") + F.grouping("n_name")).alias("lvl"),
+        )
+        .select(
+            F.coalesce("r_name", F.lit("ALL")).alias("region_name"),
+            F.coalesce("n_name", F.lit("ALL")).alias("nation_name"),
+            "n_customers",
+            "lvl",
+        )
+        .orderBy("region_name", "nation_name")
+    )
+
+
+@query(
+    "agg_cube",
+    family="aggregates",
+    oracle=f"""
+        SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+               coalesce(l_linestatus, 'ALL') AS linestatus,
+               count(*) AS n_lines,
+               {sql_exact_sum('l_quantity', 2)} AS sum_qty
+        FROM lineitem
+        GROUP BY CUBE (l_returnflag, l_linestatus)
+        ORDER BY returnflag, linestatus
+    """,
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            exact_sum(F.col("l_quantity"), 2).alias("sum_qty"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "n_lines",
+            "sum_qty",
+        )
+        .orderBy("returnflag", "linestatus")
+    )
+
+
+@query(
+    "agg_grouping_sets",
+    family="aggregates",
+    oracle=f"""
+        SELECT coalesce(o_orderstatus, 'ALL') AS status,
+               coalesce(o_orderpriority, 'ALL') AS priority,
+               count(*) AS n_orders,
+               {sql_exact_sum('o_totalprice', 2)} AS total
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        ORDER BY status, priority
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit grouping sets via the SQL surface (the reference's native
+    idiom — SQL text in, results out)."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders_gs")
+    return spark.sql(
+        f"""
+        SELECT coalesce(o_orderstatus, 'ALL') AS status,
+               coalesce(o_orderpriority, 'ALL') AS priority,
+               count(*) AS n_orders,
+               {sql_exact_sum('o_totalprice', 2)} AS total
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        ORDER BY status, priority
+        """
+    )
+
+
+@query(
+    "agg_having",
+    family="aggregates",
+    oracle=f"""
+        SELECT o_custkey,
+               count(*) AS n_orders,
+               {sql_exact_sum('o_totalprice', 2)} AS spent
+        FROM orders
+        GROUP BY o_custkey
+        HAVING count(*) >= 15
+        ORDER BY o_custkey
+    """,
+)
+def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            exact_sum(F.col("o_totalprice"), 2).alias("spent"),
+        )
+        .filter(F.col("n_orders") >= 15)
+        .orderBy("o_custkey")
+    )
+
+
+@query(
+    "agg_pivot",
+    family="aggregates",
+    oracle="""
+        SELECT user_id,
+               count(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+               count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+               count(CASE WHEN event_type = 'view' THEN 1 END) AS view
+        FROM events
+        GROUP BY user_id
+        ORDER BY user_id
+    """,
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with an explicit value list — never the two-pass value-discovery
+    form (which runs a distinct over 100 TB just to name the columns)."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", ["click", "purchase", "view"])
+        .agg(F.count(F.lit(1)))
+        .fillna(0, subset=["click", "purchase", "view"])
+        .orderBy("user_id")
+    )
+
+
+@query(
+    "agg_percentiles",
+    family="aggregates",
+    oracle="""
+        SELECT o_orderstatus,
+               quantile_cont(o_totalprice, 0.5) AS p50,
+               quantile_cont(o_totalprice, 0.9) AS p90
+        FROM orders
+        GROUP BY o_orderstatus
+        ORDER BY o_orderstatus
+    """,
+)
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact continuous percentiles (both engines interpolate identically on
+    these inputs). The 100 TB path is approx_percentile (t-digest sketch,
+    one pass, mergeable) — provided as agg_approx_percentiles."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.percentile("o_totalprice", 0.5).alias("p50"),
+            F.percentile("o_totalprice", 0.9).alias("p90"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@query("agg_approx_percentiles", family="aggregates", oracle=None)
+def agg_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based percentiles — the one-pass mergeable formulation that
+    replaces exact sort-based percentiles at 100 TB. Engine-specific sketch
+    => rows-only check (unit test bounds it against the exact value)."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.percentile_approx("o_totalprice", 0.5, 10000).alias("p50_approx"),
+            F.percentile_approx("o_totalprice", 0.9, 10000).alias("p90_approx"),
+        )
+        .orderBy("o_orderstatus")
+    )

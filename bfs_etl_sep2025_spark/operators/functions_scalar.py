@@ -1,1 +1,288 @@
-"""functions_scalar operators — filled in by its milestone (SURVEY.md §2)."""
+"""Scalar-function suites: string, date/time, math, array/map/JSON.
+
+Reference parity: the reference's SQL strings use literals, ``sysdate()``
+(-> ``current_timestamp()`` under UTC, see plans.tasks) and implicit
+VARCHAR/INT/datetime casts (``dags/dev_db_test.sql:1-3``); the full scalar
+surface is reachable through the SQL pass-through.
+
+All expressions here are built-in ``pyspark.sql.functions`` — JVM-side,
+whole-stage-codegen'd, no Python in the row path. The oracle side uses the
+DuckDB spelling of the same ANSI semantics; only functions with engine-exact
+results are included in oracles (e.g. sqrt yes, log/exp no — libm rounding
+differs per platform; those appear in unit tests with tolerance instead).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from bfs_etl_sep2025_spark.registry import query
+from bfs_etl_sep2025_spark.tables import load
+
+
+@query(
+    "fn_string_suite",
+    family="functions",
+    oracle="""
+        SELECT
+          c_custkey,
+          upper(c_name)                                   AS name_upper,
+          lower(c_mktsegment)                             AS seg_lower,
+          substr(c_name, 1, 8)                            AS name_prefix,
+          length(c_name)                                  AS name_len,
+          concat(c_name, ':', c_mktsegment)               AS name_seg,
+          trim(concat('  ', c_name, '  '))                AS name_trimmed,
+          replace(c_name, '#', '-')                       AS name_dashed,
+          regexp_extract(c_name, '([0-9]+)', 1)           AS name_digits,
+          regexp_replace(c_name, '[0-9]', 'x', 'g')       AS name_masked,
+          lpad(CAST(c_custkey AS VARCHAR), 10, '0')       AS key_padded,
+          split_part(c_name, '#', 1)                      AS name_head,
+          contains(c_name, '1')                           AS has_one,
+          starts_with(c_name, 'Customer')                 AS is_customer
+        FROM customer
+        ORDER BY c_custkey
+    """,
+)
+def fn_string_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.upper("c_name").alias("name_upper"),
+        F.lower("c_mktsegment").alias("seg_lower"),
+        F.substring("c_name", 1, 8).alias("name_prefix"),
+        F.length("c_name").alias("name_len"),
+        F.concat("c_name", F.lit(":"), "c_mktsegment").alias("name_seg"),
+        F.trim(F.concat(F.lit("  "), "c_name", F.lit("  "))).alias("name_trimmed"),
+        F.replace("c_name", F.lit("#"), F.lit("-")).alias("name_dashed"),
+        F.regexp_extract("c_name", r"([0-9]+)", 1).alias("name_digits"),
+        F.regexp_replace("c_name", r"[0-9]", "x").alias("name_masked"),
+        F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("key_padded"),
+        F.split_part("c_name", F.lit("#"), F.lit(1)).alias("name_head"),
+        F.contains("c_name", F.lit("1")).alias("has_one"),
+        F.startswith("c_name", F.lit("Customer")).alias("is_customer"),
+    ).orderBy("c_custkey")
+
+
+@query(
+    "fn_date_suite",
+    family="functions",
+    oracle="""
+        SELECT
+          o_orderkey,
+          CAST(o_orderdate AS DATE)                        AS order_date,
+          year(o_orderdate)                                AS order_year,
+          month(o_orderdate)                               AS order_month,
+          day(o_orderdate)                                 AS order_day,
+          quarter(o_orderdate)                             AS order_quarter,
+          dayofweek(o_orderdate)                           AS order_dow,
+          strftime(o_orderdate, '%Y-%m-%d')                AS order_ymd,
+          strftime(o_orderdate, '%m%d%Y')                  AS order_mdy,
+          CAST(o_orderdate + INTERVAL 30 DAY AS DATE)      AS due_date,
+          date_diff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01')
+                                                           AS days_to_2002,
+          CAST(date_trunc('month', o_orderdate) AS DATE)   AS month_start,
+          last_day(CAST(o_orderdate AS DATE))              AS month_end
+        FROM orders
+        WHERE o_orderkey <= 500
+        ORDER BY o_orderkey
+    """,
+)
+def fn_date_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time surface. The 'order_mdy' MMddyyyy rendering is the exact
+    filename pattern the reference computes with Jinja slicing
+    (``dags/s3_data_copy_test.py:34``) — here it is one date_format call."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 500)
+    d = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        d.cast("date").alias("order_date"),
+        F.year(d).alias("order_year"),
+        F.month(d).alias("order_month"),
+        F.dayofmonth(d).alias("order_day"),
+        F.quarter(d).alias("order_quarter"),
+        # DuckDB dayofweek: Sunday=0; Spark dayofweek: Sunday=1.
+        (F.dayofweek(d) - 1).alias("order_dow"),
+        F.date_format(d, "yyyy-MM-dd").alias("order_ymd"),
+        F.date_format(d, "MMddyyyy").alias("order_mdy"),
+        F.date_add(d.cast("date"), 30).alias("due_date"),
+        F.datediff(F.lit("2002-01-01").cast("date"), d.cast("date")).alias(
+            "days_to_2002"
+        ),
+        F.trunc(d.cast("date"), "month").alias("month_start"),
+        F.last_day(d.cast("date")).alias("month_end"),
+    ).orderBy("o_orderkey")
+
+
+@query(
+    "fn_math_suite",
+    family="functions",
+    oracle="""
+        SELECT
+          l_orderkey, l_linenumber,
+          abs(l_extendedprice - 30000)            AS price_dev,
+          sqrt(l_extendedprice)                   AS price_sqrt,
+          CAST(floor(l_extendedprice) AS BIGINT)  AS price_floor,
+          CAST(ceil(l_extendedprice) AS BIGINT)   AS price_ceil,
+          mod(l_orderkey, 7)                      AS key_mod7,
+          l_quantity * l_quantity                 AS qty_sq,
+          CAST(sign(l_extendedprice - 30000) AS INTEGER) AS dev_sign,
+          greatest(l_discount, l_tax)             AS max_rate,
+          least(l_discount, l_tax)                AS min_rate
+        FROM lineitem
+        WHERE l_orderkey <= 1000
+        ORDER BY l_orderkey, l_linenumber
+    """,
+)
+def fn_math_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math surface restricted to IEEE-exact ops (abs/sqrt/floor/ceil/mod/
+    multiply/sign/greatest/least) so both engines agree bitwise. pow/log/exp
+    are libm-dependent and live in unit tests with tolerance, not oracles."""
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 1000)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.abs(F.col("l_extendedprice") - 30000).alias("price_dev"),
+        F.sqrt("l_extendedprice").alias("price_sqrt"),
+        F.floor("l_extendedprice").alias("price_floor"),
+        F.ceil("l_extendedprice").alias("price_ceil"),
+        F.pmod("l_orderkey", F.lit(7)).alias("key_mod7"),
+        (F.col("l_quantity") * F.col("l_quantity")).alias("qty_sq"),
+        F.signum(F.col("l_extendedprice") - 30000).cast("int").alias("dev_sign"),
+        F.greatest("l_discount", "l_tax").alias("max_rate"),
+        F.least("l_discount", "l_tax").alias("min_rate"),
+    ).orderBy("l_orderkey", "l_linenumber")
+
+
+@query(
+    "fn_json_extraction",
+    family="functions",
+    oracle="""
+        SELECT
+          event_id,
+          CAST(props->>'k' AS INTEGER) AS k_value,
+          (props->>'k') IS NOT NULL    AS has_k
+        FROM events
+        WHERE event_type = 'purchase'
+        ORDER BY event_id
+    """,
+)
+def fn_json_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed extraction from the JSON ``props`` column (the fixture's
+    multimodal-metadata analog): from_json to a typed struct — schema-on-read
+    done once, JVM-side, instead of per-row string probing."""
+    ev = load(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    parsed = ev.select(
+        "event_id",
+        F.from_json("props", T.StructType([T.StructField("k", T.IntegerType())])).alias(
+            "p"
+        ),
+    )
+    return parsed.select(
+        "event_id",
+        F.col("p.k").alias("k_value"),
+        F.col("p.k").isNotNull().alias("has_k"),
+    ).orderBy("event_id")
+
+
+@query(
+    "fn_array_suite",
+    family="functions",
+    oracle="""
+        SELECT
+          vec_id,
+          len(embedding)                              AS dim,
+          embedding[1]                                AS first_elem,
+          embedding[64]                               AS last_elem,
+          list_max(embedding)                         AS max_elem,
+          list_min(embedding)                         AS min_elem,
+          len(list_filter(embedding, x -> x > 0))     AS n_positive
+        FROM embeddings
+        ORDER BY vec_id
+    """,
+)
+def fn_array_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array surface over the 64-dim embedding column: size, element access,
+    min/max, filtered length — all via JVM higher-order functions (the
+    similarity module builds dot products on the same primitives)."""
+    e = load(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.element_at("embedding", 1).alias("first_elem"),
+        F.element_at("embedding", 64).alias("last_elem"),
+        F.array_max("embedding").alias("max_elem"),
+        F.array_min("embedding").alias("min_elem"),
+        F.size(F.filter("embedding", lambda x: x > 0)).alias("n_positive"),
+    ).orderBy("vec_id")
+
+
+@query(
+    "fn_explode_posexplode",
+    family="functions",
+    oracle="""
+        SELECT doc_id,
+               unnest(string_split(text, ' ')) AS token,
+               generate_subscripts(string_split(text, ' '), 1) - 1 AS pos
+        FROM documents
+        WHERE doc_id < 20
+        ORDER BY doc_id, pos
+    """,
+)
+def fn_explode_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize + positional explode — the row-multiplying primitive under
+    every text operator (shingles, minhash, tf). posexplode keeps the token
+    index without a window."""
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
+    return (
+        d.select("doc_id", F.posexplode(F.split("text", " ")).alias("pos", "token"))
+        .select("doc_id", "token", "pos")
+        .orderBy("doc_id", "pos")
+    )
+
+
+@query(
+    "fn_map_suite",
+    family="functions",
+    oracle="""
+        WITH m AS (
+          SELECT event_type,
+                 MAP(['n', 'u'],
+                     [count(*), count(DISTINCT user_id)]) AS stats
+          FROM events
+          GROUP BY event_type
+        )
+        SELECT event_type,
+               stats['n'][1] AS n_events,
+               stats['u'][1] AS n_users,
+               cardinality(stats) AS n_keys
+        FROM m
+        ORDER BY event_type
+    """,
+)
+def fn_map_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build a map column, then read it back via key access + cardinality.
+    The *output* columns are scalars: map renderings differ across drivers
+    (python dict vs key/value lists), so maps are exercised inside the plan
+    and scalars cross the comparison boundary."""
+    ev = load(spark, sf_dir, "events")
+    m = (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("user_id").alias("u"),
+        )
+        .select(
+            "event_type",
+            F.create_map(
+                F.lit("n"), F.col("n"), F.lit("u"), F.col("u")
+            ).alias("stats"),
+        )
+    )
+    return m.select(
+        "event_type",
+        F.element_at("stats", "n").alias("n_events"),
+        F.element_at("stats", "u").alias("n_users"),
+        F.size("stats").alias("n_keys"),
+    ).orderBy("event_type")

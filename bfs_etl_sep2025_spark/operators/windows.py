@@ -1,1 +1,266 @@
-"""windows operators — filled in by its milestone (SURVEY.md §2)."""
+"""Window operators — ranking, analytic (lag/lead/first/last), aggregates
+over row and range frames, per-group top-k, and window-based sessionization.
+
+Reference parity: reachable via the arbitrary-SQL pass-through
+(``dags/dev_db_test.py:41-70``).
+
+Scale notes (100 TB): a window = one shuffle on partitionBy keys + one sort
+within partitions. All windows here partition on high-cardinality keys
+(custkey / suppkey / user_id), so partitions are small and skew-free; never
+use an empty partitionBy at scale (single-task sort). Running sums
+accumulate in DECIMAL inside the frame (order-dependent double jitter would
+otherwise differ between engines and even between runs — see
+functions.portable). Every ORDER BY carries a unique tie-breaker so rank
+and frame contents are total-ordered, i.e. deterministic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from bfs_etl_sep2025_spark.registry import query
+from bfs_etl_sep2025_spark.tables import load
+
+_DEC = "decimal(30,2)"
+
+
+@query(
+    "window_ranking",
+    family="windows",
+    oracle="""
+        SELECT o_orderstatus, o_orderkey, o_totalprice,
+               row_number() OVER w AS rn,
+               rank()       OVER w AS rnk,
+               dense_rank() OVER w AS drnk,
+               ntile(4)     OVER w AS quartile
+        FROM orders
+        WINDOW w AS (PARTITION BY o_orderstatus
+                     ORDER BY o_totalprice DESC, o_orderkey)
+        ORDER BY o_orderstatus, rn
+    """,
+)
+def window_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderstatus").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return o.select(
+        "o_orderstatus",
+        "o_orderkey",
+        "o_totalprice",
+        F.row_number().over(w).alias("rn"),
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+    ).orderBy("o_orderstatus", "rn")
+
+
+@query(
+    "window_analytic",
+    family="windows",
+    oracle="""
+        SELECT l_suppkey, l_orderkey, l_linenumber, l_shipdate,
+               lag(l_shipdate)  OVER w AS prev_ship,
+               lead(l_shipdate) OVER w AS next_ship,
+               first_value(l_shipdate) OVER w AS first_ship,
+               last_value(l_shipdate)
+                 OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND UNBOUNDED FOLLOWING) AS last_ship
+        FROM lineitem
+        WHERE l_suppkey <= 10
+        WINDOW w AS (PARTITION BY l_suppkey
+                     ORDER BY l_shipdate, l_orderkey, l_linenumber)
+        ORDER BY l_suppkey, l_shipdate, l_orderkey, l_linenumber
+    """,
+)
+def window_analytic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead/first/last per supplier ship-timeline. last_value needs the
+    full-partition frame (the default frame stops at CURRENT ROW — a classic
+    silent-wrong-answer trap in both engines)."""
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_suppkey") <= 10)
+    w = W.partitionBy("l_suppkey").orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+    w_full = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return li.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        "l_shipdate",
+        F.lag("l_shipdate").over(w).alias("prev_ship"),
+        F.lead("l_shipdate").over(w).alias("next_ship"),
+        F.first("l_shipdate").over(w).alias("first_ship"),
+        F.last("l_shipdate").over(w_full).alias("last_ship"),
+    ).orderBy("l_suppkey", "l_shipdate", "l_orderkey", "l_linenumber")
+
+
+@query(
+    "window_row_frames",
+    family="windows",
+    oracle=f"""
+        SELECT o_custkey, o_orderkey, o_orderdate,
+               CAST(sum(CAST(o_totalprice AS {_DEC})) OVER (
+                 PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS DOUBLE) AS running_spend,
+               CAST(sum(CAST(o_totalprice AS {_DEC})) OVER (
+                 PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
+               ) AS DOUBLE) AS trailing3_spend
+        FROM orders
+        ORDER BY o_custkey, o_orderdate, o_orderkey
+    """,
+)
+def window_row_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running and trailing sums over ROWS frames, accumulated exactly in
+    DECIMAL (engines disagree on incremental-double rounding otherwise)."""
+    o = load(spark, sf_dir, "orders")
+    dec = F.col("o_totalprice").cast(_DEC)
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.sum(dec)
+        .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .cast("double")
+        .alias("running_spend"),
+        F.sum(dec)
+        .over(w.rowsBetween(-2, W.currentRow))
+        .cast("double")
+        .alias("trailing3_spend"),
+    ).orderBy("o_custkey", "o_orderdate", "o_orderkey")
+
+
+@query(
+    "window_range_frame",
+    family="windows",
+    oracle=f"""
+        SELECT o_orderstatus, o_orderkey, o_totalprice,
+               count(*) OVER (
+                 PARTITION BY o_orderstatus ORDER BY o_totalprice
+                 RANGE BETWEEN 10000 PRECEDING AND CURRENT ROW
+               ) AS n_within_10k
+        FROM orders
+        ORDER BY o_orderstatus, o_totalprice, o_orderkey
+    """,
+)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame on a numeric ordering — peers are by value distance, not
+    row position (count is used so tied peers cannot produce float jitter)."""
+    o = load(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_orderstatus")
+        .orderBy("o_totalprice")
+        .rangeBetween(-10000, W.currentRow)
+    )
+    return o.select(
+        "o_orderstatus",
+        "o_orderkey",
+        "o_totalprice",
+        F.count(F.lit(1)).over(w).alias("n_within_10k"),
+    ).orderBy("o_orderstatus", "o_totalprice", "o_orderkey")
+
+
+@query(
+    "topk_per_group",
+    family="windows",
+    bench=True,
+    oracle="""
+        SELECT c_mktsegment, c_custkey, c_acctbal, rn AS rank_in_segment
+        FROM (
+          SELECT c_mktsegment, c_custkey, c_acctbal,
+                 row_number() OVER (PARTITION BY c_mktsegment
+                                    ORDER BY c_acctbal DESC, c_custkey) AS rn
+          FROM customer
+        )
+        WHERE rn <= 5
+        ORDER BY c_mktsegment, rn
+    """,
+)
+def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 customers per segment. row_number + filter is the scalable
+    top-k: Spark pushes a per-partition limit below the shuffle (window
+    group limit), so no group ever materializes fully."""
+    c = load(spark, sf_dir, "customer")
+    w = W.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    return (
+        c.select(
+            "c_mktsegment",
+            "c_custkey",
+            "c_acctbal",
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= 5)
+        .select(
+            "c_mktsegment", "c_custkey", "c_acctbal", F.col("rn").alias("rank_in_segment")
+        )
+        .orderBy("c_mktsegment", "rank_in_segment")
+    )
+
+
+@query(
+    "window_sessionize",
+    family="windows",
+    bench=True,
+    oracle="""
+        WITH gaps AS (
+          SELECT user_id, ts, event_id,
+                 CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
+                                              ORDER BY ts, event_id)
+                           > INTERVAL 30 MINUTE
+                      OR lag(ts) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) IS NULL
+                      THEN 1 ELSE 0 END AS new_session
+          FROM events
+        ),
+        sess AS (
+          SELECT user_id, ts,
+                 CAST(sum(new_session) OVER (PARTITION BY user_id
+                                             ORDER BY ts, event_id
+                                             ROWS UNBOUNDED PRECEDING)
+                      AS BIGINT) AS session_id
+          FROM gaps
+        )
+        SELECT user_id, session_id,
+               count(*) AS n_events,
+               min(ts) AS session_start,
+               max(ts) AS session_end
+        FROM sess
+        GROUP BY user_id, session_id
+        ORDER BY user_id, session_id
+    """,
+)
+def window_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization (30-min inactivity gap) via lag + running sum — the
+    batch formulation of session windows. One shuffle on user_id, one sort;
+    the streaming twin (F.session_window) lives in streaming_batch."""
+    ev = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    # Gap measured in microseconds — second-granularity truncation would
+    # misclassify gaps in (30min, 30min+1s) vs the oracle's exact intervals.
+    micros = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap = micros - F.lag(micros).over(w)
+    new_session = F.when(
+        gap.isNull() | (gap > 30 * 60 * 1_000_000), F.lit(1)
+    ).otherwise(F.lit(0))
+    sess = ev.select(
+        "user_id", "ts", "event_id", new_session.alias("new_session")
+    ).select(
+        "user_id",
+        "ts",
+        F.sum("new_session")
+        .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .alias("session_id"),
+    )
+    return (
+        sess.groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+        .orderBy("user_id", "session_id")
+    )

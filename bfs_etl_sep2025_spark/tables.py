@@ -31,10 +31,26 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one fixture table. Columnar parquet scan: Catalyst pushes filters
-    and prunes columns below this automatically."""
+    and prunes columns below this automatically.
+
+    ``events.ts`` is stored as parquet TIMESTAMP(NANOS), which Spark's
+    vectorized reader rejects outright; it is read as raw nanos
+    (``nanosAsLong``) and floor-truncated to a microsecond ``timestamp_ntz``
+    — exactly what DuckDB's reader does implicitly, so both engines see
+    identical values.
+    """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        from pyspark.sql import functions as F
+
+        df = spark.read.parquet(path)
+        return df.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
+        )
+    return spark.read.parquet(path)
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:

@@ -64,13 +64,11 @@ def assert_parity(spark, duck, spec, sf_dir: str = SF_ORACLE) -> None:
     )
     g, w = _canon(got), _canon(want)
     for col in g.columns:
+        # Strict string equality — the toughest plausible reading of the
+        # driver's value-hash. Bitwise-equal doubles render identically, so
+        # queries must be engine-exact by construction, never "close".
         gs, ws = g[col], w[col]
-        if pd.api.types.is_float_dtype(gs) or pd.api.types.is_float_dtype(ws):
-            ok = (
-                pd.isna(gs) & pd.isna(ws)
-            ) | (gs.astype(float) - ws.astype(float)).abs().le(1e-9)
-        else:
-            ok = gs.astype(str) == ws.astype(str)
+        ok = gs.astype(str) == ws.astype(str)
         bad = (~ok).to_numpy().nonzero()[0]
         assert len(bad) == 0, (
             f"{spec.name}: column {col!r} mismatch at rows {bad[:5]}:\n"
