@@ -1,0 +1,290 @@
+"""Task types: the reference's operator set rebuilt Spark-native.
+
+- ``EmptyTask``  <- EmptyOperator (``dags/empty_workflow_example.py:12-14``)
+- ``BashTask``   <- BashOperator (``dags/complex_example.py:15-19``)
+- ``SqlTask``    <- SnowflakeOperator in all five call shapes
+                    (``dags/dev_db_test.py:41-70``): single string,
+                    pyformat-parameterized, list of statements,
+                    multi-statement string, templated ``.sql`` file.
+- ``CsvCopyTask`` (sources.csv_copy) <- CopyFromExternalStageToSnowflakeOperator.
+
+The SQL dialect shim accepts the reference's Snowflake spellings —
+``CREATE OR REPLACE TRANSIENT TABLE`` (``dags/dev_db_test.py:22``,
+``dags/dev_db_test.sql:1``), the ``datetime`` column type and ``sysdate()``
+(``dags/dev_db_test.sql:1,3``) — and maps them onto Spark SQL. ``sysdate()``
+renders through the pipeline's injectable clock so audit columns are
+deterministic under test (SURVEY §5.4).
+"""
+
+from __future__ import annotations
+
+import re
+import subprocess
+from collections.abc import Callable, Mapping, Sequence
+from dataclasses import dataclass, field
+from datetime import datetime
+from pathlib import Path
+from typing import TYPE_CHECKING, Any
+
+from bfs_etl_sep2025_spark.plans.sqlsplit import split_statements
+from bfs_etl_sep2025_spark.plans.templating import build_context, render_any
+
+if TYPE_CHECKING:
+    from pyspark.sql import SparkSession
+
+    from bfs_etl_sep2025_spark.plans.pipeline import Pipeline
+
+
+@dataclass
+class RunContext:
+    """Everything a task sees at execution time for one logical date."""
+
+    spark: SparkSession
+    pipeline: Pipeline
+    logical_date: datetime
+    clock: Callable[[], datetime]
+    defaults: Mapping[str, Any] = field(default_factory=dict)
+
+    @property
+    def template_context(self) -> dict[str, Any]:
+        return build_context(self.logical_date)
+
+    def render(self, value: Any) -> Any:
+        return render_any(value, self.template_context)
+
+
+class Task:
+    """DAG node. ``>>`` / ``<<`` build edges exactly like the reference
+    (``dags/empty_workflow_example.py:16``, ``dags/dev_db_test.py:74-83``)."""
+
+    def __init__(
+        self,
+        task_id: str,
+        pipeline: Pipeline | None = None,
+        **params: Any,
+    ) -> None:
+        from bfs_etl_sep2025_spark.plans.pipeline import Pipeline
+
+        self.task_id = task_id
+        self.params = params
+        self.upstream: set[str] = set()
+        self.downstream: set[str] = set()
+        self.pipeline: Pipeline | None = None
+        pipe = pipeline or Pipeline.current()
+        if pipe is not None:
+            pipe.add_task(self)
+
+    # -- wiring -----------------------------------------------------------
+    def set_downstream(self, other: Task) -> None:
+        self.downstream.add(other.task_id)
+        other.upstream.add(self.task_id)
+
+    def __rshift__(
+        self, other: Task | Sequence[Task]
+    ) -> Task | Sequence[Task]:
+        for o in other if isinstance(other, (list, tuple)) else [other]:
+            self.set_downstream(o)
+        return other
+
+    def __lshift__(
+        self, other: Task | Sequence[Task]
+    ) -> Task | Sequence[Task]:
+        for o in other if isinstance(other, (list, tuple)) else [other]:
+            o.set_downstream(self)
+        return other
+
+    def __repr__(self) -> str:
+        return f"<{type(self).__name__} {self.task_id}>"
+
+    # -- execution --------------------------------------------------------
+    def merged_params(self, ctx: RunContext) -> dict[str, Any]:
+        """default_args-style merge: pipeline defaults under task params
+        (``dags/dev_db_test.py:35-38`` propagates the conn id this way)."""
+        return {**ctx.defaults, **self.params}
+
+    def run(self, ctx: RunContext) -> None:
+        self.execute(ctx)
+
+    def execute(self, ctx: RunContext) -> None:
+        raise NotImplementedError
+
+
+class EmptyTask(Task):
+    """No-op marker/join node (EmptyOperator parity)."""
+
+    def execute(self, ctx: RunContext) -> None:
+        return None
+
+
+class BashTask(Task):
+    """Run a shell command driver-side (BashOperator parity). Commands are
+    logical-date-templated like every operator arg. Non-zero exit raises."""
+
+    def __init__(
+        self, task_id: str, bash_command: str, pipeline: Pipeline | None = None, **kw: Any
+    ) -> None:
+        super().__init__(task_id, pipeline=pipeline, **kw)
+        self.bash_command = bash_command
+        self.last_output: str | None = None
+
+    def execute(self, ctx: RunContext) -> None:
+        cmd = ctx.render(self.bash_command)
+        proc = subprocess.run(
+            cmd, shell=True, capture_output=True, text=True, check=False
+        )
+        self.last_output = proc.stdout
+        if proc.returncode != 0:
+            raise RuntimeError(
+                f"bash task {self.task_id!r} failed ({proc.returncode}): "
+                f"{proc.stderr.strip()}"
+            )
+
+
+#: statements whose execution writes a table -> serialized per target
+_WRITE_TARGET = re.compile(
+    r"(?i)^\s*(?:INSERT\s+(?:INTO|OVERWRITE)\s+(?:TABLE\s+)?"
+    r"|CREATE\s+(?:OR\s+REPLACE\s+)?(?:TRANSIENT\s+)?TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?"
+    r"|DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?"
+    r"|TRUNCATE\s+TABLE\s+"
+    r"|DELETE\s+FROM\s+"
+    r"|UPDATE\s+"
+    r"|MERGE\s+INTO\s+)"
+    r"(?P<name>[\w.`\"]+)"
+)
+
+_TRANSIENT = re.compile(
+    r"(?i)\bCREATE\s+(OR\s+REPLACE\s+)?TRANSIENT\s+TABLE\b"
+)
+_CREATE_OR_REPLACE = re.compile(
+    r"(?i)^\s*CREATE\s+OR\s+REPLACE\s+TABLE\s+(?P<name>[\w.`\"]+)"
+)
+_SYSDATE = re.compile(r"(?i)\bsysdate\s*\(\s*\)")
+_DATETIME_TYPE = re.compile(r"(?i)(\s)datetime\b")
+_PYFORMAT = re.compile(r"%\((\w+)\)s")
+
+
+def sql_literal(value: Any) -> str:
+    if value is None:
+        return "NULL"
+    if isinstance(value, bool):
+        return "TRUE" if value else "FALSE"
+    if isinstance(value, (int, float)):
+        return repr(value)
+    if isinstance(value, datetime):
+        return f"TIMESTAMP '{value.isoformat(sep=' ')}'"
+    s = str(value).replace("'", "''")
+    return f"'{s}'"
+
+
+class SqlTask(Task):
+    """Execute SQL against the Spark session catalog — the rebuild of every
+    ``SnowflakeOperator`` shape the reference uses.
+
+    ``sql`` may be: one statement; a multi-statement string (split
+    quote-aware); a list of either; or a path ending in ``.sql`` whose
+    contents are loaded and logical-date-templated (A7,
+    ``dags/dev_db_test.py:67-70``). ``parameters`` binds pyformat
+    ``%(name)s`` placeholders (A4, ``dags/dev_db_test.py:24,50-58``).
+    ``schema`` selects/creates the working database (the reference's
+    database.schema session context, ``dags/dev_db_test.py:13-18``).
+    """
+
+    def __init__(
+        self,
+        task_id: str,
+        sql: str | Sequence[str],
+        parameters: Mapping[str, Any] | None = None,
+        schema: str | None = None,
+        sql_dir: str | Path | None = None,
+        pipeline: Pipeline | None = None,
+        **kw: Any,
+    ) -> None:
+        super().__init__(task_id, pipeline=pipeline, **kw)
+        self.sql = sql
+        self.parameters = dict(parameters or {})
+        self.schema = schema
+        self.sql_dir = Path(sql_dir) if sql_dir else None
+        self.executed: list[str] = []  # rendered statements, for tests/audit
+
+    # -- dialect shim -----------------------------------------------------
+    def _translate(self, stmt: str, ctx: RunContext) -> list[str]:
+        """Snowflake spelling -> Spark SQL, one input statement -> 1-2
+        executable statements."""
+        out = _TRANSIENT.sub(
+            lambda m: "CREATE OR REPLACE TABLE"
+            if m.group(1)
+            else "CREATE TABLE",
+            stmt,
+        )
+        out = _DATETIME_TYPE.sub(r"\1TIMESTAMP_NTZ", out)
+        # sysdate() is UTC 'now' (the reference's audit column is
+        # load_utc_ts) -> the injectable clock, as a literal.
+        now = ctx.clock()
+        out = _SYSDATE.sub(f"TIMESTAMP '{now.isoformat(sep=' ')}'", out)
+        # Session catalog has no REPLACE TABLE (v2-only) -> drop + create.
+        m = _CREATE_OR_REPLACE.match(out)
+        if m:
+            create = _CREATE_OR_REPLACE.sub(
+                lambda mm: f"CREATE TABLE {mm.group('name')}", out, count=1
+            )
+            return [f"DROP TABLE IF EXISTS {m.group('name')}", create]
+        return [out]
+
+    def _bind(self, stmt: str) -> str:
+        def sub(m: re.Match[str]) -> str:
+            name = m.group(1)
+            if name not in self.parameters:
+                raise KeyError(
+                    f"sql task {self.task_id!r}: unbound parameter {name!r}"
+                )
+            return sql_literal(self.parameters[name])
+
+        return _PYFORMAT.sub(sub, stmt)
+
+    def statements(self, ctx: RunContext) -> list[str]:
+        raw = self.sql if isinstance(self.sql, (list, tuple)) else [self.sql]
+        loaded: list[str] = []
+        for item in raw:
+            if isinstance(item, str) and item.strip().endswith(".sql"):
+                path = Path(item.strip())
+                if not path.is_absolute() and self.sql_dir:
+                    path = self.sql_dir / path
+                item = path.read_text()
+            loaded.append(item)
+        rendered = [ctx.render(s) for s in loaded]
+        bound = [self._bind(s) for s in rendered]
+        split: list[str] = []
+        for s in bound:
+            split.extend(split_statements(s))
+        out: list[str] = []
+        for s in split:
+            out.extend(self._translate(s, ctx))
+        return out
+
+    def _write_target(self, stmt: str) -> str | None:
+        m = _WRITE_TARGET.match(stmt)
+        if not m:
+            return None
+        name = m.group("name").strip('`"')
+        if "." not in name and self.schema:
+            name = f"{self.schema}.{name}"
+        return name
+
+    def execute(self, ctx: RunContext) -> None:
+        from bfs_etl_sep2025_spark.plans.locks import table_write_lock
+
+        spark = ctx.spark
+        if self.schema:
+            spark.sql(f"CREATE DATABASE IF NOT EXISTS {self.schema}")
+            spark.catalog.setCurrentDatabase(self.schema)
+        for stmt in self.statements(ctx):
+            self.executed.append(stmt)
+            target = self._write_target(stmt)
+            if target is None:
+                spark.sql(stmt)
+            else:
+                # Spark's file commit protocol cannot take two concurrent
+                # writers on one table (shared _temporary dir) -> serialize
+                # per table; cross-table parallelism is unaffected.
+                with table_write_lock(target):
+                    spark.sql(stmt)

@@ -25,8 +25,13 @@ SF_ORACLE = "/root/testdata/sf0.01"
 
 
 @pytest.fixture(scope="session")
-def spark():
-    spark = build_spark(app_name="bfs-etl-tests", shuffle_partitions=8)
+def spark(tmp_path_factory):
+    warehouse = tmp_path_factory.mktemp("spark-warehouse")
+    spark = build_spark(
+        app_name="bfs-etl-tests",
+        shuffle_partitions=8,
+        extra_conf={"spark.sql.warehouse.dir": str(warehouse)},
+    )
     yield spark
 
 
