@@ -1,1 +1,236 @@
-"""streaming_batch operators — filled in by its milestone (SURVEY.md §2)."""
+"""Time-window aggregations — batch formulations of the streaming surface.
+
+The reference's "streaming" is schedule-driven file arrival (one dated CSV
+per daily run, ``dags/s3_data_copy_test.py:24-34``); true streams are the
+Tier-C extension (SURVEY §2.5). Every window operator here uses the exact
+function the Structured Streaming jobs use (``F.window`` /
+``F.session_window`` work identically in batch), so the DuckDB oracle
+validates the *semantics* once, and the streaming twin
+(:mod:`bfs_etl_sep2025_spark.streaming.jobs`) reuses them with watermarks.
+
+Scale notes (100 TB): time-window groupBy shuffles on (window, keys) — at
+scale, pre-partition event storage by date so windows align with partition
+pruning; in streaming the same aggs run incrementally with state eviction
+by watermark instead of a full-history shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bfs_etl_sep2025_spark.functions.portable import exact_sum, sql_exact_sum
+from bfs_etl_sep2025_spark.registry import query
+from bfs_etl_sep2025_spark.tables import load
+
+#: DuckDB: 10-minute tumbling bucket via integer epoch-ms arithmetic
+#: (make_timestamp takes micros; all-integer math = engine-exact).
+_BUCKET_10M = "make_timestamp((epoch_ms(ts) // 600000) * 600000000)"
+
+
+@query(
+    "stream_tumbling_window",
+    family="streaming",
+    bench=True,
+    oracle=f"""
+        SELECT {_BUCKET_10M} AS window_start,
+               {_BUCKET_10M} + INTERVAL 10 MINUTE AS window_end,
+               event_type,
+               count(*) AS n_events,
+               {sql_exact_sum('value', 2)} AS total_value
+        FROM events
+        GROUP BY 1, 2, 3
+        ORDER BY window_start, event_type
+    """,
+)
+def stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10-minute tumbling windows per event type — the canonical streaming
+    aggregate, run in batch so the oracle can check bucket alignment."""
+    ev = load(spark, sf_dir, "events")
+    w = F.window("ts", "10 minutes")
+    return (
+        ev.groupBy(w.alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            exact_sum(F.col("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+@query(
+    "stream_sliding_window",
+    family="streaming",
+    oracle="""
+        WITH slid AS (
+          SELECT e.*,
+                 make_timestamp(((epoch_ms(ts) // 300000) - k.k) * 300000000)
+                   AS window_start
+          FROM events e, (SELECT unnest([0, 1]) AS k) k
+        )
+        SELECT window_start,
+               window_start + INTERVAL 10 MINUTE AS window_end,
+               count(*) AS n_events,
+               count(DISTINCT user_id) AS n_users
+        FROM slid
+        GROUP BY 1, 2
+        ORDER BY window_start
+    """,
+)
+def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10-minute windows sliding every 5 — each event lands in exactly two
+    windows (the oracle reproduces that by exploding k in {0,1})."""
+    ev = load(spark, sf_dir, "events")
+    w = F.window("ts", "10 minutes", "5 minutes")
+    return (
+        ev.groupBy(w.alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "n_events",
+            "n_users",
+        )
+        .orderBy("window_start")
+    )
+
+
+@query(
+    "stream_session_window",
+    family="streaming",
+    oracle="""
+        WITH gaps AS (
+          SELECT user_id, ts, event_id, value,
+                 CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
+                                              ORDER BY ts, event_id)
+                           > INTERVAL 30 MINUTE
+                      OR lag(ts) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) IS NULL
+                      THEN 1 ELSE 0 END AS new_session
+          FROM events
+        ),
+        sess AS (
+          SELECT user_id, ts, value,
+                 CAST(sum(new_session) OVER (PARTITION BY user_id
+                                             ORDER BY ts, event_id
+                                             ROWS UNBOUNDED PRECEDING)
+                      AS BIGINT) AS session_no
+          FROM gaps
+        )
+        SELECT user_id,
+               min(ts) AS session_start,
+               max(ts) + INTERVAL 30 MINUTE AS session_end,
+               count(*) AS n_events
+        FROM sess
+        GROUP BY user_id, session_no
+        ORDER BY user_id, session_start
+    """,
+)
+def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``F.session_window(ts, 30 min)``: gap-merged sessions whose end is
+    last-event + gap. The oracle derives identical sessions from first
+    principles (lag + cumulative sum) — two independent formulations
+    agreeing is the strongest check of the merge semantics."""
+    ev = load(spark, sf_dir, "events")
+    sw = F.session_window("ts", "30 minutes")
+    return (
+        ev.groupBy(sw.alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
+# ---------------------------------------------------------------------------
+# True Structured Streaming runs (readStream -> AvailableNow -> memory sink).
+# The returned DataFrame is the drained streaming result, so the oracle
+# checks that the INCREMENTAL execution converges to the batch answer —
+# the streaming-correctness property that matters.
+# ---------------------------------------------------------------------------
+
+import itertools  # noqa: E402
+import os  # noqa: E402
+import tempfile  # noqa: E402
+
+_run_ids = itertools.count()
+
+
+def _drain(spark: SparkSession, df: DataFrame, mode: str) -> DataFrame:
+    from bfs_etl_sep2025_spark.streaming.jobs import run_stream_to_memory
+
+    name = f"stream_result_{next(_run_ids)}"
+    ckpt = tempfile.mkdtemp(prefix="bfs_stream_ckpt_")
+    run_stream_to_memory(df, name, ckpt, output_mode=mode)
+    return spark.table(name)
+
+
+def _stage_events(spark: SparkSession, sf_dir: str) -> str:
+    """Stage the events fixture for streaming: the fixture stores
+    TIMESTAMP(NANOS), which the streaming parquet reader cannot decode, so
+    the batch loader (which normalizes to microsecond NTZ) rewrites it into
+    a temp landing directory — incidentally also giving the file source a
+    real directory to monitor."""
+    staged = tempfile.mkdtemp(prefix="bfs_stream_events_")
+    load(spark, sf_dir, "events").coalesce(2).write.mode("overwrite").parquet(staged)
+    return staged
+
+
+@query(
+    "stream_ingest_availablenow",
+    family="streaming",
+    oracle=f"""
+        SELECT event_type,
+               count(*) AS n_events,
+               {sql_exact_sum('value', 2)} AS total_value
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+)
+def stream_ingest_availablenow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL streaming run: file-source micro-batches -> stateful aggregation
+    -> complete-mode sink; must converge to the batch/oracle answer."""
+    from bfs_etl_sep2025_spark.streaming.jobs import stream_events, stream_file_ingest
+
+    src = _stage_events(spark, sf_dir)
+    out = _drain(spark, stream_file_ingest(stream_events(spark, src)), "complete")
+    return out.orderBy("event_type")
+
+
+@query(
+    "stream_dedup_stateful",
+    family="streaming",
+    oracle="""
+        SELECT count(*) AS n_unique, count(DISTINCT user_id) AS n_users
+        FROM (SELECT DISTINCT event_id, ts, user_id FROM events)
+    """,
+)
+def stream_dedup_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL streaming dropDuplicates with watermark-bounded state; the
+    drained output must carry exactly the distinct keys."""
+    from bfs_etl_sep2025_spark.streaming.jobs import (
+        stream_events,
+        stream_stateful_dedup,
+    )
+
+    src = _stage_events(spark, sf_dir)
+    out = _drain(spark, stream_stateful_dedup(stream_events(spark, src)), "append")
+    return out.agg(
+        F.count(F.lit(1)).alias("n_unique"),
+        F.countDistinct("user_id").alias("n_users"),
+    )

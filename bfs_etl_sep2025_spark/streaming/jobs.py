@@ -1,0 +1,141 @@
+"""Structured Streaming jobs.
+
+The reference's incremental model is file-per-logical-date arrival loaded by
+a scheduled task (``dags/s3_data_copy_test.py:24-34``). Its native streaming
+analog is the file stream source: each newly-arrived file is one micro-batch
+— same data, push instead of pull. On top of that, the Tier-C streaming
+surface (SURVEY §2.5): windowed aggregation with watermarks, and stateful
+deduplication (the streaming twin of the ingest ledger's file-level skip).
+
+Every job is expressed as readStream -> transformations -> caller-chosen
+sink. ``Trigger.AvailableNow`` drains whatever is present and stops, which
+gives deterministic, oracle-checkable runs in batch tests while remaining a
+genuine incremental execution (state, watermarks and checkpoints all
+engage; a second invocation with the same checkpoint resumes, skipping
+processed files — exactly the ledger semantics, but engine-managed).
+
+Scale notes (100 TB/day ingest): the file source tracks seen-files in the
+checkpoint (compacted); state stores are per-key and evicted by watermark —
+unbounded keys need the watermark or state grows forever. maxFilesPerTrigger
+bounds micro-batch size; sinks should be ``foreachBatch`` into a
+transactional table for exactly-once.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: the events fixture schema, as a streaming source requires an explicit one
+EVENTS_SCHEMA = (
+    "event_id bigint, ts timestamp_ntz, user_id bigint, "
+    "event_type string, value double, props string"
+)
+
+
+def stream_events(spark: SparkSession, source: str) -> DataFrame:
+    """File-stream over parquet event files (schema mandatory on streams).
+
+    The file source monitors a *directory*; a single-file fixture path is
+    staged into one via symlink so the same entry point serves both the
+    fixtures and a real landing directory.
+    """
+    import os
+    import tempfile
+
+    if os.path.isfile(source):
+        staged = tempfile.mkdtemp(prefix="bfs_stream_src_")
+        os.symlink(os.path.abspath(source), os.path.join(staged, "part-0.parquet"))
+        source = staged
+    return (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)  # one file = one micro-batch
+        .parquet(source)
+    )
+
+
+def stream_file_ingest(events: DataFrame) -> DataFrame:
+    """Micro-batch ingestion: per-event-type running counts — the streaming
+    equivalent of the CsvCopyTask append plus a summary."""
+    return events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(30,2)")).cast("double").alias("total_value"),
+    )
+
+
+def stream_windowed_counts(
+    events: DataFrame, window: str = "10 minutes", watermark: str = "30 minutes"
+) -> DataFrame:
+    """Tumbling-window counts with a watermark: state for windows older than
+    the watermark is finalized and evicted; events arriving later than the
+    watermark are dropped (late-data policy under test)."""
+    # Watermarks demand TIMESTAMP (not NTZ); under the engine's pinned UTC
+    # session TZ the cast is wall-time-identity.
+    return (
+        events.withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
+def stream_stateful_dedup(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming exactly-once-per-key: dropDuplicates over event_id with a
+    watermark bounding the dedup state (keys older than the watermark age
+    out — the engine-managed version of the ingest ledger)."""
+    return (
+        events.withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", watermark)
+        .dropDuplicates(["event_id", "ts"])
+    )
+
+
+def run_stream_to_memory(
+    df: DataFrame,
+    query_name: str,
+    checkpoint_dir: str,
+    output_mode: str = "append",
+) -> None:
+    """Drain all available input into an in-memory table (test/inspection
+    sink), synchronously. Real deployments swap this for foreachBatch into
+    a table — the transformation DataFrame is sink-agnostic."""
+    q = (
+        df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def run_stream_collect(
+    df: DataFrame,
+    checkpoint_dir: str,
+    output_mode: str = "append",
+) -> list[tuple[int, list]]:
+    """Drain all available input through a ``foreachBatch`` sink, returning
+    ``[(epoch_id, rows), ...]`` per micro-batch. Unlike the memory sink this
+    supports checkpoint RECOVERY, so repeated invocations with the same
+    checkpoint resume — processed files are skipped (the pattern production
+    jobs use with a transactional write inside the batch function)."""
+    batches: list[tuple[int, list]] = []
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        batches.append((epoch_id, batch_df.collect()))
+
+    q = (
+        df.writeStream.outputMode(output_mode)
+        .foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return batches

@@ -1,0 +1,112 @@
+"""Structured Streaming semantics that only show up across micro-batches:
+watermark late-data drops, checkpoint resume (file-level idempotence), and
+incremental-vs-batch convergence."""
+
+from __future__ import annotations
+
+import pytest
+
+from bfs_etl_sep2025_spark.streaming.jobs import (
+    run_stream_collect,
+    stream_stateful_dedup,
+    stream_windowed_counts,
+)
+
+SCHEMA = (
+    "event_id bigint, ts timestamp_ntz, user_id bigint, "
+    "event_type string, value double, props string"
+)
+
+
+def _write_batch(spark, path, rows):
+    spark.createDataFrame(rows, SCHEMA).coalesce(1).write.mode("append").parquet(path)
+
+
+def _rows(ts_ids):
+    from datetime import datetime
+
+    return [
+        (i, datetime(2024, 1, 1, h, m), 1, "click", 1.0, "{}")
+        for i, (h, m) in ts_ids
+    ]
+
+
+@pytest.fixture()
+def stream_env(spark, tmp_path):
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    return spark, src, ckpt
+
+
+def _read_stream(spark, src):
+    return (
+        spark.readStream.schema(SCHEMA).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+
+
+def test_watermark_drops_late_events(stream_env):
+    """A run advances the watermark; a later-arriving event older than the
+    watermark must be dropped from the aggregation (the late-data policy
+    SURVEY §2.5 requires us to document and enforce)."""
+    spark, src, ckpt = stream_env
+    # run 1: events at 10:00 and 12:00 -> watermark lands at 12:00-30min=11:30
+    _write_batch(spark, src, _rows([(1, (10, 0)), (2, (12, 0))]))
+    agg = stream_windowed_counts(
+        _read_stream(spark, src), window="10 minutes", watermark="30 minutes"
+    )
+    b1 = run_stream_collect(agg, ckpt, output_mode="append")
+    # run 2: one on-time event (12:05) and one LATE event (10:05 < 11:30)
+    _write_batch(spark, src, _rows([(3, (12, 5)), (4, (10, 5))]))
+    b2 = run_stream_collect(agg, ckpt, output_mode="append")
+    # run 3: push the watermark past everything so 12:00 windows finalize
+    _write_batch(spark, src, _rows([(5, (14, 0))]))
+    b3 = run_stream_collect(agg, ckpt, output_mode="append")
+
+    merged: dict[tuple[int, int], int] = {}
+    for batches in (b1, b2, b3):
+        for _, rows in batches:
+            for r in rows:
+                k = (r.window_start.hour, r.window_start.minute)
+                merged[k] = merged.get(k, 0) + r.n_events
+    assert merged[(10, 0)] == 1  # late event 4 dropped; only event 1 counted
+    assert merged[(12, 0)] == 2  # events 2 and 3
+
+
+def test_checkpoint_skips_processed_files(stream_env):
+    """Re-running with the same checkpoint must not re-ingest old files —
+    the engine-managed twin of the CsvCopyTask ledger."""
+    spark, src, ckpt = stream_env
+    _write_batch(spark, src, _rows([(1, (10, 0)), (2, (10, 1))]))
+    dedup = stream_stateful_dedup(_read_stream(spark, src), watermark="1 hour")
+    b1 = run_stream_collect(dedup, ckpt, output_mode="append")
+    assert sum(len(rows) for _, rows in b1) == 2
+    # second invocation, same checkpoint, no new files -> nothing new
+    b2 = run_stream_collect(dedup, ckpt, output_mode="append")
+    assert sum(len(rows) for _, rows in b2) == 0
+    # new file with one duplicate key (event_id=2, same ts) + one new event
+    _write_batch(spark, src, _rows([(2, (10, 1)), (3, (10, 2))]))
+    b3 = run_stream_collect(dedup, ckpt, output_mode="append")
+    got = {r.event_id for _, rows in b3 for r in rows}
+    assert got == {3}  # duplicate suppressed by state, new event passes
+
+
+def test_incremental_converges_to_batch(stream_env):
+    """Multi-micro-batch streaming aggregation == one-shot batch answer."""
+    from pyspark.sql import functions as F
+
+    from bfs_etl_sep2025_spark.streaming.jobs import stream_file_ingest
+
+    spark, src, ckpt = stream_env
+    _write_batch(spark, src, _rows([(1, (10, 0)), (2, (10, 5))]))
+    _write_batch(spark, src, _rows([(3, (11, 0))]))  # second file/micro-batch
+    agg = stream_file_ingest(_read_stream(spark, src))
+    batches = run_stream_collect(agg, ckpt, output_mode="complete")
+    final = {(r.event_type, r.n_events) for r in batches[-1][1]}
+    batch = (
+        spark.read.schema(SCHEMA)
+        .parquet(src)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .collect()
+    )
+    assert final == {(r.event_type, r.n_events) for r in batch}
