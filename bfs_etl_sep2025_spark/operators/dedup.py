@@ -1,1 +1,476 @@
-"""dedup operators — filled in by its milestone (SURVEY.md §2)."""
+"""Deduplication operators for LLM training-data pipelines (Tier C).
+
+Five escalating strategies over the ``documents`` fixture:
+
+1. exact          — byte-identical text (hash groupBy)
+2. normalized     — identical distinct-token sets (canonicalized fingerprint)
+3. MinHash + LSH  — near-duplicates via banded minhash signatures
+4. SimHash        — near-duplicates via hamming-close bit signatures
+5. n-gram Jaccard — exact set similarity over shingles for candidate pairs
+
+Cross-engine portability: every hash is ``md5`` (identical hex output in
+Spark and DuckDB) and minhash takes the *lexicographic min of hex strings*
+— no integer conversion, no engine-specific hash functions, so the oracle
+reproduces signatures bit-for-bit.
+
+Scale notes (100 TB corpus):
+- All signature computation is per-row JVM array work (split/transform/
+  aggregate) — embarrassingly parallel, no shuffle until the candidate join.
+- LSH banding turns all-pairs O(n²) into an equi-join on (band, band_hash):
+  only docs agreeing on a full band meet. 16 hashes / 4 bands ≈ catches
+  Jaccard ≳ 0.5 with high probability (s-curve (1-(1-s^4)^4)).
+- SimHash pairs use the pigeonhole band trick (hamming ≤ k ⇒ some quarter
+  of the signature is equal) — again an equi-join, never a cross join.
+- The Jaccard verifier joins candidates only (inverted index on shingles),
+  then aggregates intersection counts: explode -> join -> count, all
+  shuffle-on-key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bfs_etl_sep2025_spark.registry import query
+from bfs_etl_sep2025_spark.tables import load
+
+# --------------------------------------------------------------------------
+# shared signature builders (Spark side)
+# --------------------------------------------------------------------------
+
+N_HASHES = 16
+N_BANDS = 4
+ROWS_PER_BAND = N_HASHES // N_BANDS
+
+
+def _tokens(text: Column) -> Column:
+    return F.split(text, " ")
+
+
+def _shingles(text: Column) -> Column:
+    """3-gram token shingles; degenerate short docs fall back to whole-text
+    (mirrored exactly in the oracle SQL)."""
+    t = _tokens(text)
+    return F.when(
+        F.size(t) >= 3,
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - 2),
+            lambda i: F.concat_ws(
+                " ", F.element_at(t, i), F.element_at(t, i + 1), F.element_at(t, i + 2)
+            ),
+        ),
+    ).otherwise(F.array(text))
+
+
+def _minhash_sig(shingles: Column) -> Column:
+    """16 md5-minhashes: sig[j] = min over shingles of md5('j|'||shingle)."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(N_HASHES - 1)),
+        lambda j: F.array_min(
+            F.transform(
+                shingles,
+                lambda s: F.md5(F.concat(j.cast("string"), F.lit("|"), s)),
+            )
+        ),
+    )
+
+
+#: DuckDB twin of the shingle + signature builders
+SQL_SHINGLES = """
+        CASE WHEN len(string_split(text, ' ')) >= 3
+             THEN list_transform(range(1, len(string_split(text, ' ')) - 1),
+                    i -> string_split(text, ' ')[i] || ' ' ||
+                         string_split(text, ' ')[i+1] || ' ' ||
+                         string_split(text, ' ')[i+2])
+             ELSE [text] END
+"""
+SQL_SIG = f"""
+        list_transform(range(0, {N_HASHES}), j ->
+          list_min(list_transform(shingles, s -> md5(j::VARCHAR || '|' || s))))
+"""
+
+
+# --------------------------------------------------------------------------
+# 1. exact dedup
+# --------------------------------------------------------------------------
+
+
+@query(
+    "dedup_exact",
+    family="dedup",
+    oracle="""
+        SELECT md5(text) AS content_hash,
+               min(doc_id) AS keep_doc_id,
+               count(*) AS n_copies
+        FROM documents
+        GROUP BY md5(text)
+        ORDER BY keep_doc_id
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on content, keep the smallest doc_id
+    (a deterministic survivor policy — never dropDuplicates' arbitrary
+    row). One shuffle on the 128-bit hash, not the full text."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.groupBy(F.md5("text").alias("content_hash"))
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .orderBy("keep_doc_id")
+    )
+
+
+@query(
+    "dedup_normalized",
+    family="dedup",
+    oracle="""
+        SELECT md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
+                 AS set_hash,
+               min(doc_id) AS keep_doc_id,
+               count(*) AS n_members
+        FROM documents
+        GROUP BY 1
+        HAVING count(*) > 1
+        ORDER BY keep_doc_id
+    """,
+)
+def dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonicalized dedup: docs with the same *distinct token set* (word
+    order and repetition ignored) collapse; only multi-member groups are
+    reported. Catches what exact hashing cannot."""
+    d = load(spark, sf_dir, "documents")
+    set_hash = F.md5(
+        F.concat_ws(" ", F.array_sort(F.array_distinct(_tokens(F.col("text")))))
+    )
+    return (
+        d.groupBy(set_hash.alias("set_hash"))
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("n_members"),
+        )
+        .filter(F.col("n_members") > 1)
+        .orderBy("keep_doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# 2. MinHash signatures + LSH candidate pairs
+# --------------------------------------------------------------------------
+
+
+@query(
+    "dedup_minhash_signature",
+    family="dedup",
+    oracle=f"""
+        WITH sh AS (
+          SELECT doc_id, {SQL_SHINGLES} AS shingles FROM documents
+        ),
+        mh AS (SELECT doc_id, {SQL_SIG} AS sig FROM sh)
+        SELECT doc_id, sig[1] AS mh0, sig[6] AS mh5, sig[16] AS mh15
+        FROM mh
+        ORDER BY doc_id
+    """,
+)
+def dedup_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signature spot-check (3 of 16 positions) — proves the
+    tokenize->shingle->hash->min machinery is engine-exact before the LSH
+    stage builds on it."""
+    d = load(spark, sf_dir, "documents")
+    sig = _minhash_sig(_shingles(F.col("text")))
+    return d.select(
+        "doc_id",
+        F.element_at(sig, 1).alias("mh0"),
+        F.element_at(sig, 6).alias("mh5"),
+        F.element_at(sig, 16).alias("mh15"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "dedup_minhash_lsh_pairs",
+    family="dedup",
+    bench=True,
+    oracle=f"""
+        WITH sh AS (
+          SELECT doc_id, {SQL_SHINGLES} AS shingles FROM documents
+        ),
+        mh AS (SELECT doc_id, {SQL_SIG} AS sig FROM sh),
+        bands AS (
+          SELECT doc_id, b.b,
+                 md5(sig[4*b.b+1] || sig[4*b.b+2] || sig[4*b.b+3] || sig[4*b.b+4]) AS bh
+          FROM mh, (SELECT unnest([0,1,2,3]) AS b) b
+        ),
+        cand AS (
+          SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+          FROM bands l JOIN bands r ON l.b = r.b AND l.bh = r.bh
+                                   AND l.doc_id < r.doc_id
+        )
+        SELECT c.doc_a, c.doc_b,
+               len(list_filter(range(1, {N_HASHES} + 1),
+                               i -> ma.sig[i] = mb.sig[i])) / {N_HASHES}.0
+                 AS est_jaccard
+        FROM cand c
+        JOIN mh ma ON ma.doc_id = c.doc_a
+        JOIN mh mb ON mb.doc_id = c.doc_b
+        WHERE len(list_filter(range(1, {N_HASHES} + 1),
+                              i -> ma.sig[i] = mb.sig[i])) >= {N_HASHES} // 2
+        ORDER BY doc_a, doc_b
+    """,
+)
+def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate pairs via banded LSH: docs sharing any full band of 4
+    minhashes become candidates (equi-join — THE property that scales this
+    to 100 TB: no all-pairs comparison ever happens), then candidates are
+    scored by signature agreement and kept at est-Jaccard >= 0.5."""
+    d = load(spark, sf_dir, "documents")
+    sigs = d.select("doc_id", _minhash_sig(_shingles(F.col("text"))).alias("sig"))
+    bands = sigs.select(
+        "doc_id",
+        "sig",
+        F.explode(F.sequence(F.lit(0), F.lit(N_BANDS - 1))).alias("b"),
+    ).select(
+        "doc_id",
+        "sig",
+        "b",
+        F.md5(
+            F.concat(
+                *[
+                    F.element_at("sig", F.col("b") * ROWS_PER_BAND + i)
+                    for i in range(1, ROWS_PER_BAND + 1)
+                ]
+            )
+        ).alias("bh"),
+    )
+    left = bands.select(
+        F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"), "b", "bh"
+    )
+    right = bands.select(
+        F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"), "b", "bh"
+    )
+    cand = (
+        left.join(right, ["b", "bh"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sig_a", "sig_b")
+        .distinct()
+    )
+    n_eq = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda a, b: a == b),
+            lambda x: x,
+        )
+    )
+    return (
+        cand.select(
+            "doc_a",
+            "doc_b",
+            (n_eq / float(N_HASHES)).alias("est_jaccard"),
+            n_eq.alias("n_eq"),
+        )
+        .filter(F.col("n_eq") >= N_HASHES // 2)
+        .drop("n_eq")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# --------------------------------------------------------------------------
+# 3. SimHash
+# --------------------------------------------------------------------------
+
+SIMHASH_BITS = 32
+
+
+@query(
+    "dedup_simhash",
+    family="dedup",
+    oracle=f"""
+        WITH tok AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+        ),
+        bits AS (
+          SELECT doc_id, j.j,
+                 sum(CASE WHEN substr(md5(tok), j.j, 1) >= '8' THEN 1 ELSE -1 END) AS acc
+          FROM tok, (SELECT unnest(range(1, {SIMHASH_BITS} + 1)) AS j) j
+          GROUP BY doc_id, j.j
+        )
+        SELECT doc_id,
+               string_agg(CASE WHEN acc >= 0 THEN '1' ELSE '0' END, ''
+                          ORDER BY j) AS simhash
+        FROM bits
+        GROUP BY doc_id
+        ORDER BY doc_id
+    """,
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash: bit j is the sign of the token-frequency-weighted sum
+    of hash-bit j over all tokens. Portable bit source: hex digit j of
+    md5(token) has its high bit set iff the char is >= '8'. Emitted as a
+    bitstring so the oracle comparison is byte-exact."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(_tokens(F.col("text"))).alias("tok"))
+    # substring with dynamic position needs the expr form substring(h, j, 1)
+    bits = (
+        tok.select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(1), F.lit(SIMHASH_BITS))).alias("j"),
+            F.md5("tok").alias("h"),
+        )
+        .select(
+            "doc_id", "j", F.expr("substring(h, j, 1)").alias("c")
+        )
+        .groupBy("doc_id", "j")
+        .agg(F.sum(F.when(F.col("c") >= "8", 1).otherwise(-1)).alias("acc"))
+    )
+    sig = (
+        bits.groupBy("doc_id")
+        .agg(
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("j", "acc"))
+                    ),
+                    lambda s: F.when(s["acc"] >= 0, "1").otherwise("0"),
+                ),
+            ).alias("simhash")
+        )
+    )
+    return sig.orderBy("doc_id")
+
+
+@query(
+    "dedup_simhash_pairs",
+    family="dedup",
+    oracle=f"""
+        WITH tok AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+        ),
+        bits AS (
+          SELECT doc_id, j.j,
+                 sum(CASE WHEN substr(md5(tok), j.j, 1) >= '8' THEN 1 ELSE -1 END) AS acc
+          FROM tok, (SELECT unnest(range(1, {SIMHASH_BITS} + 1)) AS j) j
+          GROUP BY doc_id, j.j
+        ),
+        sig AS (
+          SELECT doc_id,
+                 string_agg(CASE WHEN acc >= 0 THEN '1' ELSE '0' END, ''
+                            ORDER BY j) AS simhash
+          FROM bits GROUP BY doc_id
+        )
+        -- oracle: brute-force all pairs (fine at oracle scale)
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               len(list_filter(range(1, {SIMHASH_BITS} + 1),
+                               i -> substr(a.simhash, i, 1) <> substr(b.simhash, i, 1)))
+                 AS hamming
+        FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        WHERE len(list_filter(range(1, {SIMHASH_BITS} + 1),
+                              i -> substr(a.simhash, i, 1) <> substr(b.simhash, i, 1))) <= 3
+        ORDER BY doc_a, doc_b
+    """,
+)
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamming-close pairs (distance <= 3). Spark side uses the pigeonhole
+    LSH trick — distance <= 3 over 4 signature quarters forces at least one
+    EQUAL quarter, so candidates come from an equi-join on (quarter index,
+    quarter bits); the oracle brute-forces all pairs. Agreement proves the
+    banded plan loses nothing."""
+    d = load(spark, sf_dir, "documents")
+    sig = dedup_simhash(spark, sf_dir)  # doc_id, simhash bitstring
+    q_len = SIMHASH_BITS // 4
+    quarters = sig.select(
+        "doc_id",
+        "simhash",
+        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("q"),
+    ).select(
+        "doc_id",
+        "simhash",
+        "q",
+        F.expr(f"substring(simhash, q * {q_len} + 1, {q_len})").alias("qbits"),
+    )
+    left = quarters.select(
+        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"), "q", "qbits"
+    )
+    right = quarters.select(
+        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"), "q", "qbits"
+    )
+    cand = (
+        left.join(right, ["q", "qbits"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sh_a", "sh_b")
+        .distinct()
+    )
+    hamming = F.size(
+        F.filter(
+            F.zip_with(
+                F.split("sh_a", ""),
+                F.split("sh_b", ""),
+                lambda a, b: a != b,
+            ),
+            lambda x: x,
+        )
+    )
+    return (
+        cand.select("doc_a", "doc_b", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= 3)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# --------------------------------------------------------------------------
+# 4. n-gram Jaccard verification
+# --------------------------------------------------------------------------
+
+
+@query(
+    "dedup_ngram_jaccard",
+    family="dedup",
+    oracle=f"""
+        WITH sh AS (
+          SELECT doc_id, {SQL_SHINGLES} AS shingles FROM documents
+        ),
+        ds AS (SELECT doc_id, list_distinct(shingles) AS s FROM sh),
+        ex AS (SELECT doc_id, unnest(s) AS g, len(s) AS n FROM ds),
+        inter AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 count(*) AS n_both, any_value(a.n) AS na, any_value(b.n) AS nb
+          FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        )
+        SELECT doc_a, doc_b,
+               n_both::DOUBLE / (na + nb - n_both) AS jaccard
+        FROM inter
+        WHERE n_both::DOUBLE / (na + nb - n_both) >= 0.3
+        ORDER BY doc_a, doc_b
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard for pairs sharing at least one shingle — the
+    inverted-index candidate pattern (explode -> equi-join on shingle ->
+    count) that verifies minhash estimates without an all-pairs pass."""
+    d = load(spark, sf_dir, "documents")
+    ds = d.select(
+        "doc_id", F.array_distinct(_shingles(F.col("text"))).alias("s")
+    )
+    ex = ds.select("doc_id", F.explode("s").alias("g"), F.size("s").alias("n"))
+    a = ex.select(
+        F.col("doc_id").alias("doc_a"), "g", F.col("n").alias("na")
+    )
+    b = ex.select(
+        F.col("doc_id").alias("doc_b"), "g", F.col("n").alias("nb")
+    )
+    inter = (
+        a.join(b, "g")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.count(F.lit(1)).alias("both"),
+            F.first("na").alias("na"),
+            F.first("nb").alias("nb"),
+        )
+    )
+    jac = F.col("both") / (F.col("na") + F.col("nb") - F.col("both"))
+    return (
+        inter.select("doc_a", "doc_b", jac.cast("double").alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.3)
+        .orderBy("doc_a", "doc_b")
+    )

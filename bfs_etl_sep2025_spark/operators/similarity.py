@@ -1,1 +1,284 @@
-"""similarity operators — filled in by its milestone (SURVEY.md §2)."""
+"""Similarity search over the embedding column (Tier C).
+
+Three operators on ``embeddings`` (64-dim float vectors):
+
+- brute-force cosine top-k       — the exact baseline (bounded query set)
+- LSH-bucketed cosine top-k      — the scale path: random-hyperplane sketch
+                                   -> equi-join on bucket -> exact rerank
+- cosine range search (near-dup) — all pairs above a similarity threshold
+
+Engine-exact arithmetic: every dot product is an ORDERED fold of
+double-promoted elementwise products (Spark ``aggregate``/``zip_with``,
+DuckDB ``list_reduce``/``list_transform`` — same IEEE operation sequence,
+bitwise-identical results, so rankings cannot diverge). The LSH hyperplanes
+are ±1 sign vectors derived from md5 at import time (hashlib == SQL md5) and
+embedded as literals in BOTH formulations.
+
+Scale notes (100 TB / billions of vectors):
+- Brute force is O(|Q|·N) with a broadcast query set — right only for small
+  Q; it exists as the correctness baseline and rerank primitive.
+- The LSH path shuffles each vector ONCE by bucket key; probes only join
+  their bucket (collision prob per hyperplane = 1 - θ/π). Recall is tuned
+  by bits/tables, not rewrites — production would union 4-8 such tables.
+- Range search brute-forces all pairs here (oracle-checkable); at scale the
+  identical rerank runs after the same bucket join.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from bfs_etl_sep2025_spark.registry import query
+from bfs_etl_sep2025_spark.tables import load
+
+DIM = 64
+N_PLANES = 8
+
+
+def _plane_signs() -> list[list[float]]:
+    """Deterministic ±1 hyperplanes: sign(p, d) = +1 iff the first hex digit
+    of md5('p|d') has its high bit set. hashlib.md5 == Spark md5 == DuckDB
+    md5, so all three derivations agree."""
+    planes = []
+    for p in range(N_PLANES):
+        row = []
+        for d in range(1, DIM + 1):
+            h = hashlib.md5(f"{p}|{d}".encode()).hexdigest()
+            row.append(1.0 if h[0] >= "8" else -1.0)
+        planes.append(row)
+    return planes
+
+
+PLANES = _plane_signs()
+
+
+# -- Spark-side vector expressions ------------------------------------------
+
+
+def _dot(a: Column, b: Column) -> Column:
+    """Ordered-fold dot product in double (see module docstring)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(_dot(a, a))
+
+
+def _bucket(v: Column) -> Column:
+    """8-bit sign sketch of v against the fixed hyperplanes."""
+    bits = [
+        F.when(
+            _dot(v, F.array(*[F.lit(s) for s in plane])) >= 0, F.lit("1")
+        ).otherwise(F.lit("0"))
+        for plane in PLANES
+    ]
+    return F.concat(*bits)
+
+
+# -- DuckDB-side twins (literal SQL fragments) ------------------------------
+
+
+def _sql_plane_literal(plane: list[float]) -> str:
+    return "[" + ", ".join(f"{s:.1f}" for s in plane) + "]"
+
+
+_SQL_DOT_VV = (
+    "list_reduce(list_transform(range(1, 65), "
+    "i -> ({a})[i]::DOUBLE * ({b})[i]::DOUBLE), (x, y) -> x + y)"
+)
+
+
+def _sql_dot(a: str, b: str) -> str:
+    return _SQL_DOT_VV.format(a=a, b=b)
+
+
+def _sql_norm(a: str) -> str:
+    return f"sqrt({_sql_dot(a, a)})"
+
+
+def _sql_bucket(v: str) -> str:
+    bits = [
+        "CASE WHEN "
+        + _sql_dot(v, f"{_sql_plane_literal(plane)}::DOUBLE[]")
+        + " >= 0 THEN '1' ELSE '0' END"
+        for plane in PLANES
+    ]
+    return " || ".join(bits)
+
+
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "similarity_topk_bruteforce",
+    family="similarity",
+    bench=True,
+    oracle=f"""
+        WITH n AS (
+          SELECT vec_id, embedding, {_sql_norm('embedding')} AS nrm
+          FROM embeddings
+        ),
+        scored AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+                 {_sql_dot('q.embedding', 'c.embedding')} / (q.nrm * c.nrm)
+                   AS cosine
+          FROM n q JOIN n c ON q.vec_id < 5 AND c.vec_id <> q.vec_id
+        )
+        SELECT query_id, vec_id, cosine, rnk
+        FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                           ORDER BY cosine DESC, vec_id) AS rnk
+              FROM scored)
+        WHERE rnk <= 10
+        ORDER BY query_id, rnk
+    """,
+)
+def similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-10 for a bounded query set (vec_id < 5): broadcast
+    the queries, scan candidates once, per-query heap via window group
+    limit. The correctness baseline every ANN variant is judged against."""
+    e = load(spark, sf_dir, "embeddings")
+    n = e.select("vec_id", "embedding", _norm(F.col("embedding")).alias("nrm"))
+    q = (
+        n.filter(F.col("vec_id") < 5)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+            F.col("nrm").alias("q_nrm"),
+        )
+    )
+    scored = (
+        n.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            (
+                _dot(F.col("q_emb"), F.col("embedding"))
+                / (F.col("q_nrm") * F.col("nrm"))
+            ).alias("cosine"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return (
+        scored.select("*", F.row_number().over(w).alias("rnk"))
+        .filter(F.col("rnk") <= 10)
+        .orderBy("query_id", "rnk")
+    )
+
+
+@query(
+    "similarity_topk_lsh",
+    family="similarity",
+    bench=True,
+    oracle=f"""
+        WITH n AS (
+          SELECT vec_id, embedding,
+                 {_sql_norm('embedding')} AS nrm,
+                 {_sql_bucket('embedding')} AS bucket
+          FROM embeddings
+        ),
+        scored AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+                 {_sql_dot('q.embedding', 'c.embedding')} / (q.nrm * c.nrm)
+                   AS cosine
+          FROM n q JOIN n c ON q.bucket = c.bucket AND c.vec_id <> q.vec_id
+          WHERE q.vec_id < 20
+        )
+        SELECT query_id, vec_id, cosine, rnk
+        FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                           ORDER BY cosine DESC, vec_id) AS rnk
+              FROM scored)
+        WHERE rnk <= 3
+        ORDER BY query_id, rnk
+    """,
+)
+def similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-3 via random-hyperplane LSH: vectors agreeing with the query
+    on all 8 sign bits are candidates (equi-join on the bucket string — the
+    scan never pairs across buckets), then exact cosine reranks. Queries in
+    singleton buckets legitimately return nothing: recall is the tunable,
+    and the oracle reproduces the same algorithm so results match exactly."""
+    e = load(spark, sf_dir, "embeddings")
+    n = e.select(
+        "vec_id",
+        "embedding",
+        _norm(F.col("embedding")).alias("nrm"),
+        _bucket(F.col("embedding")).alias("bucket"),
+    )
+    q = (
+        n.filter(F.col("vec_id") < 20)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+            F.col("nrm").alias("q_nrm"),
+            "bucket",
+        )
+    )
+    scored = (
+        n.join(F.broadcast(q), "bucket")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            (
+                _dot(F.col("q_emb"), F.col("embedding"))
+                / (F.col("q_nrm") * F.col("nrm"))
+            ).alias("cosine"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return (
+        scored.select("*", F.row_number().over(w).alias("rnk"))
+        .filter(F.col("rnk") <= 3)
+        .orderBy("query_id", "rnk")
+    )
+
+
+@query(
+    "similarity_cosine_neardup",
+    family="similarity",
+    oracle=f"""
+        WITH n AS (
+          SELECT vec_id, embedding, {_sql_norm('embedding')} AS nrm
+          FROM embeddings
+        )
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               {_sql_dot('a.embedding', 'b.embedding')} / (a.nrm * b.nrm)
+                 AS cosine
+        FROM n a JOIN n b ON a.vec_id < b.vec_id
+        WHERE {_sql_dot('a.embedding', 'b.embedding')} / (a.nrm * b.nrm) >= 0.45
+        ORDER BY vec_a, vec_b
+    """,
+)
+def similarity_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-level near-duplicate pairs (cosine >= τ=0.45 — chosen to be
+    meaningful on the fixture's random vectors, whose max pairwise cosine is
+    ~0.51). Brute-force all-pairs as the oracle-checkable baseline; the
+    production-scale variant runs the identical rerank after the LSH bucket
+    join above."""
+    e = load(spark, sf_dir, "embeddings")
+    n = e.select("vec_id", "embedding", _norm(F.col("embedding")).alias("nrm"))
+    a = n.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("emb_a"),
+        F.col("nrm").alias("nrm_a"),
+    )
+    b = n.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("emb_b"),
+        F.col("nrm").alias("nrm_b"),
+    )
+    pairs = a.join(b, F.col("vec_a") < F.col("vec_b"))
+    cos = (_dot(F.col("emb_a"), F.col("emb_b")) / (F.col("nrm_a") * F.col("nrm_b")))
+    return (
+        pairs.select("vec_a", "vec_b", cos.alias("cosine"))
+        .filter(F.col("cosine") >= 0.45)
+        .orderBy("vec_a", "vec_b")
+    )

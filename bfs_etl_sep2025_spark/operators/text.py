@@ -1,1 +1,329 @@
-"""text operators — filled in by its milestone (SURVEY.md §2)."""
+"""Text-analysis operators for training-data pipelines (Tier C).
+
+Language identification (marker-token heuristic), quality scoring
+(length / uniqueness / stopword ratios), token statistics, document
+fingerprinting (content / prefix / winnow hashes), and tf-based term
+scoring — all over the ``documents`` fixture, all pure JVM column
+expressions (no Python in the row path), each with a DuckDB oracle.
+
+Engine-exactness: ratios are integer-over-integer double divisions (exact);
+hashes are md5; term scores use rational idf (N/df) instead of log — libm
+``log`` is not guaranteed identically rounded across engines, rational
+scoring is (the monotone ordering is what retrieval uses anyway).
+
+Scale notes (100 TB corpus): everything up to the aggregation is
+narrow/per-row; token-level operators explode to (doc, token) and aggregate
+back — shuffle keyed on high-cardinality doc_id or token, both well
+distributed. Global term statistics (df) are a second small aggregate over
+distinct (doc, token).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from bfs_etl_sep2025_spark.registry import query
+from bfs_etl_sep2025_spark.tables import load
+
+#: marker tokens per language for the n-gram/keyword lang-ID heuristic —
+#: deterministic and mirrored verbatim in the oracle SQL.
+LANG_MARKERS = {
+    "de": ("der", "die", "das", "und", "nicht"),
+    "en": ("the", "a", "of", "and", "value"),
+    "es": ("el", "la", "los", "que", "de"),
+    "fr": ("le", "la", "les", "et", "de"),
+    "zh": ("de", "le", "shi", "bu", "zai"),
+}
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
+
+
+def _tokens(text: Column) -> Column:
+    return F.split(text, " ")
+
+
+def _sql_marker_count(markers: tuple[str, ...]) -> str:
+    lst = ", ".join(f"'{m}'" for m in markers)
+    return (
+        "len(list_filter(string_split(text, ' '), t -> t IN (" + lst + ")))"
+    )
+
+
+@query(
+    "text_token_stats",
+    family="text",
+    oracle="""
+        SELECT doc_id,
+               len(string_split(text, ' ')) AS n_tokens,
+               len(list_distinct(string_split(text, ' '))) AS n_unique,
+               length(text) AS n_chars_actual,
+               length(replace(text, ' ', '')) AS n_alpha_chars,
+               len(list_distinct(string_split(text, ' ')))::DOUBLE
+                 / len(string_split(text, ' ')) AS type_token_ratio,
+               (length(text) - length(replace(text, ' ', '')) + 1)::DOUBLE
+                 AS ws_token_count
+        FROM documents
+        ORDER BY doc_id
+    """,
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: split-based and whitespace-arithmetic (the
+    BPE-ish cheap estimator used before real tokenizers run)."""
+    d = load(spark, sf_dir, "documents")
+    t = _tokens(F.col("text"))
+    return d.select(
+        "doc_id",
+        F.size(t).alias("n_tokens"),
+        F.size(F.array_distinct(t)).alias("n_unique"),
+        F.length("text").alias("n_chars_actual"),
+        F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).alias(
+            "n_alpha_chars"
+        ),
+        (F.size(F.array_distinct(t)).cast("double") / F.size(t)).alias(
+            "type_token_ratio"
+        ),
+        (
+            F.length("text")
+            - F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+            + 1
+        )
+        .cast("double")
+        .alias("ws_token_count"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "text_language_id",
+    family="text",
+    oracle=f"""
+        WITH scores AS (
+          SELECT doc_id, lang AS actual_lang,
+                 {_sql_marker_count(LANG_MARKERS['de'])} AS s_de,
+                 {_sql_marker_count(LANG_MARKERS['en'])} AS s_en,
+                 {_sql_marker_count(LANG_MARKERS['es'])} AS s_es,
+                 {_sql_marker_count(LANG_MARKERS['fr'])} AS s_fr,
+                 {_sql_marker_count(LANG_MARKERS['zh'])} AS s_zh
+          FROM documents
+        )
+        SELECT doc_id, actual_lang,
+               CASE greatest(s_de, s_en, s_es, s_fr, s_zh)
+                    WHEN s_de THEN 'de' WHEN s_en THEN 'en'
+                    WHEN s_es THEN 'es' WHEN s_fr THEN 'fr' ELSE 'zh' END
+                 AS predicted_lang,
+               greatest(s_de, s_en, s_es, s_fr, s_zh) AS best_score
+        FROM scores
+        ORDER BY doc_id
+    """,
+)
+def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-token language ID: count per-language function words, take the
+    argmax (first-in-order wins ties — mirrored by the oracle's CASE order).
+    A real pipeline swaps the marker lists for character-n-gram profiles;
+    the dataflow (per-row score vector -> argmax) is identical."""
+    d = load(spark, sf_dir, "documents")
+    t = _tokens(F.col("text"))
+    scores = {
+        lang: F.size(F.filter(t, lambda x: x.isin(*markers)))
+        for lang, markers in LANG_MARKERS.items()
+    }
+    best = F.greatest(*scores.values())
+    pred = F.when(scores["de"] == best, "de")
+    for lang in ("en", "es", "fr"):
+        pred = pred.when(scores[lang] == best, lang)
+    pred = pred.otherwise("zh")
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("actual_lang"),
+        pred.alias("predicted_lang"),
+        best.alias("best_score"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "text_quality_score",
+    family="text",
+    oracle=f"""
+        WITH m AS (
+          SELECT doc_id,
+                 len(string_split(text, ' ')) AS n_tok,
+                 len(list_distinct(string_split(text, ' '))) AS n_uniq,
+                 len(list_filter(string_split(text, ' '),
+                                 t -> t IN ({", ".join(f"'{s}'" for s in STOPWORDS)})))
+                   AS n_stop,
+                 length(text) AS n_chars
+          FROM documents
+        )
+        SELECT doc_id,
+               n_tok, n_chars,
+               n_stop::DOUBLE / n_tok AS stopword_ratio,
+               n_uniq::DOUBLE / n_tok AS uniqueness,
+               CASE WHEN n_tok BETWEEN 20 AND 1000 THEN 1.0 ELSE 0.0 END
+                 AS length_ok,
+               (n_uniq::DOUBLE / n_tok)
+                 * CASE WHEN n_tok BETWEEN 20 AND 1000 THEN 1.0 ELSE 0.0 END
+                 * (1.0 - n_stop::DOUBLE / n_tok) AS quality
+        FROM m
+        ORDER BY doc_id
+    """,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite quality score: uniqueness x length-gate x (1 - stopword
+    ratio) — the standard cheap pre-filter before expensive model scoring.
+    All components are exact integer-ratio doubles."""
+    d = load(spark, sf_dir, "documents")
+    t = _tokens(F.col("text"))
+    n_tok = F.size(t)
+    n_uniq = F.size(F.array_distinct(t))
+    n_stop = F.size(F.filter(t, lambda x: x.isin(*STOPWORDS)))
+    length_ok = F.when(n_tok.between(20, 1000), F.lit(1.0)).otherwise(F.lit(0.0))
+    uniq = n_uniq.cast("double") / n_tok
+    stop_ratio = n_stop.cast("double") / n_tok
+    return d.select(
+        "doc_id",
+        n_tok.alias("n_tok"),
+        F.length("text").alias("n_chars"),
+        stop_ratio.alias("stopword_ratio"),
+        uniq.alias("uniqueness"),
+        length_ok.alias("length_ok"),
+        (uniq * length_ok * (1.0 - stop_ratio)).alias("quality"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "text_fingerprint",
+    family="text",
+    oracle="""
+        WITH sh AS (
+          SELECT doc_id, text,
+                 CASE WHEN len(string_split(text, ' ')) >= 5
+                      THEN list_transform(range(1, len(string_split(text, ' ')) - 3),
+                             i -> md5(string_split(text, ' ')[i] || ' ' ||
+                                      string_split(text, ' ')[i+1] || ' ' ||
+                                      string_split(text, ' ')[i+2] || ' ' ||
+                                      string_split(text, ' ')[i+3] || ' ' ||
+                                      string_split(text, ' ')[i+4]))
+                      ELSE [md5(text)] END AS grams
+          FROM documents
+        )
+        SELECT doc_id,
+               md5(text) AS content_hash,
+               md5(array_to_string(string_split(text, ' ')[1:8], ' ')) AS prefix_hash,
+               list_min(grams) AS winnow_hash
+        FROM sh
+        ORDER BY doc_id
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-level fingerprint: whole-content hash, first-8-token prefix
+    hash, and a winnowing-style minimum over 5-gram hashes (the rolling-hash
+    fingerprint that survives local edits)."""
+    d = load(spark, sf_dir, "documents")
+    t = _tokens(F.col("text"))
+    grams = F.when(
+        F.size(t) >= 5,
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - 4),
+            lambda i: F.md5(
+                F.concat_ws(
+                    " ",
+                    F.element_at(t, i),
+                    F.element_at(t, i + 1),
+                    F.element_at(t, i + 2),
+                    F.element_at(t, i + 3),
+                    F.element_at(t, i + 4),
+                )
+            ),
+        ),
+    ).otherwise(F.array(F.md5("text")))
+    return d.select(
+        "doc_id",
+        F.md5("text").alias("content_hash"),
+        F.md5(F.concat_ws(" ", F.slice(t, 1, 8))).alias("prefix_hash"),
+        F.array_min(grams).alias("winnow_hash"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "text_term_scores",
+    family="text",
+    oracle="""
+        WITH tf AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS term
+          FROM documents
+        ),
+        counts AS (
+          SELECT doc_id, term, count(*) AS tf
+          FROM tf GROUP BY doc_id, term
+        ),
+        df AS (
+          SELECT term, count(DISTINCT doc_id) AS df FROM counts GROUP BY term
+        ),
+        n AS (SELECT count(*) AS n_docs FROM documents)
+        SELECT c.doc_id, c.term, c.tf, d.df,
+               c.tf * (n.n_docs::DOUBLE / d.df) AS tf_ridf
+        FROM counts c JOIN df d USING (term) CROSS JOIN n
+        WHERE c.doc_id < 20
+        ORDER BY c.doc_id, c.term
+    """,
+)
+def text_term_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """tf x rational-idf term scoring (tf-idf with N/df instead of
+    log(N/df): identical ranking, engine-exact arithmetic). df is a global
+    second-stage aggregate — the only cross-document shuffle."""
+    d = load(spark, sf_dir, "documents")
+    tf = (
+        d.select("doc_id", F.explode(_tokens(F.col("text"))).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = d.count()  # scalar: one tiny job, constant-folded into the plan
+    return (
+        tf.join(df, "term")
+        .filter(F.col("doc_id") < 20)
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            (F.col("tf") * (F.lit(float(n_docs)) / F.col("df"))).alias("tf_ridf"),
+        )
+        .orderBy("doc_id", "term")
+    )
+
+
+@query(
+    "text_top_bigrams",
+    family="text",
+    oracle="""
+        WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        bg AS (
+          SELECT unnest(list_transform(range(1, len(t)),
+                        i -> t[i] || ' ' || t[i+1])) AS bigram
+          FROM toks
+        )
+        SELECT bigram, count(*) AS n
+        FROM bg
+        GROUP BY bigram
+        ORDER BY n DESC, bigram
+        LIMIT 50
+    """,
+)
+def text_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level top-50 bigrams: per-row n-gram expansion, global count,
+    TakeOrdered top-k (count desc, bigram asc tie-break)."""
+    d = load(spark, sf_dir, "documents")
+    t = _tokens(F.col("text"))
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size(t) - 1),
+        lambda i: F.concat_ws(" ", F.element_at(t, i), F.element_at(t, i + 1)),
+    )
+    return (
+        d.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "bigram")
+        .limit(50)
+    )

@@ -80,6 +80,7 @@ def _ensure_loaded() -> None:
         dedup,
         functions_scalar,
         joins,
+        multimodal,
         relational,
         setops,
         similarity,

@@ -1,0 +1,98 @@
+"""Semantic checks for the LLM-data operators beyond oracle parity:
+sketch accuracy bounds, LSH recall against brute force, dedup findings on
+the fixture's known near-dup structure, and the multimodal decode stub."""
+
+from __future__ import annotations
+
+import pytest
+
+from bfs_etl_sep2025_spark import registry
+
+SF = "/root/testdata/sf0.01"
+
+
+def _q(name):
+    return registry.all_specs()[name].fn
+
+
+def test_approx_count_distinct_within_rsd(spark):
+    rows = _q("agg_approx_count_distinct")(spark, SF).collect()
+    from pyspark.sql import functions as F
+
+    from bfs_etl_sep2025_spark.tables import load
+
+    exact = {
+        r.l_returnflag: r.n
+        for r in load(spark, SF, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.countDistinct("l_orderkey").alias("n"))
+        .collect()
+    }
+    for r in rows:
+        rel_err = abs(r.approx_orders - exact[r.l_returnflag]) / exact[r.l_returnflag]
+        assert rel_err < 0.1, (r.l_returnflag, r.approx_orders, exact[r.l_returnflag])
+
+
+def test_approx_percentile_close_to_exact(spark):
+    approx = {r.o_orderstatus: r.p50_approx for r in _q("agg_approx_percentiles")(spark, SF).collect()}
+    exact = {r.o_orderstatus: r.p50 for r in _q("agg_percentiles")(spark, SF).collect()}
+    for k in exact:
+        assert abs(approx[k] - exact[k]) / exact[k] < 0.05
+
+
+def test_minhash_estimates_track_true_jaccard(spark):
+    """For pairs the LSH stage surfaces, the signature estimate must be in
+    the neighborhood of the exact shingle Jaccard (16 hashes -> sd ~0.125)."""
+    est = {
+        (r.doc_a, r.doc_b): r.est_jaccard
+        for r in _q("dedup_minhash_lsh_pairs")(spark, SF).collect()
+    }
+    assert est, "fixture is known to contain near-duplicate documents"
+    true = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in _q("dedup_ngram_jaccard")(spark, SF).collect()
+    }
+    checked = 0
+    for pair, e in est.items():
+        if pair in true:
+            assert abs(e - true[pair]) <= 0.4
+            checked += 1
+    assert checked > 0
+
+
+def test_simhash_band_plan_finds_known_pairs(spark):
+    """The banded simhash plan's pairs (oracle-verified identical to brute
+    force) must include doc pairs that minhash also flags — independent
+    sketches agreeing on the fixture's built-in duplicates."""
+    sim = {(r.doc_a, r.doc_b) for r in _q("dedup_simhash_pairs")(spark, SF).collect()}
+    mh = {(r.doc_a, r.doc_b) for r in _q("dedup_minhash_lsh_pairs")(spark, SF).collect()}
+    assert sim and mh
+    assert sim & mh, "independent near-dup sketches should overlap on true dupes"
+
+
+def test_lsh_topk_subset_of_bruteforce_universe(spark):
+    """Every LSH-returned neighbor must score exactly what brute force
+    scores it (same query, same vec) — LSH may MISS neighbors, never
+    invent or mis-rank them."""
+    bf = {
+        (r.query_id, r.vec_id): r.cosine
+        for r in _q("similarity_topk_bruteforce")(spark, SF).collect()
+    }
+    lsh = _q("similarity_topk_lsh")(spark, SF).collect()
+    assert lsh, "some query should share a bucket at sf0.01"
+    for r in lsh:
+        if (r.query_id, r.vec_id) in bf:
+            assert bf[(r.query_id, r.vec_id)] == r.cosine
+
+
+def test_multimodal_decode_is_stubbed():
+    from bfs_etl_sep2025_spark.operators.multimodal import decode_image
+
+    with pytest.raises(NotImplementedError, match="STUB"):
+        decode_image(b"\x89PNG\r\n\x1a\n")
+
+
+def test_language_id_scores_populated(spark):
+    rows = _q("text_language_id")(spark, SF).collect()
+    assert len(rows) == 500
+    assert any(r.best_score > 0 for r in rows)
