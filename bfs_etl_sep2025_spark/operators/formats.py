@@ -1,0 +1,138 @@
+"""Source-format scans and reshaping (SURVEY §2.3 scans/sources + pivot's
+inverse).
+
+JSON-lines and delimited-CSV scans are proven by round-trip: the query
+writes a deterministic extract of the fixtures to a scratch location with
+Spark, then BOTH engines read those same files back — so the oracle checks
+Spark's reader against DuckDB's reader on identical bytes (writer bugs
+surface as reader mismatches).
+
+Scale notes: JSON/CSV scans parallelize per file-split like parquet but
+push down nothing (full-row parse); the engine treats them as landing
+formats only — CsvCopyTask's job is precisely to move them into parquet
+tables. Explicit schemas everywhere; inference is O(extra pass) and
+non-deterministic under schema drift.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bfs_etl_sep2025_spark.registry import query
+from bfs_etl_sep2025_spark.tables import load
+
+_SCRATCH = os.path.join(tempfile.gettempdir(), "bfs_format_scratch")
+
+
+def _stage_jsonlines(spark: SparkSession, sf_dir: str) -> str:
+    out = os.path.join(_SCRATCH, f"events_json_{os.path.basename(sf_dir.rstrip('/'))}")
+    (
+        load(spark, sf_dir, "events")
+        .select("event_id", "user_id", "event_type", "value", "props")
+        .coalesce(4)
+        .write.mode("overwrite")
+        .json(out)
+    )
+    return out
+
+
+@query(
+    "scan_jsonlines",
+    family="formats",
+    # The oracle reads the ORIGINAL parquet: equality proves Spark's
+    # JSON write -> JSON read round trip is lossless for these types
+    # (bigint/string exact; doubles via shortest-repr, parse-exact).
+    oracle="""
+        SELECT event_id, user_id, event_type, value, props
+        FROM events
+        ORDER BY event_id
+    """,
+)
+def scan_jsonlines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines scan with explicit schema over a freshly staged Spark
+    JSON extract of the events table (writer + reader proven together)."""
+    path = _stage_jsonlines(spark, sf_dir)
+    schema = (
+        "event_id bigint, user_id bigint, event_type string, "
+        "value double, props string"
+    )
+    return spark.read.schema(schema).json(path).orderBy("event_id")
+
+
+@query(
+    "scan_csv_roundtrip",
+    family="formats",
+    # Oracle reads the original parquet — equality proves the delimited
+    # write -> options-driven read round trip (sep, header, timestamps).
+    oracle="""
+        SELECT o_orderkey, o_orderstatus, o_totalprice,
+               CAST(o_orderdate AS DATE) AS o_orderdate
+        FROM orders
+        ORDER BY o_orderkey
+    """,
+)
+def scan_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delimited-text scan: stage a pipe-delimited extract with Spark's CSV
+    writer, read it back with explicit schema + reader options (the same
+    option surface CsvCopyTask maps COPY-INTO formats onto)."""
+    out = os.path.join(
+        _SCRATCH, f"orders_csv_{os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    (
+        load(spark, sf_dir, "orders")
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            "o_totalprice",
+            F.col("o_orderdate").cast("date").alias("o_orderdate"),
+        )
+        .coalesce(2)
+        .write.mode("overwrite")
+        .options(sep="|", header=True)
+        .csv(out)
+    )
+    schema = (
+        "o_orderkey bigint, o_orderstatus string, o_totalprice double, "
+        "o_orderdate date"
+    )
+    return (
+        spark.read.schema(schema)
+        .options(sep="|", header=True)
+        .csv(out)
+        .orderBy("o_orderkey")
+    )
+
+
+@query(
+    "unpivot_stack",
+    family="formats",
+    oracle="""
+        WITH wide AS (
+          SELECT o_orderstatus,
+                 count(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END) AS urgent,
+                 count(CASE WHEN o_orderpriority = '5-LOW' THEN 1 END) AS low
+          FROM orders GROUP BY o_orderstatus
+        )
+        SELECT o_orderstatus, kind, n
+        FROM wide
+        UNPIVOT (n FOR kind IN (urgent, low))
+        ORDER BY o_orderstatus, kind
+    """,
+)
+def unpivot_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot's inverse: widen then melt back via stack() — long format is
+    what aggregation pipelines want; unpivot is pure projection (zero
+    shuffle beyond the seed aggregate)."""
+    o = load(spark, sf_dir, "orders")
+    wide = o.groupBy("o_orderstatus").agg(
+        F.count(F.when(F.col("o_orderpriority") == "1-URGENT", 1)).alias("urgent"),
+        F.count(F.when(F.col("o_orderpriority") == "5-LOW", 1)).alias("low"),
+    )
+    return wide.selectExpr(
+        "o_orderstatus",
+        "stack(2, 'urgent', urgent, 'low', low) AS (kind, n)",
+    ).orderBy("o_orderstatus", "kind")

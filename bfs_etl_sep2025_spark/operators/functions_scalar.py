@@ -243,6 +243,143 @@ def fn_explode_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "fn_conditional_agg",
+    family="functions",
+    oracle="""
+        SELECT o_orderstatus,
+               count(*) FILTER (WHERE o_totalprice > 200000) AS n_big,
+               count(DISTINCT o_orderpriority)
+                 FILTER (WHERE o_totalprice > 200000) AS n_big_priorities,
+               bool_or(o_totalprice > 400000) AS any_huge,
+               bool_and(o_totalprice > 1000) AS all_over_1k,
+               max(CASE WHEN o_orderpriority = '1-URGENT'
+                        THEN o_totalprice END) AS max_urgent
+        FROM orders
+        GROUP BY o_orderstatus
+        ORDER BY o_orderstatus
+    """,
+)
+def fn_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregation: FILTER clauses, bool_or/bool_and, and the
+    CASE-guarded max — the idioms that replace N separate filtered scans
+    with one pass."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders_ca")
+    return spark.sql(
+        """
+        SELECT o_orderstatus,
+               count(*) FILTER (WHERE o_totalprice > 200000) AS n_big,
+               count(DISTINCT o_orderpriority)
+                 FILTER (WHERE o_totalprice > 200000) AS n_big_priorities,
+               bool_or(o_totalprice > 400000) AS any_huge,
+               bool_and(o_totalprice > 1000) AS all_over_1k,
+               max(CASE WHEN o_orderpriority = '1-URGENT'
+                        THEN o_totalprice END) AS max_urgent
+        FROM orders_ca
+        GROUP BY o_orderstatus
+        ORDER BY o_orderstatus
+        """
+    )
+
+
+@query(
+    "fn_null_suite",
+    family="functions",
+    oracle="""
+        SELECT s_suppkey,
+               coalesce(nullif(s_name, ''), 'unknown') AS name_or_unknown,
+               nullif(s_nationkey, 0) AS nation_nonzero,
+               ifnull(nullif(s_acctbal, s_acctbal), -1.0) AS always_default,
+               CASE WHEN s_acctbal IS NULL THEN 'missing'
+                    WHEN s_acctbal < 0 THEN 'negative'
+                    ELSE 'ok' END AS balance_state
+        FROM supplier
+        ORDER BY s_suppkey
+    """,
+)
+def fn_null_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-handling: coalesce / nullif / ifnull / null-aware CASE."""
+    s = load(spark, sf_dir, "supplier")
+    return s.select(
+        "s_suppkey",
+        F.coalesce(F.nullif(F.col("s_name"), F.lit("")), F.lit("unknown")).alias(
+            "name_or_unknown"
+        ),
+        F.nullif(F.col("s_nationkey"), F.lit(0)).alias("nation_nonzero"),
+        F.ifnull(F.nullif(F.col("s_acctbal"), F.col("s_acctbal")), F.lit(-1.0)).alias(
+            "always_default"
+        ),
+        F.when(F.col("s_acctbal").isNull(), "missing")
+        .when(F.col("s_acctbal") < 0, "negative")
+        .otherwise("ok")
+        .alias("balance_state"),
+    ).orderBy("s_suppkey")
+
+
+@query(
+    "fn_string_agg",
+    family="functions",
+    oracle="""
+        SELECT n_regionkey,
+               string_agg(n_name, ',' ORDER BY n_name) AS nations,
+               count(*) AS n
+        FROM nation
+        GROUP BY n_regionkey
+        ORDER BY n_regionkey
+    """,
+)
+def fn_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (LISTAGG): collect_list -> array_sort ->
+    concat_ws gives a deterministic concatenation regardless of partition
+    arrival order — the only safe way to listagg distributed data."""
+    n = load(spark, sf_dir, "nation")
+    return (
+        n.groupBy("n_regionkey")
+        .agg(
+            F.concat_ws(",", F.array_sort(F.collect_list("n_name"))).alias(
+                "nations"
+            ),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("n_regionkey")
+    )
+
+
+@query(
+    "fn_date_extended",
+    family="functions",
+    oracle="""
+        SELECT o_orderkey,
+               CAST(o_orderdate + INTERVAL 3 MONTH AS DATE) AS plus_3mo,
+               make_date(year(o_orderdate), month(o_orderdate), 1) AS month_floor,
+               dayofyear(o_orderdate) AS doy,
+               hour(o_orderdate) AS hr,
+               epoch(o_orderdate)::BIGINT AS epoch_sec,
+               CAST(greatest(o_orderdate, TIMESTAMP '1999-01-01 00:00:00')
+                    AS DATE) AS clamped
+        FROM orders
+        WHERE o_orderkey <= 500
+        ORDER BY o_orderkey
+    """,
+)
+def fn_date_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extended date/time surface: interval arithmetic, date construction,
+    day-of-year, epoch seconds, timestamp clamping."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 500)
+    d = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.add_months(d.cast("date"), 3).alias("plus_3mo"),
+        F.make_date(F.year(d), F.month(d), F.lit(1)).alias("month_floor"),
+        F.dayofyear(d).alias("doy"),
+        F.hour(d).alias("hr"),
+        F.unix_timestamp(d.cast("timestamp")).alias("epoch_sec"),
+        F.greatest(d, F.lit("1999-01-01 00:00:00").cast("timestamp_ntz"))
+        .cast("date")
+        .alias("clamped"),
+    ).orderBy("o_orderkey")
+
+
+@query(
     "fn_map_suite",
     family="functions",
     oracle="""

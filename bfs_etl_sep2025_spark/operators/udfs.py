@@ -1,0 +1,165 @@
+"""UDF surface (SURVEY §2.3 row 'UDF surface'): the four Python extension
+points — row-at-a-time UDF, vectorized pandas UDF, grouped-map
+(``applyInPandas``, the UDTF analog) and grouped-agg pandas UDF (the UDAF
+analog).
+
+Every UDF here computes something ALSO expressible in SQL, on purpose: the
+oracle then cross-checks the Python/Arrow data path itself (serialization,
+batching, grouping, null handling) rather than trusting it. Deterministic
+arithmetic only — group means etc. are avoided because pandas' pairwise
+summation differs from SQL's left-fold; min/max/count/elementwise are
+bit-exact in both worlds.
+
+Scale notes (100 TB): row-at-a-time UDFs pay per-row serde — they exist for
+parity and are documented as the slow path (the plan shows BatchEvalPython;
+everything else in this engine avoids it). Pandas UDFs move Arrow record
+batches — 10-100x better; grouped-map additionally shuffles by key, and a
+single giant group OOMs the executor hosting it: partition keys must be
+chosen with bounded group size.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from bfs_etl_sep2025_spark.registry import query
+from bfs_etl_sep2025_spark.tables import load
+
+
+@query(
+    "udf_python_scalar",
+    family="udfs",
+    oracle="""
+        SELECT o_orderkey,
+               CASE WHEN o_totalprice >= 300000 THEN 'platinum'
+                    WHEN o_totalprice >= 100000 THEN 'gold'
+                    ELSE 'standard' END AS tier
+        FROM orders
+        WHERE o_orderkey <= 2000
+        ORDER BY o_orderkey
+    """,
+)
+def udf_python_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-at-a-time Python UDF (the slow path — per-row pickle serde;
+    kept off every hot query, present for API parity)."""
+
+    @F.udf(T.StringType())
+    def tier(price: float) -> str:
+        if price >= 300000:
+            return "platinum"
+        if price >= 100000:
+            return "gold"
+        return "standard"
+
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 2000)
+    return o.select("o_orderkey", tier("o_totalprice").alias("tier")).orderBy(
+        "o_orderkey"
+    )
+
+
+@query(
+    "udf_pandas_scalar",
+    family="udfs",
+    oracle="""
+        SELECT l_orderkey, l_linenumber,
+               l_extendedprice * (1 - l_discount) * (1 + l_tax) AS settled
+        FROM lineitem
+        WHERE l_orderkey <= 2000
+        ORDER BY l_orderkey, l_linenumber
+    """,
+)
+def udf_pandas_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectorized pandas UDF: Arrow batches in, numpy elementwise out —
+    bitwise-identical to the JVM expression because IEEE doubles don't care
+    which engine multiplies them."""
+
+    @F.pandas_udf(T.DoubleType())
+    def settle(
+        price: pd.Series, discount: pd.Series, tax: pd.Series
+    ) -> pd.Series:
+        return price * (1 - discount) * (1 + tax)
+
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 2000)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        settle("l_extendedprice", "l_discount", "l_tax").alias("settled"),
+    ).orderBy("l_orderkey", "l_linenumber")
+
+
+@query(
+    "udf_grouped_map",
+    family="udfs",
+    oracle="""
+        SELECT o_orderkey, o_custkey,
+               o_totalprice - min(o_totalprice) OVER (PARTITION BY o_custkey)
+                 AS above_cheapest,
+               CAST(row_number() OVER (PARTITION BY o_custkey
+                                       ORDER BY o_totalprice, o_orderkey) AS BIGINT)
+                 AS price_rank
+        FROM orders
+        ORDER BY o_orderkey
+    """,
+)
+def udf_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map applyInPandas (UDTF analog): each customer's orders
+    arrive as one pandas DataFrame; emits per-group derived columns. The
+    oracle reproduces the same result with window functions — proving the
+    shuffle+group+Arrow path end to end."""
+
+    def per_customer(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["o_totalprice", "o_orderkey"]).reset_index(drop=True)
+        pdf["above_cheapest"] = pdf["o_totalprice"] - pdf["o_totalprice"].min()
+        pdf["price_rank"] = range(1, len(pdf) + 1)
+        return pdf[["o_orderkey", "o_custkey", "above_cheapest", "price_rank"]]
+
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    return (
+        o.groupBy("o_custkey")
+        .applyInPandas(
+            per_customer,
+            "o_orderkey long, o_custkey long, above_cheapest double, price_rank long",
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+@query(
+    "udf_grouped_agg",
+    family="udfs",
+    oracle="""
+        SELECT event_type,
+               max(value) - min(value) AS value_range,
+               count(*) AS n
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+)
+def udf_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-agg pandas UDF (UDAF analog): scalars per group computed in
+    pandas (max-min and count — exact in any engine). Spark forbids mixing
+    pandas and JVM aggregates in one agg, so both are pandas UDFs."""
+
+    @F.pandas_udf(T.DoubleType())
+    def value_range(v: pd.Series) -> float:
+        return float(v.max() - v.min())
+
+    @F.pandas_udf(T.LongType())
+    def n_rows(v: pd.Series) -> int:
+        return len(v)
+
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            value_range("value").alias("value_range"),
+            n_rows("value").alias("n"),
+        )
+        .orderBy("event_type")
+    )

@@ -163,6 +163,36 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "window_distribution",
+    family="windows",
+    oracle="""
+        SELECT c_mktsegment, c_custkey, c_acctbal,
+               percent_rank() OVER w AS pct_rank,
+               cume_dist()    OVER w AS cume,
+               nth_value(c_custkey, 2) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+                                               AND UNBOUNDED FOLLOWING) AS second_key
+        FROM customer
+        WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+        ORDER BY c_mktsegment, c_acctbal, c_custkey
+    """,
+)
+def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution functions: percent_rank ((rank-1)/(n-1)) and cume_dist
+    are exact rational doubles; nth_value needs the full-partition frame."""
+    c = load(spark, sf_dir, "customer")
+    w = W.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    w_full = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return c.select(
+        "c_mktsegment",
+        "c_custkey",
+        "c_acctbal",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+        F.nth_value("c_custkey", 2).over(w_full).alias("second_key"),
+    ).orderBy("c_mktsegment", "c_acctbal", "c_custkey")
+
+
+@query(
     "topk_per_group",
     family="windows",
     bench=True,

@@ -78,6 +78,7 @@ def _ensure_loaded() -> None:
     from bfs_etl_sep2025_spark.operators import (  # noqa: F401
         aggregates,
         dedup,
+        formats,
         functions_scalar,
         joins,
         multimodal,
@@ -85,7 +86,9 @@ def _ensure_loaded() -> None:
         setops,
         similarity,
         streaming_batch,
+        subqueries,
         text,
+        udfs,
         windows,
     )
 
