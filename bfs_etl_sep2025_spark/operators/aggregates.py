@@ -292,6 +292,78 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "agg_salted_two_stage",
+    family="aggregates",
+    oracle=f"""
+        SELECT l_returnflag,
+               count(*) AS n,
+               {sql_exact_sum('l_quantity', 2)} AS sum_qty
+        FROM lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+    """,
+)
+def agg_salted_two_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant aggregation: the fixture's 3 returnflag values are
+    pathologically hot keys — a single-stage groupBy lands each entirely on
+    one reducer. Salting splits every key across 16 sub-keys for the first
+    (parallel) aggregation, then a second tiny aggregation merges the
+    partials. The salt provably cancels (counts and decimal sums are
+    associative), so the oracle is the plain GROUP BY. AQE's skew handling
+    covers joins; for aggregations THIS is the pattern."""
+    li = load(spark, sf_dir, "lineitem")
+    salted = li.withColumn("salt", F.pmod(F.crc32(F.col("l_orderkey").cast("string")), F.lit(16)))
+    partial = (
+        salted.groupBy("l_returnflag", "salt")
+        .agg(
+            F.count(F.lit(1)).alias("pn"),
+            F.sum(F.col("l_quantity").cast("decimal(30,2)")).alias("psum"),
+        )
+    )
+    return (
+        partial.groupBy("l_returnflag")
+        .agg(
+            F.sum("pn").alias("n"),
+            F.sum("psum").cast("double").alias("sum_qty"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "agg_grouping_id",
+    family="aggregates",
+    oracle="""
+        SELECT coalesce(o_orderstatus, 'ALL') AS status,
+               coalesce(o_orderpriority, 'ALL') AS priority,
+               grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS gid,
+               count(*) AS n
+        FROM orders
+        GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        ORDER BY gid, status, priority
+    """,
+)
+def agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """grouping_id disambiguates which CUBE level produced a row — required
+    whenever a grouped column can itself be NULL."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "gid",
+            "n",
+        )
+        .orderBy("gid", "status", "priority")
+    )
+
+
 @query("agg_approx_percentiles", family="aggregates", oracle=None)
 def agg_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-based percentiles — the one-pass mergeable formulation that

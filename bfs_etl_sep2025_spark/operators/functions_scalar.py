@@ -380,6 +380,38 @@ def fn_date_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "fn_bitwise",
+    family="functions",
+    oracle="""
+        SELECT l_orderkey,
+               l_orderkey & 255 AS low_byte,
+               l_orderkey | 4096 AS with_flag,
+               xor(l_orderkey, l_partkey) AS keys_xor,
+               l_orderkey << 2 AS shifted_left,
+               l_orderkey >> 3 AS shifted_right,
+               ~l_orderkey AS inverted
+        FROM lineitem
+        WHERE l_orderkey <= 500 AND l_linenumber = 1
+        ORDER BY l_orderkey
+    """,
+)
+def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise surface: and/or/xor/shifts/not — integer-exact everywhere."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_orderkey") <= 500) & (F.col("l_linenumber") == 1)
+    )
+    return li.select(
+        "l_orderkey",
+        F.col("l_orderkey").bitwiseAND(F.lit(255)).alias("low_byte"),
+        F.col("l_orderkey").bitwiseOR(F.lit(4096)).alias("with_flag"),
+        F.col("l_orderkey").bitwiseXOR(F.col("l_partkey")).alias("keys_xor"),
+        F.shiftleft(F.col("l_orderkey"), 2).alias("shifted_left"),
+        F.shiftright(F.col("l_orderkey"), 3).alias("shifted_right"),
+        F.bitwise_not(F.col("l_orderkey")).alias("inverted"),
+    ).orderBy("l_orderkey")
+
+
+@query(
     "fn_map_suite",
     family="functions",
     oracle="""

@@ -91,6 +91,23 @@ def setop_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "setop_intersect_all",
+    family="setops",
+    oracle="""
+        SELECT l_orderkey FROM lineitem WHERE l_linenumber <= 2
+        INTERSECT ALL
+        SELECT l_orderkey FROM lineitem WHERE l_quantity >= 10
+    """,
+)
+def setop_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag intersection — multiplicity = min of the two sides' counts."""
+    li = load(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_linenumber") <= 2).select("l_orderkey")
+    b = li.filter(F.col("l_quantity") >= 10).select("l_orderkey")
+    return a.intersectAll(b)
+
+
+@query(
     "distinct_pairs",
     family="setops",
     oracle="SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",

@@ -241,6 +241,109 @@ def similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+N_PROBE = 2  # IVF cells probed per query
+CENTROID_STRIDE = 50  # vec_id % stride == 0 -> centroid (deterministic "kmeans")
+
+
+@query(
+    "similarity_ann_ivf",
+    family="similarity",
+    oracle=f"""
+        WITH n AS (
+          SELECT vec_id, embedding, {_sql_norm('embedding')} AS nrm
+          FROM embeddings
+        ),
+        cent AS (SELECT * FROM n WHERE vec_id % {CENTROID_STRIDE} = 0),
+        assign AS (
+          SELECT v.vec_id, v.embedding, v.nrm, c.vec_id AS cell,
+                 row_number() OVER (
+                   PARTITION BY v.vec_id
+                   ORDER BY {_sql_dot('v.embedding', 'c.embedding')}
+                            / (v.nrm * c.nrm) DESC, c.vec_id) AS cr
+          FROM n v CROSS JOIN cent c
+        ),
+        members AS (SELECT vec_id, embedding, nrm, cell FROM assign WHERE cr = 1),
+        probes AS (
+          SELECT vec_id AS query_id, embedding AS q_emb, nrm AS q_nrm, cell
+          FROM assign WHERE cr <= {N_PROBE} AND vec_id < 10
+        ),
+        scored AS (
+          SELECT p.query_id, m.vec_id,
+                 {_sql_dot('p.q_emb', 'm.embedding')} / (p.q_nrm * m.nrm) AS cosine
+          FROM probes p JOIN members m ON m.cell = p.cell
+                                      AND m.vec_id <> p.query_id
+        )
+        SELECT query_id, vec_id, cosine, rnk
+        FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                           ORDER BY cosine DESC, vec_id) AS rnk
+              FROM scored)
+        WHERE rnk <= 3
+        ORDER BY query_id, rnk
+    """,
+)
+def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: vectors are assigned to their nearest 'centroid'
+    (deterministic coarse codebook: every {CENTROID_STRIDE}th vector — a
+    real deployment trains k-means, the dataflow is identical); each query
+    probes its {N_PROBE} nearest cells and reranks only their members.
+
+    Scale shape: assignment is a broadcast join against the small codebook
+    + per-row argmax; search joins queries to cells on the cell id —
+    scan cost per query is |probed cells| not |corpus|, the property that
+    holds at billions of vectors."""
+    e = load(spark, sf_dir, "embeddings")
+    n = e.select("vec_id", "embedding", _norm(F.col("embedding")).alias("nrm"))
+    cent = (
+        n.filter(F.col("vec_id") % CENTROID_STRIDE == 0)
+        .select(
+            F.col("vec_id").alias("cell"),
+            F.col("embedding").alias("c_emb"),
+            F.col("nrm").alias("c_nrm"),
+        )
+    )
+    sim_to_cent = (
+        _dot(F.col("embedding"), F.col("c_emb")) / (F.col("nrm") * F.col("c_nrm"))
+    )
+    w_assign = W.partitionBy("vec_id").orderBy(
+        sim_to_cent.desc(), F.col("cell")
+    )
+    assign = (
+        n.join(F.broadcast(cent))
+        .select("vec_id", "embedding", "nrm", "cell",
+                F.row_number().over(w_assign).alias("cr"))
+    )
+    members = assign.filter(F.col("cr") == 1).select(
+        "vec_id", "embedding", "nrm", "cell"
+    )
+    probes = (
+        assign.filter((F.col("cr") <= N_PROBE) & (F.col("vec_id") < 10))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+            F.col("nrm").alias("q_nrm"),
+            "cell",
+        )
+    )
+    scored = (
+        members.join(F.broadcast(probes), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            (
+                _dot(F.col("q_emb"), F.col("embedding"))
+                / (F.col("q_nrm") * F.col("nrm"))
+            ).alias("cosine"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return (
+        scored.select("*", F.row_number().over(w).alias("rnk"))
+        .filter(F.col("rnk") <= 3)
+        .orderBy("query_id", "rnk")
+    )
+
+
 @query(
     "similarity_cosine_neardup",
     family="similarity",
