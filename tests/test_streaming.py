@@ -90,6 +90,31 @@ def test_checkpoint_skips_processed_files(stream_env):
     assert got == {3}  # duplicate suppressed by state, new event passes
 
 
+def test_stateful_running_totals_across_batches(stream_env):
+    """applyInPandasWithState: per-user state must ACCUMULATE across
+    micro-batches (file 1 then file 2), emitting updated running totals."""
+    from bfs_etl_sep2025_spark.streaming.jobs import stream_running_user_totals
+
+    spark, src, ckpt = stream_env
+    _write_batch(spark, src, _rows([(1, (10, 0)), (2, (10, 5))]))  # user 1 x2
+    _write_batch(spark, src, _rows([(3, (11, 0))]))  # user 1 x1, second file
+    job = stream_running_user_totals(_read_stream(spark, src))
+    batches = run_stream_collect(job, ckpt, output_mode="update")
+    per_batch = [
+        {(r.user_id): (r.n_events, r.total_value) for r in rows}
+        for _, rows in batches
+        if rows
+    ]
+    assert len(per_batch) == 2  # one emission per micro-batch (one per file)
+    assert per_batch[0][1] == (2, 2.0)  # after file 1: 2 events
+    assert per_batch[1][1] == (3, 3.0)  # state carried: 2+1 events
+    # resume from checkpoint with a new file: state survives the restart
+    _write_batch(spark, src, _rows([(4, (12, 0))]))
+    more = run_stream_collect(job, ckpt, output_mode="update")
+    got = {r.user_id: (r.n_events, r.total_value) for _, rows in more for r in rows}
+    assert got[1] == (4, 4.0)
+
+
 def test_incremental_converges_to_batch(stream_env):
     """Multi-micro-batch streaming aggregation == one-shot batch answer."""
     from pyspark.sql import functions as F
