@@ -40,6 +40,40 @@ if TYPE_CHECKING:
 _NULL_DEFAULT_SENTINELS = ("\\N",)
 
 
+import re
+
+#: one `key = value` item of a FILE_FORMAT clause; value is a parenthesized
+#: list, a quoted string, or a bare token. The reference's own clause mixes
+#: comma- and whitespace-separation (``dags/s3_data_copy_test.py:38-40``),
+#: so separators are not relied upon.
+_FMT_ITEM = re.compile(
+    r"(?P<key>\w+)\s*=\s*(?P<val>\([^)]*\)|'(?:[^']|'')*'|[^\s,()]+)",
+    re.DOTALL,
+)
+_QUOTED = re.compile(r"'((?:[^']|'')*)'")
+
+
+def parse_file_format_clause(clause: str) -> dict[str, Any]:
+    """Parse a Snowflake ``FILE_FORMAT = (...)`` clause string into the
+    option dict :func:`map_file_format` takes — so a reference DAG's
+    verbatim ``file_format='''(type = 'CSV', ...)'''`` argument works
+    unchanged. Quoted values unescape ``''``; parenthesized values become
+    lists (the multi-valued NULL_IF)."""
+    body = clause.strip()
+    if body.startswith("(") and body.endswith(")"):
+        body = body[1:-1]
+    out: dict[str, Any] = {}
+    for m in _FMT_ITEM.finditer(body):
+        key, val = m.group("key"), m.group("val").strip()
+        if val.startswith("("):
+            out[key] = [q.replace("''", "'") for q in _QUOTED.findall(val)]
+        elif val.startswith("'"):
+            out[key] = val[1:-1].replace("''", "'")
+        else:
+            out[key] = val
+    return out
+
+
 def map_file_format(options: dict[str, Any]) -> tuple[dict[str, Any], list[str]]:
     """Map Snowflake-style CSV format options onto ``DataFrameReader.csv``
     options. Returns (reader_options, null_sentinels): sentinels beyond the
@@ -98,7 +132,7 @@ class CsvCopyTask(Task):
         table: str,
         stage_path: str,
         files: list[str],
-        file_format: dict[str, Any] | None = None,
+        file_format: dict[str, Any] | str | None = None,
         schema: str | None = None,
         ledger_path: str | None = None,
         audit_column: str = "load_utc_ts",
@@ -109,6 +143,8 @@ class CsvCopyTask(Task):
         self.table = table
         self.stage_path = stage_path
         self.files = files
+        if isinstance(file_format, str):  # verbatim Snowflake clause string
+            file_format = parse_file_format_clause(file_format)
         self.file_format = dict(file_format or {})
         self.schema = schema
         self.ledger_path = ledger_path
