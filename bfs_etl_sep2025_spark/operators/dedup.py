@@ -293,34 +293,34 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     right = bands.select(
         F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"), "b", "bh"
     )
-    # Self-join via SHUFFLE_HASH, not broadcast: both sides then hash-
-    # partition the SAME signature subplan, which Spark collapses into one
-    # computation + ReusedExchange. A broadcast build side would recompute
-    # every signature a second time (broadcast exchanges are never reused
-    # against shuffle exchanges) — and at 100 TB the band table isn't
-    # broadcastable anyway.
-    cand = (
-        left.hint("shuffle_hash")
-        .join(right, ["b", "bh"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "sig_a", "sig_b")
-        .distinct()
-    )
+    # Self-join via SHUFFLE_HASH, not broadcast: at 100 TB the band table
+    # is not broadcastable, and a broadcast build side would recompute the
+    # whole signature pipeline into the broadcast exchange.
     n_eq = F.size(
         F.filter(
             F.zip_with("sig_a", "sig_b", lambda a, b: a == b),
             lambda x: x,
         )
     )
+    # Score BEFORE deduplicating: a pair colliding in several bands carries
+    # the same n_eq each time, so max() collapses duplicates — the dedup
+    # then shuffles only (doc_a, doc_b, int), never the signature arrays
+    # (a distinct() over array columns was the hot spot here).
+    scored = (
+        left.hint("shuffle_hash")
+        .join(right, ["b", "bh"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", n_eq.alias("n_eq"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.max("n_eq").alias("n_eq"))
+    )
     return (
-        cand.select(
+        scored.filter(F.col("n_eq") >= N_HASHES // 2)
+        .select(
             "doc_a",
             "doc_b",
-            (n_eq / float(N_HASHES)).alias("est_jaccard"),
-            n_eq.alias("n_eq"),
+            (F.col("n_eq") / float(N_HASHES)).alias("est_jaccard"),
         )
-        .filter(F.col("n_eq") >= N_HASHES // 2)
-        .drop("n_eq")
         .orderBy("doc_a", "doc_b")
     )
 
