@@ -8,10 +8,10 @@ Five escalating strategies over the ``documents`` fixture:
 4. SimHash        — near-duplicates via hamming-close bit signatures
 5. n-gram Jaccard — exact set similarity over shingles for candidate pairs
 
-Cross-engine portability: every hash is ``md5`` (identical hex output in
-Spark and DuckDB) and minhash takes the *lexicographic min of hex strings*
-— no integer conversion, no engine-specific hash functions, so the oracle
-reproduces signatures bit-for-bit.
+Cross-engine portability: every digest is ``md5`` (identical hex output in
+Spark and DuckDB); minhash derives its 16 hash functions from one digest
+per shingle via integer double-hashing (hex chunks -> BIGINT in both
+engines), so the oracle reproduces signatures bit-for-bit.
 
 Scale notes (100 TB corpus):
 - All signature computation is per-row JVM array work (split/transform/
@@ -60,25 +60,6 @@ def _shingles(text: Column) -> Column:
             ),
         ),
     ).otherwise(F.array(text))
-
-
-def _minhash_sig(shingles: Column) -> Column:
-    """16 md5-minhashes: sig[j] = min over shingles of md5('j|'||shingle).
-
-    Array-lambda formulation — used only where the per-doc array shape is
-    needed inline. Spark evaluates higher-order functions INTERPRETED (no
-    whole-stage codegen), so the hot path uses :func:`minhash_signatures`
-    instead (explode + codegen'd 16-column min aggregate, ~20x faster and
-    materialized once by its shuffle)."""
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(N_HASHES - 1)),
-        lambda j: F.array_min(
-            F.transform(
-                shingles,
-                lambda s: F.md5(F.concat(j.cast("string"), F.lit("|"), s)),
-            )
-        ),
-    )
 
 
 def minhash_signatures(docs: DataFrame) -> DataFrame:

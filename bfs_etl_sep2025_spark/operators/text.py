@@ -141,6 +141,84 @@ def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def _trigram_profile(markers: tuple[str, ...]) -> tuple[str, ...]:
+    """Character-trigram profile of a language's marker lexicon (padded
+    per word, classic n-gram-profile style) — deterministic, computed once
+    at import, embedded as literals in BOTH the Spark plan and the SQL."""
+    grams: set[str] = set()
+    for w in markers:
+        padded = f" {w} "
+        grams.update(padded[i : i + 3] for i in range(len(padded) - 2))
+    return tuple(sorted(grams))
+
+
+_PROFILES = {lang: _trigram_profile(m) for lang, m in LANG_MARKERS.items()}
+
+
+def _sql_trigram_score(lang: str) -> str:
+    lst = ", ".join("'" + g.replace("'", "''") + "'" for g in _PROFILES[lang])
+    return (
+        "len(list_filter("
+        "list_transform(range(1, length(' ' || text || ' ') - 1), "
+        "i -> substr(' ' || text || ' ', i, 3)), g -> g IN (" + lst + ")))"
+    )
+
+
+@query(
+    "text_language_id_ngram",
+    family="text",
+    oracle=f"""
+        WITH scores AS (
+          SELECT doc_id, lang AS actual_lang,
+                 {_sql_trigram_score('de')} AS s_de,
+                 {_sql_trigram_score('en')} AS s_en,
+                 {_sql_trigram_score('es')} AS s_es,
+                 {_sql_trigram_score('fr')} AS s_fr,
+                 {_sql_trigram_score('zh')} AS s_zh
+          FROM documents
+        )
+        SELECT doc_id, actual_lang,
+               CASE greatest(s_de, s_en, s_es, s_fr, s_zh)
+                    WHEN s_de THEN 'de' WHEN s_en THEN 'en'
+                    WHEN s_es THEN 'es' WHEN s_fr THEN 'fr' ELSE 'zh' END
+                 AS predicted_lang,
+               greatest(s_de, s_en, s_es, s_fr, s_zh) AS best_score
+        FROM scores
+        ORDER BY doc_id
+    """,
+)
+def text_language_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-n-gram language ID (the classic profile method): slide a
+    3-char window over the padded text, count hits against each language's
+    trigram profile, argmax. All JVM array ops — the profile sets are plan
+    literals, so no join and no Python."""
+    d = load(spark, sf_dir, "documents")
+    # substring with a dynamic start needs the SQL expr form
+    d2 = d.select(
+        "doc_id",
+        F.col("lang").alias("actual_lang"),
+        F.expr(
+            "transform(sequence(1, length(concat(' ', text, ' ')) - 2), "
+            "i -> substring(concat(' ', text, ' '), i, 3))"
+        ).alias("grams"),
+    )
+    scores = {
+        lang: F.size(F.filter(F.col("grams"), lambda g: g.isin(*profile)))
+        for lang, profile in _PROFILES.items()
+    }
+    best = F.greatest(*scores.values())
+    pred = F.when(scores["de"] == best, "de")
+    for lang in ("en", "es", "fr"):
+        pred = pred.when(scores[lang] == best, lang)
+    pred = pred.otherwise("zh")
+    return d2.select(
+        "doc_id",
+        "actual_lang",
+        pred.alias("predicted_lang"),
+        best.alias("best_score"),
+    ).orderBy("doc_id")
+
+
 @query(
     "text_quality_score",
     family="text",

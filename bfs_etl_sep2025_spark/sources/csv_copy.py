@@ -35,11 +35,6 @@ from bfs_etl_sep2025_spark.plans.tasks import RunContext, Task
 if TYPE_CHECKING:
     from bfs_etl_sep2025_spark.plans.pipeline import Pipeline
 
-#: Snowflake FILE_FORMAT option -> Spark csv reader option (SURVEY §2.2).
-#: Values are functions option_value -> dict of reader options.
-_NULL_DEFAULT_SENTINELS = ("\\N",)
-
-
 import re
 
 #: one `key = value` item of a FILE_FORMAT clause; value is a parenthesized
