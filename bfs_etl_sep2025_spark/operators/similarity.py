@@ -60,12 +60,43 @@ PLANES = _plane_signs()
 
 
 def _dot(a: Column, b: Column) -> Column:
-    """Ordered-fold dot product in double (see module docstring)."""
+    """Ordered-fold dot product in double (Spark ``aggregate`` over
+    ``zip_with`` — interpreted, fine for SMALL pair counts). Left fold with
+    0.0 init reproduces the oracle's ``list_reduce`` exactly (0.0 + x1 ≡
+    x1), so results are bitwise identical.
+
+    HOT paths (all-pairs, large candidate joins) must NOT evaluate array
+    expressions per pair at all — see :func:`_widen`: extract elements to
+    flat double columns once per row pre-join, then combine with
+    :func:`_dot_wide` (pure codegen'd arithmetic)."""
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
+
+
+def _widen(df: DataFrame, vec_col: str, prefix: str) -> DataFrame:
+    """Explode a 64-dim array column into flat double columns
+    ``{prefix}1..{prefix}64`` — paid once per ROW, so downstream pair
+    expressions touch no arrays (the n² side stays whole-stage-codegen'd
+    flat-column arithmetic)."""
+    return df.select(
+        "*",
+        *[
+            F.element_at(vec_col, i).cast("double").alias(f"{prefix}{i}")
+            for i in range(1, DIM + 1)
+        ],
+    ).drop(vec_col)
+
+
+def _dot_wide(pa: str, pb: str) -> Column:
+    """Left-associated sum of products over widened columns — the codegen'd
+    twin of :func:`_dot` (identical fold order, bitwise-equal result)."""
+    out = F.col(f"{pa}1") * F.col(f"{pb}1")
+    for i in range(2, DIM + 1):
+        out = out + F.col(f"{pa}{i}") * F.col(f"{pb}{i}")
+    return out
 
 
 def _norm(a: Column) -> Column:
@@ -368,18 +399,26 @@ def similarity_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     join above."""
     e = load(spark, sf_dir, "embeddings")
     n = e.select("vec_id", "embedding", _norm(F.col("embedding")).alias("nrm"))
-    a = n.select(
-        F.col("vec_id").alias("vec_a"),
-        F.col("embedding").alias("emb_a"),
-        F.col("nrm").alias("nrm_a"),
+    a = _widen(
+        n.select(
+            F.col("vec_id").alias("vec_a"),
+            F.col("embedding").alias("emb"),
+            F.col("nrm").alias("nrm_a"),
+        ),
+        "emb",
+        "a",
     )
-    b = n.select(
-        F.col("vec_id").alias("vec_b"),
-        F.col("embedding").alias("emb_b"),
-        F.col("nrm").alias("nrm_b"),
+    b = _widen(
+        n.select(
+            F.col("vec_id").alias("vec_b"),
+            F.col("embedding").alias("emb"),
+            F.col("nrm").alias("nrm_b"),
+        ),
+        "emb",
+        "b",
     )
     pairs = a.join(b, F.col("vec_a") < F.col("vec_b"))
-    cos = (_dot(F.col("emb_a"), F.col("emb_b")) / (F.col("nrm_a") * F.col("nrm_b")))
+    cos = _dot_wide("a", "b") / (F.col("nrm_a") * F.col("nrm_b"))
     return (
         pairs.select("vec_a", "vec_b", cos.alias("cosine"))
         .filter(F.col("cosine") >= 0.45)

@@ -12,10 +12,10 @@ place it is built so every query/test/bench runs under identical semantics:
 - AQE on (runtime join-strategy switch, skew splitting, partition coalescing):
   at 100 TB the static plan is never right; AQE re-plans from real map-output
   statistics.
-- ANSI off: the oracle (DuckDB) and Snowflake both ignore... no — ANSI *on*
-  would change overflow/cast semantics vs the fixtures' DuckDB oracle; Spark
-  4.x defaults ANSI on, we pin it explicitly so behavior is stable across
-  Spark versions.
+- ANSI on, pinned explicitly: Spark 4.x defaults to ANSI and DuckDB is
+  ANSI-strict, so overflow/cast errors surface identically in engine and
+  oracle instead of silently diverging; pinning keeps behavior stable
+  across Spark versions.
 - Arrow on for any pandas-UDF path (vectorized transfer).
 """
 
