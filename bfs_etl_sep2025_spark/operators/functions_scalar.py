@@ -380,6 +380,58 @@ def fn_date_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "fn_string_extended",
+    family="functions",
+    oracle="""
+        SELECT p_partkey,
+               reverse(p_brand)                          AS brand_rev,
+               repeat(p_brand, 2)                        AS brand_twice,
+               translate(p_type, 'AEIOU', 'aeiou')       AS type_lower_vowels,
+               levenshtein(p_brand, 'Brand#11')          AS dist_to_b11,
+               left(p_name, 6)                           AS name_left,
+               right(p_name, 4)                          AS name_right,
+               position('#' IN p_brand)                  AS hash_pos,
+               md5(p_name)                               AS name_md5
+        FROM part
+        WHERE p_partkey <= 500
+        ORDER BY p_partkey
+    """,
+)
+def fn_string_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extended string surface: reverse/repeat/translate/levenshtein (all
+    integer- or byte-exact cross-engine), left/right slicing, position."""
+    p = load(spark, sf_dir, "part").filter(F.col("p_partkey") <= 500)
+    return p.select(
+        "p_partkey",
+        F.reverse("p_brand").alias("brand_rev"),
+        F.repeat("p_brand", 2).alias("brand_twice"),
+        F.translate("p_type", "AEIOU", "aeiou").alias("type_lower_vowels"),
+        F.levenshtein("p_brand", F.lit("Brand#11")).alias("dist_to_b11"),
+        F.substring("p_name", 1, 6).alias("name_left"),
+        F.expr("right(p_name, 4)").alias("name_right"),
+        F.instr("p_brand", "#").alias("hash_pos"),
+        F.md5("p_name").alias("name_md5"),
+    ).orderBy("p_partkey")
+
+
+@query(
+    "sample_seeded",
+    family="relational",
+    # Sampling algorithms are engine-specific -> rows-only; the unit test
+    # bounds size and asserts seed-determinism within Spark.
+    oracle=None,
+)
+def sample_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded Bernoulli TABLESAMPLE: the corpus-subsetting primitive
+    (e.g. eval-holdout carving). Deterministic per (seed, data) within
+    Spark; no cross-engine oracle exists by nature."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.sample(fraction=0.1, seed=42).select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+
+
+@query(
     "fn_bitwise",
     family="functions",
     oracle="""

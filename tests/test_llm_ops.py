@@ -92,6 +92,13 @@ def test_multimodal_decode_is_stubbed():
         decode_image(b"\x89PNG\r\n\x1a\n")
 
 
+def test_sample_seeded_deterministic_and_bounded(spark):
+    a = _q("sample_seeded")(spark, SF).collect()
+    b = _q("sample_seeded")(spark, SF).collect()
+    assert a == b, "same seed + data must sample identically"
+    assert 0.05 * 60000 < len(a) < 0.15 * 60000
+
+
 def test_language_id_scores_populated(spark):
     rows = _q("text_language_id")(spark, SF).collect()
     assert len(rows) == 500
