@@ -213,6 +213,30 @@ def stream_ingest_availablenow(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_static_join",
+    family="streaming",
+    oracle="""
+        SELECT e.event_id, e.user_id, e.event_type, e.value,
+               c.c_mktsegment AS segment
+        FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+        ORDER BY e.event_id
+    """,
+)
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL stream-static join: the event micro-batch stream enriched with
+    the static customer dimension must converge to the batch join."""
+    from bfs_etl_sep2025_spark.streaming.jobs import (
+        stream_events,
+        stream_static_enrich,
+    )
+
+    src = _stage_events(spark, sf_dir)
+    dim = load(spark, sf_dir, "customer")
+    out = _drain(spark, stream_static_enrich(stream_events(spark, src), dim), "append")
+    return out.orderBy("event_id")
+
+
+@query(
     "stream_dedup_stateful",
     family="streaming",
     oracle="""

@@ -95,6 +95,23 @@ def stream_stateful_dedup(events: DataFrame, watermark: str = "1 hour") -> DataF
     )
 
 
+def stream_static_enrich(events: DataFrame, dim: DataFrame) -> DataFrame:
+    """Stream-static join: enrich the event stream with a static dimension
+    (per micro-batch hash join; the dim is re-resolved each batch, so a
+    refreshed dim table is picked up without restarting the stream). The
+    canonical pattern for attaching slowly-changing reference data to a
+    100 TB/day event feed — broadcast the dim, never shuffle the stream."""
+    from pyspark.sql.functions import broadcast
+
+    return events.join(broadcast(dim), events.user_id == dim.c_custkey, "left").select(
+        events.event_id,
+        events.user_id,
+        events.event_type,
+        events.value,
+        dim.c_mktsegment.alias("segment"),
+    )
+
+
 def stream_running_user_totals(events: DataFrame) -> DataFrame:
     """Custom stateful operator via ``applyInPandasWithState``: a per-user
     running (count, total_value) accumulator that survives across

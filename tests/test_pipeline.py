@@ -114,6 +114,40 @@ def test_backfill_ticks(spark):
     assert seen == ["2022-07-13", "2022-07-14", "2022-07-15", "2022-07-16"]
 
 
+def test_task_failure_stops_run_before_downstream(spark):
+    """A failing task aborts the run; its downstream never executes (the
+    reference's Airflow semantics for un-retried failures)."""
+
+    class BoomTask(Task):
+        def execute(self, ctx):
+            raise RuntimeError("boom")
+
+    with Pipeline("failing") as p:
+        a = ProbeTask("pre")
+        boom = BoomTask("boom")
+        after = ProbeTask("after")
+        a >> boom >> after
+    with pytest.raises(RuntimeError, match="boom"):
+        p.run(spark)
+    assert ProbeTask.log == ["pre"]  # 'after' never ran
+
+
+def test_task_failure_in_parallel_pool(spark):
+    class BoomTask(Task):
+        def execute(self, ctx):
+            raise RuntimeError("parallel boom")
+
+    with Pipeline("failing_parallel") as p:
+        a = ProbeTask("pre2")
+        boom = BoomTask("boom2")
+        after = ProbeTask("after2")
+        a >> [boom]
+        boom >> after
+    with pytest.raises(RuntimeError, match="parallel boom"):
+        p.run(spark, parallelism=4)
+    assert "after2" not in ProbeTask.log
+
+
 def test_defaults_merge(spark):
     """default_args propagate to tasks, task params win."""
     got = {}
