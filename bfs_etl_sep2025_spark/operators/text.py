@@ -326,6 +326,7 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "text_term_scores",
     family="text",
+    bench=True,
     oracle="""
         WITH tf AS (
           SELECT doc_id, unnest(string_split(text, ' ')) AS term
