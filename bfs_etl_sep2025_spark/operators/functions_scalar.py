@@ -219,6 +219,116 @@ def fn_array_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "fn_array_advanced",
+    family="functions",
+    oracle="""
+        WITH t AS (
+          SELECT doc_id,
+                 string_split(text, ' ')[1:6] AS head,
+                 string_split(text, ' ')[4:9] AS mid
+          FROM documents WHERE doc_id < 50
+        )
+        SELECT doc_id,
+               list_sort(list_distinct(list_concat(head, mid))) AS union_sorted,
+               list_sort(list_distinct(list_filter(head, x -> list_contains(mid, x))))
+                 AS inter_sorted,
+               list_reverse_sort(head) AS head_desc,
+               flatten([head, mid]) AS flat,
+               head[2:4] AS sliced,
+               range(1, 6) AS seq_1_5
+        FROM t
+        ORDER BY doc_id
+    """,
+)
+def fn_array_advanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Advanced array surface: union/intersect (canonicalized by sorting —
+    engines order set-op results differently), descending sort, flatten,
+    slice, sequence."""
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    toks = F.split("text", " ")
+    t = d.select(
+        "doc_id",
+        F.slice(toks, 1, 6).alias("head"),
+        F.slice(toks, 4, 6).alias("mid"),
+    )
+    return t.select(
+        "doc_id",
+        F.array_sort(F.array_union("head", "mid")).alias("union_sorted"),
+        F.array_sort(F.array_intersect("head", "mid")).alias("inter_sorted"),
+        F.sort_array("head", asc=False).alias("head_desc"),
+        F.flatten(F.array("head", "mid")).alias("flat"),
+        F.slice("head", 2, 3).alias("sliced"),
+        F.sequence(F.lit(1), F.lit(5)).alias("seq_1_5"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "fn_regex_extended",
+    family="functions",
+    oracle="""
+        SELECT doc_id,
+               len(regexp_extract_all(text, 'the')) AS n_the,
+               regexp_matches(text, '^[a-z ]+$') AS all_lower,
+               regexp_extract(text, '([a-z]+)r([a-z]+)', 2) AS after_r,
+               len(string_split_regex(text, '[aeiou]+')) - 1 AS n_vowel_runs
+        FROM documents
+        WHERE doc_id < 100
+        ORDER BY doc_id
+    """,
+)
+def fn_regex_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extended regex surface: match counting, full-string match, capture
+    groups, regex splitting."""
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return d.select(
+        "doc_id",
+        F.regexp_count("text", F.lit("the")).alias("n_the"),
+        F.col("text").rlike("^[a-z ]+$").alias("all_lower"),
+        F.regexp_extract("text", "([a-z]+)r([a-z]+)", 2).alias("after_r"),
+        (F.size(F.split("text", "[aeiou]+")) - 1).alias("n_vowel_runs"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "fn_struct_collect",
+    family="functions",
+    oracle="""
+        SELECT n_regionkey,
+               list_sort(list(n_name)) AS nations_sorted,
+               max_by(n_name, n_nationkey) AS highest_key_nation,
+               min_by(n_name, n_nationkey) AS lowest_key_nation,
+               {'region': n_regionkey, 'n': count(*)} AS info
+        FROM nation
+        GROUP BY n_regionkey
+        ORDER BY n_regionkey
+    """,
+)
+def fn_struct_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Struct build + ordered set collection + argmin/argmax (max_by/min_by
+    — deterministic here because n_nationkey is unique)."""
+    n = load(spark, sf_dir, "nation")
+    return (
+        n.groupBy("n_regionkey")
+        .agg(
+            F.array_sort(F.collect_set("n_name")).alias("nations_sorted"),
+            F.max_by("n_name", "n_nationkey").alias("highest_key_nation"),
+            F.min_by("n_name", "n_nationkey").alias("lowest_key_nation"),
+            F.count(F.lit(1)).alias("_n"),
+        )
+        .select(
+            "n_regionkey",
+            "nations_sorted",
+            "highest_key_nation",
+            "lowest_key_nation",
+            F.struct(
+                F.col("n_regionkey").alias("region"), F.col("_n").alias("n")
+            ).alias("info"),
+        )
+        .orderBy("n_regionkey")
+    )
+
+
+@query(
     "fn_explode_posexplode",
     family="functions",
     oracle="""

@@ -247,6 +247,53 @@ def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+N_SALT = 8
+
+
+@query(
+    "join_salted_skew",
+    family="joins",
+    oracle=f"""
+        SELECT l.l_returnflag, count(*) AS n_lines,
+               {sql_exact_sum('o.o_totalprice', 2)} AS order_value
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        GROUP BY l.l_returnflag
+        ORDER BY l.l_returnflag
+    """,
+)
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manually salted join — the pre-AQE skew remedy, kept as a first-class
+    operator because AQE's skew splitting only covers sort-merge joins and
+    only after a stage materializes. Each fact row gets a deterministic
+    salt; the dimension side is exploded across all {N_SALT} salts so every
+    (key, salt) pair still matches exactly once. Results provably equal the
+    unsalted join (the oracle). At 100 TB this is how a join survives one
+    key holding 1% of the data."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    salted_fact = li.withColumn(
+        "salt", F.pmod(F.crc32(F.col("l_linenumber").cast("string")), F.lit(N_SALT))
+    )
+    exploded_dim = o.select(
+        "o_orderkey",
+        "o_totalprice",
+        F.explode(F.sequence(F.lit(0), F.lit(N_SALT - 1))).alias("salt"),
+    )
+    joined = salted_fact.join(
+        exploded_dim,
+        (salted_fact.l_orderkey == exploded_dim.o_orderkey)
+        & (salted_fact.salt == exploded_dim.salt),
+    )
+    return (
+        joined.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            exact_sum(F.col("o_totalprice"), 2).alias("order_value"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
 @query(
     "join_asof",
     family="joins",
