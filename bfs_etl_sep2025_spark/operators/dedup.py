@@ -310,6 +310,98 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "llm_corpus_clean",
+    family="dedup",
+    bench=True,
+    oracle=f"""
+        WITH m AS (
+          SELECT doc_id, text,
+                 len(string_split(text, ' ')) AS n_tok,
+                 len(list_distinct(string_split(text, ' '))) AS n_uniq,
+                 len(list_filter(string_split(text, ' '),
+                                 t -> t IN ('the','a','of','and','to','in','is','it')))
+                   AS n_stop
+          FROM documents
+        ),
+        quality AS (
+          SELECT doc_id, text,
+                 (n_uniq::DOUBLE / n_tok)
+                   * CASE WHEN n_tok BETWEEN 20 AND 1000 THEN 1.0 ELSE 0.0 END
+                   * (1.0 - n_stop::DOUBLE / n_tok) AS q
+          FROM m
+        ),
+        passed AS (SELECT doc_id, text, q FROM quality WHERE q >= 0.3),
+        exact_keep AS (
+          SELECT min(doc_id) AS doc_id FROM passed GROUP BY md5(text)
+        ),
+        sh AS (SELECT doc_id, {SQL_SHINGLES} AS shingles FROM documents),
+        mh AS (SELECT doc_id, {SQL_SIG} AS sig FROM sh),
+        bands AS (
+          SELECT doc_id, b.b,
+                 md5(sig[4*b.b+1]::VARCHAR || sig[4*b.b+2]::VARCHAR ||
+                     sig[4*b.b+3]::VARCHAR || sig[4*b.b+4]::VARCHAR) AS bh
+          FROM mh, (SELECT unnest([0,1,2,3]) AS b) b
+        ),
+        near_losers AS (
+          SELECT DISTINCT r.doc_id AS doc_id
+          FROM bands l JOIN bands r ON l.b = r.b AND l.bh = r.bh
+                                   AND l.doc_id < r.doc_id
+          JOIN mh ma ON ma.doc_id = l.doc_id
+          JOIN mh mb ON mb.doc_id = r.doc_id
+          WHERE len(list_filter(range(1, {N_HASHES} + 1),
+                                i -> ma.sig[i] = mb.sig[i])) >= {N_HASHES} // 2
+        )
+        SELECT p.doc_id, p.q AS quality
+        FROM passed p
+        JOIN exact_keep e ON e.doc_id = p.doc_id
+        LEFT JOIN near_losers n ON n.doc_id = p.doc_id
+        WHERE n.doc_id IS NULL
+        ORDER BY p.doc_id
+    """,
+)
+def llm_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-data cleaning pipeline, as ONE declarative
+    plan: quality gate (uniqueness x length x stopword score >= 0.3) ->
+    exact dedup (min doc_id survives per content hash) -> near-dup removal
+    (greedy: the larger doc_id of every LSH pair at est-Jaccard >= 0.5 is
+    dropped — deterministic; a transitive-closure variant needs iterative
+    connected components, out of single-query SQL scope and noted as such).
+
+    This is the Tier-C flagship: every stage reuses the oracle-verified
+    primitives above, Catalyst fuses the whole thing into one job, and each
+    stage is an equi-join/aggregate — nothing quadratic, 100 TB-shaped."""
+    d = load(spark, sf_dir, "documents")
+    t = _tokens(F.col("text"))
+    n_tok = F.size(t)
+    n_uniq = F.size(F.array_distinct(t))
+    n_stop = F.size(
+        F.filter(t, lambda x: x.isin("the", "a", "of", "and", "to", "in", "is", "it"))
+    )
+    q = (
+        (n_uniq.cast("double") / n_tok)
+        * F.when(n_tok.between(20, 1000), F.lit(1.0)).otherwise(F.lit(0.0))
+        * (1.0 - n_stop.cast("double") / n_tok)
+    )
+    passed = d.select("doc_id", "text", q.alias("q")).filter(F.col("q") >= 0.3)
+    exact_keep = (
+        passed.groupBy(F.md5("text").alias("h"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    near_losers = (
+        dedup_minhash_lsh_pairs(spark, sf_dir)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    return (
+        passed.join(exact_keep, "doc_id")
+        .join(near_losers, "doc_id", "left_anti")
+        .select("doc_id", F.col("q").alias("quality"))
+        .orderBy("doc_id")
+    )
+
+
 # --------------------------------------------------------------------------
 # 3. SimHash
 # --------------------------------------------------------------------------
