@@ -402,6 +402,99 @@ def llm_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "dedup_minhash_clusters",
+    family="dedup",
+    oracle=f"""
+        WITH RECURSIVE sh AS (SELECT doc_id, {SQL_SHINGLES} AS shingles FROM documents),
+        mh AS (SELECT doc_id, {SQL_SIG} AS sig FROM sh),
+        bands AS (
+          SELECT doc_id, b.b,
+                 md5(sig[4*b.b+1]::VARCHAR || sig[4*b.b+2]::VARCHAR ||
+                     sig[4*b.b+3]::VARCHAR || sig[4*b.b+4]::VARCHAR) AS bh
+          FROM mh, (SELECT unnest([0,1,2,3]) AS b) b
+        ),
+        pairs AS (
+          SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+          FROM bands l JOIN bands r ON l.b = r.b AND l.bh = r.bh
+                                   AND l.doc_id < r.doc_id
+          JOIN mh ma ON ma.doc_id = l.doc_id
+          JOIN mh mb ON mb.doc_id = r.doc_id
+          WHERE len(list_filter(range(1, {N_HASHES} + 1),
+                                i -> ma.sig[i] = mb.sig[i])) >= {N_HASHES} // 2
+        ),
+        edges AS (
+          SELECT doc_a AS s, doc_b AS d FROM pairs
+          UNION SELECT doc_b, doc_a FROM pairs
+        ),
+        -- fixpoint reachability: every doc reaches every member of its
+        -- component; cluster id = min reachable doc id
+        reach(s, d) AS (
+          SELECT doc_id, doc_id FROM documents
+          UNION
+          SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s
+        )
+        SELECT s AS doc_id, min(d) AS cluster_id
+        FROM reach
+        GROUP BY s
+        HAVING min(d) < s OR EXISTS (SELECT 1 FROM edges e WHERE e.s = reach.s)
+        ORDER BY doc_id
+    """,
+)
+def dedup_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRANSITIVE near-duplicate clusters: connected components over the
+    LSH pair graph (A~B, B~C => {A,B,C} one cluster — what the greedy
+    pair-drop in llm_corpus_clean deliberately approximates). Only docs
+    that are in some pair are emitted, labeled by their component's min
+    doc_id.
+
+    Spark has no recursive CTE, so this is the iterative label-propagation
+    loop (each round: label <- min(label, neighbors' labels)) driven to a
+    fixpoint — iterations are bounded by component diameter (tiny for dup
+    clusters; each round is one shuffle join at any corpus size). The
+    oracle computes the same fixpoint with DuckDB's WITH RECURSIVE —
+    two unrelated fixpoint engines agreeing on every component."""
+    pairs = dedup_minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    edges = (
+        pairs.select(F.col("doc_a").alias("s"), F.col("doc_b").alias("d"))
+        .unionByName(
+            pairs.select(F.col("doc_b").alias("s"), F.col("doc_a").alias("d"))
+        )
+        .distinct()
+        .localCheckpoint()  # fixed frontier reused every iteration
+    )
+    labels = edges.select("s").distinct().select(
+        F.col("s").alias("node"), F.col("s").alias("label")
+    )
+    for _ in range(20):  # diameter bound; dup clusters are shallow
+        neighbor_min = (
+            edges.join(labels, edges.d == labels.node)
+            .groupBy("s")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.s, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
+            )
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels.localCheckpoint()
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    ).orderBy("doc_id")
+
 # --------------------------------------------------------------------------
 # 3. SimHash
 # --------------------------------------------------------------------------
