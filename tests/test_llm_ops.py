@@ -92,6 +92,30 @@ def test_multimodal_decode_is_stubbed():
         decode_image(b"\x89PNG\r\n\x1a\n")
 
 
+def test_clusters_consistent_with_pairs(spark):
+    """Every LSH pair must land in one cluster, and every multi-member
+    cluster must be spanned by pairs (no invented merges)."""
+    pairs = [
+        (r.doc_a, r.doc_b)
+        for r in _q("dedup_minhash_lsh_pairs")(spark, SF).collect()
+    ]
+    cluster_of = {
+        r.doc_id: r.cluster_id
+        for r in _q("dedup_minhash_clusters")(spark, SF).collect()
+    }
+    assert pairs and cluster_of
+    for a, b in pairs:
+        assert cluster_of[a] == cluster_of[b], f"pair ({a},{b}) split"
+    # each cluster id is the min member (canonical labeling)
+    from collections import defaultdict
+
+    members = defaultdict(list)
+    for doc, cid in cluster_of.items():
+        members[cid].append(doc)
+    for cid, docs in members.items():
+        assert cid == min(docs)
+
+
 def test_sample_seeded_deterministic_and_bounded(spark):
     a = _q("sample_seeded")(spark, SF).collect()
     b = _q("sample_seeded")(spark, SF).collect()
