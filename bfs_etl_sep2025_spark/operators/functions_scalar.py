@@ -229,13 +229,15 @@ def fn_array_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
           FROM documents WHERE doc_id < 50
         )
         SELECT doc_id,
-               list_sort(list_distinct(list_concat(head, mid))) AS union_sorted,
-               list_sort(list_distinct(list_filter(head, x -> list_contains(mid, x))))
+               to_json(list_sort(list_distinct(list_concat(head, mid))))::VARCHAR
+                 AS union_sorted,
+               to_json(list_sort(list_distinct(
+                 list_filter(head, x -> list_contains(mid, x)))))::VARCHAR
                  AS inter_sorted,
-               list_reverse_sort(head) AS head_desc,
-               flatten([head, mid]) AS flat,
-               head[2:4] AS sliced,
-               range(1, 6) AS seq_1_5
+               to_json(list_reverse_sort(head))::VARCHAR AS head_desc,
+               to_json(flatten([head, mid]))::VARCHAR AS flat,
+               to_json(head[2:4])::VARCHAR AS sliced,
+               to_json(range(1, 6))::VARCHAR AS seq_1_5
         FROM t
         ORDER BY doc_id
     """,
@@ -243,7 +245,12 @@ def fn_array_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 def fn_array_advanced(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Advanced array surface: union/intersect (canonicalized by sorting —
     engines order set-op results differently), descending sort, flatten,
-    slice, sequence."""
+    slice, sequence.
+
+    Array outputs are serialized with ``to_json`` on BOTH engines: the
+    driver canonicalizer sorts result frames with pandas, which cannot hash
+    list-valued cells — scalar JSON strings keep the check exact and
+    crash-free (VERDICT r01 item 2)."""
     d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
     toks = F.split("text", " ")
     t = d.select(
@@ -253,12 +260,14 @@ def fn_array_advanced(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return t.select(
         "doc_id",
-        F.array_sort(F.array_union("head", "mid")).alias("union_sorted"),
-        F.array_sort(F.array_intersect("head", "mid")).alias("inter_sorted"),
-        F.sort_array("head", asc=False).alias("head_desc"),
-        F.flatten(F.array("head", "mid")).alias("flat"),
-        F.slice("head", 2, 3).alias("sliced"),
-        F.sequence(F.lit(1), F.lit(5)).alias("seq_1_5"),
+        F.to_json(F.array_sort(F.array_union("head", "mid"))).alias("union_sorted"),
+        F.to_json(F.array_sort(F.array_intersect("head", "mid"))).alias(
+            "inter_sorted"
+        ),
+        F.to_json(F.sort_array("head", asc=False)).alias("head_desc"),
+        F.to_json(F.flatten(F.array("head", "mid"))).alias("flat"),
+        F.to_json(F.slice("head", 2, 3)).alias("sliced"),
+        F.to_json(F.sequence(F.lit(1), F.lit(5))).alias("seq_1_5"),
     ).orderBy("doc_id")
 
 
@@ -294,10 +303,10 @@ def fn_regex_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
     family="functions",
     oracle="""
         SELECT n_regionkey,
-               list_sort(list(n_name)) AS nations_sorted,
+               to_json(list_sort(list(n_name)))::VARCHAR AS nations_sorted,
                max_by(n_name, n_nationkey) AS highest_key_nation,
                min_by(n_name, n_nationkey) AS lowest_key_nation,
-               {'region': n_regionkey, 'n': count(*)} AS info
+               to_json({'region': n_regionkey, 'n': count(*)})::VARCHAR AS info
         FROM nation
         GROUP BY n_regionkey
         ORDER BY n_regionkey
@@ -305,23 +314,29 @@ def fn_regex_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def fn_struct_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Struct build + ordered set collection + argmin/argmax (max_by/min_by
-    — deterministic here because n_nationkey is unique)."""
+    — deterministic here because n_nationkey is unique).
+
+    The array and the struct are serialized with ``to_json`` on BOTH engines
+    so the driver canonicalizer (pandas sort) sees only scalar columns
+    (VERDICT r01 item 3)."""
     n = load(spark, sf_dir, "nation")
     return (
         n.groupBy("n_regionkey")
         .agg(
-            F.array_sort(F.collect_set("n_name")).alias("nations_sorted"),
+            F.array_sort(F.collect_set("n_name")).alias("_nations"),
             F.max_by("n_name", "n_nationkey").alias("highest_key_nation"),
             F.min_by("n_name", "n_nationkey").alias("lowest_key_nation"),
             F.count(F.lit(1)).alias("_n"),
         )
         .select(
             "n_regionkey",
-            "nations_sorted",
+            F.to_json("_nations").alias("nations_sorted"),
             "highest_key_nation",
             "lowest_key_nation",
-            F.struct(
-                F.col("n_regionkey").alias("region"), F.col("_n").alias("n")
+            F.to_json(
+                F.struct(
+                    F.col("n_regionkey").alias("region"), F.col("_n").alias("n")
+                )
             ).alias("info"),
         )
         .orderBy("n_regionkey")
