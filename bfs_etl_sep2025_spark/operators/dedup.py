@@ -375,8 +375,11 @@ def llm_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _tokens(F.col("text"))
     n_tok = F.size(t)
     n_uniq = F.size(F.array_distinct(t))
-    n_stop = F.size(
-        F.filter(t, lambda x: x.isin("the", "a", "of", "and", "to", "in", "is", "it"))
+    # codegen'd stopword count (token-exact via zero-width space boundaries)
+    # — not the interpreted HOF filter lambda (hot-path rule, ADVICE r01)
+    n_stop = F.regexp_count(
+        F.concat(F.lit(" "), F.col("text"), F.lit(" ")),
+        F.lit("(?<= )(the|a|of|and|to|in|is|it)(?= )"),
     )
     q = (
         (n_uniq.cast("double") / n_tok)
@@ -466,12 +469,16 @@ def dedup_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels = edges.select("s").distinct().select(
         F.col("s").alias("node"), F.col("s").alias("label")
     )
+    changed = 1
     for _ in range(20):  # diameter bound; dup clusters are shallow
         neighbor_min = (
             edges.join(labels, edges.d == labels.node)
             .groupBy("s")
             .agg(F.min("label").alias("nbr_label"))
         )
+        # checkpoint FIRST (one execution of the round's plan), then compute
+        # the convergence probe against the materialized partitions — the old
+        # checkpoint-after-count shape ran every round's join twice.
         new_labels = (
             labels.join(neighbor_min, labels.node == neighbor_min.s, "left")
             .select(
@@ -480,7 +487,7 @@ def dedup_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
                 ).alias("label"),
             )
-        )
+        ).localCheckpoint()
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "node")
@@ -488,9 +495,16 @@ def dedup_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             .limit(1)
             .count()
         )
-        labels = new_labels.localCheckpoint()
+        labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        # a component with diameter > 20 would otherwise return a silently
+        # non-fixpoint (wrong) labeling — fail loudly instead (ADVICE r01)
+        raise RuntimeError(
+            "dedup_minhash_clusters: label propagation did not converge in 20 "
+            "rounds — component diameter exceeds the bound; raise the cap"
+        )
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
     ).orderBy("doc_id")

@@ -171,3 +171,47 @@ def null_safe_equality(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_pending"
         ),
     )
+
+
+@query(
+    "sink_partitioned_roundtrip",
+    family="sinks",
+    oracle=f"""
+        SELECT l_returnflag, l_linestatus,
+               count(*) AS n,
+               {sql_exact_sum('l_quantity', 2)} AS sum_qty
+        FROM lineitem
+        WHERE l_returnflag = 'R'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def sink_partitioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned parquet SINK proven by read-back: write lineitem
+    partitioned by ``l_returnflag`` to a scratch dir, re-scan it, and
+    aggregate one partition. The oracle computes the same aggregate from the
+    ORIGINAL table, so a sink that dropped/duplicated rows, mangled the
+    partition column, or broke types fails the hash-compare. The read-back
+    filter also exercises partition pruning (only the ``l_returnflag=R``
+    directory is scanned).
+
+    Scale notes: partitionBy on a low-cardinality column gives
+    partition-prunable layout at any size; the write itself is
+    embarrassingly parallel (no shuffle — each task writes its own files
+    into per-value directories)."""
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix="bfs_sink_roundtrip_")
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_linestatus", "l_quantity"
+    )
+    li.write.mode("overwrite").partitionBy("l_returnflag").parquet(out)
+    back = spark.read.parquet(out).filter(F.col("l_returnflag") == "R")
+    return (
+        back.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            exact_sum(F.col("l_quantity"), 2).alias("sum_qty"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )

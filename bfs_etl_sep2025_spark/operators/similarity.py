@@ -274,6 +274,10 @@ def similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 N_PROBE = 2  # IVF cells probed per query
 CENTROID_STRIDE = 50  # vec_id % stride == 0 -> centroid (deterministic "kmeans")
+#: hard ceiling on codebook size for the broadcast assignment join — ~64k
+#: cells x (embedding + norm) stays comfortably under the 8 GB broadcast
+#: limit at dim<=4096; past this the assignment needs a two-level codebook
+MAX_BROADCAST_CENTROIDS = 65536
 
 
 @query(
@@ -321,7 +325,15 @@ def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: assignment is a broadcast join against the small codebook
     + per-row argmax; search joins queries to cells on the cell id —
     scan cost per query is |probed cells| not |corpus|, the property that
-    holds at billions of vectors."""
+    holds at billions of vectors.
+
+    The vectors x centroids assignment join is only safe while the codebook
+    is broadcast-sized: the guard below fails fast if it grows past
+    ``MAX_BROADCAST_CENTROIDS`` instead of silently planning a giant
+    cartesian (VERDICT r01 item 6). A million-cell codebook needs the
+    two-level scheme (coarse-quantize the centroids themselves, assign in
+    two broadcast hops) — documented here, deliberately not implemented
+    until a fixture needs it."""
     e = load(spark, sf_dir, "embeddings")
     n = e.select("vec_id", "embedding", _norm(F.col("embedding")).alias("nrm"))
     cent = (
@@ -332,6 +344,14 @@ def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("nrm").alias("c_nrm"),
         )
     )
+    n_cells = cent.count()
+    if n_cells > MAX_BROADCAST_CENTROIDS:
+        raise ValueError(
+            f"similarity_ann_ivf: {n_cells} centroids exceeds the broadcast "
+            f"guard ({MAX_BROADCAST_CENTROIDS}); the vectors x centroids "
+            "assignment would stop being a broadcast join — re-bucket with a "
+            "two-level codebook before scaling the cell count"
+        )
     sim_to_cent = (
         _dot(F.col("embedding"), F.col("c_emb")) / (F.col("nrm") * F.col("c_nrm"))
     )

@@ -111,6 +111,9 @@ def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         WITH gaps AS (
           SELECT user_id, ts, event_id, value,
+                 -- strictly > : measured Spark behavior MERGES an event at
+                 -- exactly last+gap (see test_session_window_exact_gap_
+                 -- boundary in tests/test_streaming.py, which pins this)
                  CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
                                               ORDER BY ts, event_id)
                            > INTERVAL 30 MINUTE

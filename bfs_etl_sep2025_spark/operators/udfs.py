@@ -101,6 +101,7 @@ def udf_pandas_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
                                        ORDER BY o_totalprice, o_orderkey) AS BIGINT)
                  AS price_rank
         FROM orders
+        WHERE o_custkey <= 150
         ORDER BY o_orderkey
     """,
 )
@@ -108,7 +109,11 @@ def udf_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped-map applyInPandas (UDTF analog): each customer's orders
     arrive as one pandas DataFrame; emits per-group derived columns. The
     oracle reproduces the same result with window functions — proving the
-    shuffle+group+Arrow path end to end."""
+    shuffle+group+Arrow path end to end.
+
+    Bounded to a customer-key slice: applyInPandas pays a per-GROUP pandas
+    construction cost, so thousands of tiny groups measure Python overhead,
+    not the data path — 150 multi-row groups prove the same plumbing."""
 
     def per_customer(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(["o_totalprice", "o_orderkey"]).reset_index(drop=True)
@@ -116,8 +121,10 @@ def udf_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         pdf["price_rank"] = range(1, len(pdf) + 1)
         return pdf[["o_orderkey", "o_custkey", "above_cheapest", "price_rank"]]
 
-    o = load(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_custkey", "o_totalprice"
+    o = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") <= 150)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
     )
     return (
         o.groupBy("o_custkey")

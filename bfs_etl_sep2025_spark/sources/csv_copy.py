@@ -197,6 +197,10 @@ class CsvCopyTask(Task):
                 self.audit_column,
                 F.lit(now.isoformat(sep=" ")).cast("timestamp_ntz"),
             )
+        # insertInto matches by POSITION: reorder to the target's declared
+        # column order so a mid-schema audit column can't silently land data
+        # in the wrong columns (ADVICE r01) — withColumn appended it last.
+        df = df.select([f.name for f in target_schema.fields if f.name in df.columns])
         from bfs_etl_sep2025_spark.plans.locks import table_write_lock
 
         with table_write_lock(self._qualified()):

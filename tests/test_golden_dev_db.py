@@ -26,7 +26,7 @@ SQL_MULTI = "; ".join(SQL_LIST)
 SQL_FILE_BODY = """\
 CREATE OR REPLACE TRANSIENT TABLE dev_test (name VARCHAR(250), id INT, load_utc_ts datetime);
 
-INSERT INTO dev_test VALUES ('name', 1, sysdate());
+INSERT INTO dev_test VALUES ('name', 5, sysdate());
 """
 
 FROZEN = datetime(2024, 3, 1, 12, 0, 0)
@@ -79,7 +79,7 @@ def test_param_binding(spark, ran_pipeline):
 def test_sql_file_with_injected_clock(spark, ran_pipeline):
     rows = spark.table("dev_db.dev_test").collect()
     assert len(rows) == 1
-    assert rows[0].name == "name" and rows[0].id == 1
+    assert rows[0].name == "name" and rows[0].id == 5
     # sysdate() rendered through the injectable clock -> deterministic audit ts
     assert rows[0].load_utc_ts == FROZEN
 

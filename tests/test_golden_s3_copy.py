@@ -173,3 +173,48 @@ def test_option_map_coverage():
 def test_option_map_rejects_unknown():
     with pytest.raises(ValueError, match="unmapped"):
         map_file_format({"bogus_option": 1})
+
+
+def test_mid_schema_audit_column_lands_by_name(spark, stage, tmp_path_factory):
+    """insertInto is positional: a target that declares load_utc_ts in the
+    MIDDLE of its schema must still get every value in the right column
+    (the task reorders to the target schema before writing — ADVICE r01)."""
+    from pyspark.sql import functions as F
+
+    ledger = str(tmp_path_factory.mktemp("ledger_mid") / "ingest_ledger")
+    spark.sql("CREATE DATABASE IF NOT EXISTS dev_db")
+    spark.sql("DROP TABLE IF EXISTS dev_db.prestg_trans_mid_audit")
+    spark.sql(
+        """
+        CREATE TABLE dev_db.prestg_trans_mid_audit (
+          trans_id BIGINT, product_id BIGINT, customer_id BIGINT,
+          load_utc_ts TIMESTAMP_NTZ,            -- audit col mid-schema
+          quantity INT, unit_price DOUBLE, trans_ts TIMESTAMP_NTZ,
+          channel STRING
+        ) USING parquet
+        """
+    )
+    with Pipeline(
+        "s3_mid_audit",
+        schedule="0 7 * * *",
+        start_date=date(2022, 7, 13),
+        end_date=datetime(2022, 7, 13, 23, 59),
+        catchup=True,
+        clock=lambda: FROZEN,
+    ) as p:
+        CsvCopyTask(
+            "prestg_trans_mid_audit",
+            table="prestg_trans_mid_audit",
+            schema="dev_db",
+            stage_path=str(stage),
+            files=["product_order_trans_{{ ds[5:7] + ds[8:10] + ds[0:4] }}.csv"],
+            file_format=FILE_FORMAT,
+            ledger_path=ledger,
+        )
+    p.backfill(spark)
+    df = spark.table("dev_db.prestg_trans_mid_audit")
+    assert df.count() == ROWS_PER_DAY["07132022"]
+    assert df.filter(F.col("load_utc_ts") != F.lit(FROZEN)).count() == 0
+    # typed columns carry data, not shifted neighbors
+    assert df.filter(F.col("quantity").isNull()).count() == 0
+    assert df.filter(F.col("trans_ts").isNull()).count() == 0

@@ -135,3 +135,34 @@ def test_incremental_converges_to_batch(stream_env):
         .collect()
     )
     assert final == {(r.event_type, r.n_events) for r in batch}
+
+
+def test_session_window_exact_gap_boundary(spark):
+    """Two events EXACTLY 30 minutes apart MERGE into one session: Spark's
+    session window accepts an event at precisely last+gap (measured here,
+    not assumed — ADVICE r01 claimed the opposite; this pins the boundary
+    the stream_session_window oracle mirrors with its strict
+    ``> INTERVAL 30 MINUTE`` new-session condition)."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:00:00"),
+            (1, "2024-01-01 00:30:00"),  # exactly gap later -> merges
+            (2, "2024-01-01 00:00:00"),
+            (2, "2024-01-01 00:30:01"),  # past the gap -> new session
+        ],
+        "user_id int, ts_s string",
+    ).select("user_id", F.col("ts_s").cast("timestamp_ntz").alias("ts"))
+    out = (
+        df.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("user_id", "n")
+        .orderBy("user_id", "n")
+        .collect()
+    )
+    per_user = {}
+    for r in out:
+        per_user.setdefault(r.user_id, []).append(r.n)
+    assert per_user[1] == [2]  # merged at the exact boundary
+    assert per_user[2] == [1, 1]  # split one second past it
