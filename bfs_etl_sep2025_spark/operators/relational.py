@@ -15,6 +15,7 @@ partial aggregation collapses the shuffle to ~|groups|×|mappers| rows.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from bfs_etl_sep2025_spark.functions.portable import (
@@ -215,3 +216,81 @@ def sink_partitioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag", "l_linestatus")
     )
+
+
+@query(
+    "cdc_latest_per_key",
+    family="etl",
+    oracle="""
+        SELECT user_id, event_id, ts, event_type, value
+        FROM (
+          SELECT user_id, event_id, ts, event_type, value,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events
+        )
+        WHERE rn = 1
+        ORDER BY user_id
+    """,
+)
+def cdc_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC / MERGE compaction: collapse a change stream to the latest record
+    per key — the batch primitive behind ``MERGE INTO`` upserts (the
+    reference's Snowflake loads rely on warehouse-side MERGE; reference
+    surface: the ``INSERT``/load path of ``dags/dev_db_test.py:41-70``).
+
+    Scale notes: one shuffle on the key, in-partition sort, row_number —
+    identical shape to streaming ``dropDuplicates`` compaction. Ties broken
+    by (ts, event_id) so the survivor is total-order deterministic."""
+    ev = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        ev.select(
+            "user_id", "event_id", "ts", "event_type", "value",
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+        .orderBy("user_id")
+    )
+
+
+@query(
+    "scd2_intervals",
+    family="etl",
+    oracle="""
+        SELECT user_id,
+               event_type,
+               ts AS valid_from,
+               lead(ts) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS valid_to,
+               CASE WHEN lead(ts) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS is_current
+        FROM events
+        WHERE event_type IN ('purchase', 'signup')
+        ORDER BY user_id, valid_from, event_type
+    """,
+)
+def scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 dimension build: turn a change log into half-open
+    ``[valid_from, valid_to)`` validity intervals per key with ``lead()``,
+    the standard slowly-changing-dimension pattern warehouse ETL (the
+    reference's domain) implements with MERGE + window functions.
+
+    Scale notes: single shuffle on the key, one in-partition sort shared by
+    both ``lead`` calls (same window spec), no self-join — the naive
+    formulation joins the table to itself on "next change", which is twice
+    the shuffle for the same answer."""
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "signup")
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w)
+    return ev.select(
+        "user_id",
+        "event_type",
+        F.col("ts").alias("valid_from"),
+        nxt.alias("valid_to"),
+        F.when(nxt.isNull(), F.lit(1)).otherwise(F.lit(0)).alias("is_current"),
+    ).orderBy("user_id", "valid_from", "event_type")

@@ -417,3 +417,125 @@ def text_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), "bigram")
         .limit(50)
     )
+
+
+@query(
+    "text_gopher_rules",
+    family="text",
+    oracle=f"""
+        WITH m AS (
+          SELECT doc_id,
+                 string_split(text, ' ') AS toks,
+                 len(string_split(text, ' ')) AS n_words,
+                 length(replace(text, ' ', '')) AS n_word_chars
+          FROM documents
+        ), r AS (
+          SELECT doc_id,
+                 n_words,
+                 n_word_chars::DOUBLE / n_words AS mean_word_len,
+                 len(list_filter(toks, w -> regexp_matches(w, '[A-Za-z]')))::DOUBLE
+                   / n_words AS alpha_frac,
+                 1.0 - len(list_distinct(toks))::DOUBLE / n_words AS dup_frac,
+                 len(list_intersect(list_distinct(toks),
+                     [{", ".join(f"'{s}'" for s in STOPWORDS)}])) AS n_stop_distinct
+          FROM m
+        )
+        SELECT doc_id, n_words, mean_word_len, alpha_frac, dup_frac,
+               n_stop_distinct,
+               CASE WHEN n_words BETWEEN 10 AND 100000
+                     AND mean_word_len BETWEEN 2 AND 12
+                     AND alpha_frac >= 0.6
+                     AND dup_frac <= 0.7
+                     AND n_stop_distinct >= 1
+                    THEN 1 ELSE 0 END AS passes
+        FROM r
+        ORDER BY doc_id
+    """,
+)
+def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style rule-based document filter (Rae et al. 2021 §A1.1,
+    public paper): word-count gate, mean-word-length gate, alphabetic-word
+    fraction, duplicate-word fraction, and stopword-presence — the standard
+    cheap heuristics applied before model-based quality scoring in an LLM
+    data pipeline.
+
+    Scale notes: one narrow projection per row, no shuffle until the final
+    (removable) ``orderBy``; every rule is a codegen'd JVM expression — the
+    alphabetic-word count is one regex scan (no interpreted array-lambda
+    HOF, per the hot-path rule), stopword presence is ``array_intersect`` on
+    an 8-element literal. Thresholds compare exact integer-ratio doubles, so
+    the pass flag is deterministic cross-engine."""
+    d = load(spark, sf_dir, "documents")
+    t = _tokens(F.col("text"))
+    n_words = F.size(t)
+    n_word_chars = F.length(F.regexp_replace(F.col("text"), " ", ""))
+    mean_word_len = n_word_chars.cast("double") / n_words
+    # words containing at least one ASCII letter, counted with one padded
+    # regex scan (token boundaries pinned by the lookarounds)
+    n_alpha = F.regexp_count(
+        F.concat(F.lit(" "), F.col("text"), F.lit(" ")),
+        F.lit(r"(?<= )[^ ]*[A-Za-z][^ ]*(?= )"),
+    )
+    alpha_frac = n_alpha.cast("double") / n_words
+    dup_frac = 1.0 - F.size(F.array_distinct(t)).cast("double") / n_words
+    n_stop_distinct = F.size(
+        F.array_intersect(F.array_distinct(t), F.array(*[F.lit(s) for s in STOPWORDS]))
+    )
+    passes = (
+        n_words.between(10, 100000)
+        & mean_word_len.between(2, 12)
+        & (alpha_frac >= 0.6)
+        & (dup_frac <= 0.7)
+        & (n_stop_distinct >= 1)
+    )
+    return d.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        mean_word_len.alias("mean_word_len"),
+        alpha_frac.alias("alpha_frac"),
+        dup_frac.alias("dup_frac"),
+        n_stop_distinct.alias("n_stop_distinct"),
+        F.when(passes, F.lit(1)).otherwise(F.lit(0)).alias("passes"),
+    ).orderBy("doc_id")
+
+
+#: GPT-2-style pretokenizer, restricted to constructs RE2 (DuckDB) and Java
+#: regex (Spark) interpret identically: letter runs, digit runs, punctuation
+#: runs — each optionally preceded by one space — then leftover space runs.
+#: No lookarounds, no backreferences, ASCII classes only.
+_BPE_PRETOKEN = "( ?[A-Za-z]+| ?[0-9]+| ?[^ A-Za-z0-9]+| +)"
+
+
+@query(
+    "text_bpe_pretokenize",
+    family="text",
+    oracle=f"""
+        SELECT doc_id,
+               len(regexp_extract_all(text, '{_BPE_PRETOKEN}')) AS n_bpe_pretokens,
+               len(string_split(text, ' ')) AS n_ws_tokens,
+               len(regexp_extract_all(text, '{_BPE_PRETOKEN}'))::DOUBLE
+                 / len(string_split(text, ' ')) AS pretokens_per_word
+        FROM documents
+        ORDER BY doc_id
+    """,
+)
+def text_bpe_pretokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish token-count estimator: count GPT-2-style pretokenizer matches
+    (letter runs / digit runs / punctuation runs, each with an optional
+    leading space). Real BPE merges only ever split WITHIN a pretoken, so
+    this is a tight lower bound on (and strongly correlated with) the true
+    BPE token count — the cheap budget estimator an LLM-data pipeline runs
+    corpus-wide before paying for a real tokenizer.
+
+    Scale notes: one JVM regex scan per row, zero shuffles before the
+    (removable) orderBy; the pattern avoids every construct RE2 and Java
+    regex disagree on, so counts are engine-exact."""
+    d = load(spark, sf_dir, "documents")
+    n_bpe = F.regexp_count(F.col("text"), F.lit(_BPE_PRETOKEN))
+    n_ws = F.size(_tokens(F.col("text")))
+    return d.select(
+        "doc_id",
+        n_bpe.alias("n_bpe_pretokens"),
+        n_ws.alias("n_ws_tokens"),
+        (n_bpe.cast("double") / n_ws).alias("pretokens_per_word"),
+    ).orderBy("doc_id")
