@@ -101,3 +101,47 @@ def test_corpus_clean_stopword_count_is_codegen(spark):
     interpreted F.filter(...isin...) lambda it shipped with in r01."""
     plan = _plan(spark, "llm_corpus_clean").lower()
     assert "regexp_extract_all" in plan
+
+def test_q3_topn_avoids_full_sort(spark):
+    """TPC-H Q3 shape: top-10 must plan TakeOrderedAndProject (per-partition
+    local top-N + driver merge), never a global sort of the joined fact."""
+    plan = _plan(spark, "q3_shipping_priority")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q5_dims_broadcast(spark):
+    """Q5's nation/region dims must broadcast; the big sides stay shuffled."""
+    plan = _plan(spark, "q5_local_supplier_volume")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q10_pushes_quarter_filter(spark):
+    """The orderdate quarter predicate must reach the orders parquet scan."""
+    plan = _plan(spark, "q10_returned_items")
+    assert "PushedFilters: [IsNotNull(o_orderdate)" in plan or (
+        "GreaterThanOrEqual(o_orderdate" in plan
+    )
+
+
+@pytest.mark.parametrize(
+    "name", ["text_gopher_rules", "text_bpe_pretokenize", "cdc_latest_per_key",
+             "scd2_intervals"]
+)
+def test_new_ops_no_interpreted_array_hofs(spark, name):
+    """Hot-path rule: no interpreted higher-order array lambdas (ArrayFilter
+    / ArrayTransform / ArrayAggregate) and no Python eval nodes."""
+    plan = _plan(spark, name)
+    for node in ("ArrayFilter", "ArrayAggregate", "EvalPython"):
+        assert node not in plan, f"{node} in {name} plan"
+
+
+def test_scd2_single_shuffle(spark):
+    """Both lead() calls share one window spec: exactly one exchange
+    (hashpartitioning on user_id) in the whole plan."""
+    plan = _plan(spark, "scd2_intervals")
+    import re
+
+    # formatted mode puts the partitioning on the Arguments: line; the only
+    # other exchange allowed is the final presentation orderBy (range).
+    n_hash = len(re.findall(r"Arguments: hashpartitioning", plan))
+    assert n_hash == 1, plan
