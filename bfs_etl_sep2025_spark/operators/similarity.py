@@ -444,3 +444,67 @@ def similarity_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cosine") >= 0.45)
         .orderBy("vec_a", "vec_b")
     )
+
+
+@query(
+    "embedding_quantize_int8",
+    family="similarity",
+    oracle="""
+        WITH ex AS (
+          SELECT vec_id,
+                 generate_subscripts(embedding, 1) - 1 AS pos,
+                 unnest(embedding)::DOUBLE AS val
+          FROM embeddings
+          WHERE vec_id < 200
+        ), m AS (
+          SELECT vec_id, pos, val,
+                 max(abs(val)) OVER (PARTITION BY vec_id) AS maxabs
+          FROM ex
+        ), q AS (
+          SELECT vec_id, maxabs, pos,
+                 CASE WHEN maxabs = 0 THEN 0
+                      ELSE floor(val * 127.0 / maxabs + 0.5)::BIGINT END AS q
+          FROM m
+        )
+        SELECT vec_id, maxabs,
+               to_json(list_sort(list({'pos': pos, 'q': q})))::VARCHAR AS q_vec
+        FROM q
+        GROUP BY vec_id, maxabs
+        ORDER BY vec_id
+    """,
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 scalar quantization of the embedding column — the
+    compression step that makes billion-vector ANN indexes fit in memory
+    (4x smaller than float32, 8x than float64).
+
+    q_i = round_half_up(x_i * 127 / maxabs(x)), expressed as
+    ``floor(x*127/maxabs + 0.5)`` because cross-engine ``round()`` is banned
+    (half-way disagreement); floor of identical doubles is deterministic.
+
+    Scale notes: posexplode is map-side (no shuffle); the per-vector maxabs
+    is a whole-partition window aggregate — ONE shuffle on vec_id for the
+    entire op, quantize + reassembly stay in the same stage. No interpreted
+    array HOFs: the quantized vector is rebuilt with
+    ``array_sort(collect_list(struct(pos, q)))`` (codegen'd) and serialized
+    with ``to_json`` on BOTH engines so the driver sees scalar columns."""
+    e = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    ex = e.select("vec_id", F.posexplode("embedding").alias("pos", "val_f"))
+    val = F.col("val_f").cast("double")
+    maxabs = F.max(F.abs(val)).over(W.partitionBy("vec_id"))
+    qcol = (
+        F.when(maxabs == 0, F.lit(0).cast("bigint"))
+        .otherwise(F.floor(val * 127.0 / maxabs + 0.5))
+        .alias("q")
+    )
+    return (
+        ex.select("vec_id", maxabs.alias("maxabs"), "pos", qcol)
+        .groupBy("vec_id", "maxabs")
+        .agg(
+            F.to_json(
+                F.array_sort(F.collect_list(F.struct("pos", "q")))
+            ).alias("q_vec")
+        )
+        .select("vec_id", "maxabs", "q_vec")
+        .orderBy("vec_id")
+    )

@@ -145,3 +145,14 @@ def test_scd2_single_shuffle(spark):
     # other exchange allowed is the final presentation orderBy (range).
     n_hash = len(re.findall(r"Arguments: hashpartitioning", plan))
     assert n_hash == 1, plan
+
+
+def test_quantize_single_shuffle(spark):
+    """int8 quantization: the window max and the reassembly groupBy must
+    share ONE hashpartitioning exchange on vec_id (the {vec_id} partitioning
+    satisfies the {vec_id, maxabs} grouping requirement)."""
+    plan = _plan(spark, "embedding_quantize_int8")
+    import re
+
+    assert len(re.findall(r"Arguments: hashpartitioning", plan)) == 1, plan
+    assert "EvalPython" not in plan
