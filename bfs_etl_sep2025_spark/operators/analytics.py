@@ -166,3 +166,170 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("revenue"), F.asc("c_custkey"))
         .limit(20)
     )
+
+
+# -- Z-order (Morton) layout clustering -------------------------------------
+
+#: bit-spread magic masks: interleave a 16-bit value into the even bit
+#: positions of a 32-bit word (classic Morton-code construction).
+_SPREAD_STEPS = [(8, 0x00FF00FF), (4, 0x0F0F0F0F), (2, 0x33333333), (1, 0x55555555)]
+
+
+def _spread_spark(v):
+    v = v.bitwiseAND(F.lit(0xFFFF))
+    for shift, mask in _SPREAD_STEPS:
+        v = (v.bitwiseOR(F.shiftleft(v, shift))).bitwiseAND(F.lit(mask))
+    return v
+
+
+def _spread_sql(expr: str) -> str:
+    v = f"({expr} & 65535)"
+    for shift, mask in _SPREAD_STEPS:
+        v = f"((({v} << {shift}) | {v}) & {mask})"
+    return v
+
+
+@query(
+    "layout_zorder_clustering",
+    family="layout",
+    oracle=f"""
+        WITH k AS (
+          SELECT o_orderkey,
+                 o_custkey & 65535 AS xk,
+                 date_diff('day', DATE '1970-01-01', o_orderdate::DATE) & 65535 AS yk
+          FROM orders
+        )
+        SELECT o_orderkey, xk, yk,
+               {_spread_sql('xk')} | ({_spread_sql('yk')} << 1) AS morton
+        FROM k
+        ORDER BY morton, o_orderkey
+        LIMIT 1000
+    """,
+)
+def layout_zorder_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton-code) multi-dimensional layout clustering: interleave
+    the low 16 bits of (customer key, order epoch-day) so that sorting by the
+    Morton code co-locates rows that are close in BOTH dimensions — the
+    data-layout primitive behind lakehouse OPTIMIZE ZORDER BY, which lets
+    min/max file statistics prune scans for predicates on either column.
+
+    Scale notes: the code is pure codegen'd bit arithmetic (4 shift/mask
+    steps per dimension, no UDF, no shuffle until the layout sort); the
+    layout write itself would be ``repartitionByRange(morton)`` + sorted
+    file write — exactly the existing sorted-sink path in tests/test_sinks.
+    The top-1000 here plans TakeOrderedAndProject, not a full sort."""
+    o = load(spark, sf_dir, "orders")
+    xk = F.col("o_custkey").bitwiseAND(F.lit(0xFFFF))
+    yk = F.datediff(
+        F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")
+    ).bitwiseAND(F.lit(0xFFFF))
+    k = o.select(
+        "o_orderkey", xk.alias("xk"), yk.cast("bigint").alias("yk")
+    )
+    morton = _spread_spark(F.col("xk")).bitwiseOR(
+        F.shiftleft(_spread_spark(F.col("yk")), 1)
+    )
+    return (
+        k.select("o_orderkey", "xk", "yk", morton.alias("morton"))
+        .orderBy("morton", "o_orderkey")
+        .limit(1000)
+    )
+
+
+@query(
+    "incremental_agg_merge",
+    family="etl",
+    oracle=f"""
+        SELECT o_orderstatus,
+               count(*) AS n_orders,
+               {sql_exact_sum('o_totalprice', 2)} AS total_price
+        FROM orders
+        GROUP BY o_orderstatus
+        ORDER BY o_orderstatus
+    """,
+)
+def incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance: per-increment PARTIAL
+    aggregates (two order-date slices standing in for daily loads) are
+    unioned and MERGED into the final aggregate — count by summing counts,
+    sum by summing exact-DECIMAL partial sums. Because decimal addition is
+    associative, merge(partials) is bitwise-equal to the direct aggregate
+    (the oracle), which is the invariant that makes incremental refresh
+    safe to run forever at warehouse scale.
+
+    Scale notes: each increment aggregates map-side before its shuffle; the
+    merge groupBy touches |groups|×|increments| rows, not the fact table —
+    the whole point of maintaining partials."""
+    o = load(spark, sf_dir, "orders")
+    cut = F.lit("1998-01-01 00:00:00").cast("timestamp")
+    parts = []
+    for pred in [F.col("o_orderdate") < cut, F.col("o_orderdate") >= cut]:
+        parts.append(
+            o.filter(pred)
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).alias("p_n"),
+                F.sum(F.col("o_totalprice").cast("decimal(30,2)")).alias("p_sum"),
+            )
+        )
+    merged = parts[0].unionByName(parts[1])
+    return (
+        merged.groupBy("o_orderstatus")
+        .agg(
+            F.sum("p_n").alias("n_orders"),
+            F.sum("p_sum").cast("double").alias("total_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@query(
+    "events_hypertable_rollup",
+    family="analytics",
+    oracle=f"""
+        SELECT date_trunc('day', ts) AS bucket_day,
+               CASE WHEN GROUPING(date_trunc('hour', ts)) = 0
+                    THEN date_trunc('hour', ts) END AS bucket_hour,
+               count(*) AS n_events,
+               {sql_exact_sum('value', 2)} AS total_value
+        FROM events
+        GROUP BY ROLLUP(date_trunc('day', ts), date_trunc('hour', ts))
+        HAVING GROUPING(date_trunc('day', ts)) = 0
+        ORDER BY bucket_day, bucket_hour NULLS FIRST
+    """,
+)
+def events_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous-aggregate rollup: one pass over the event
+    stream produces BOTH the hourly and the daily materializations
+    (``ROLLUP(day, hour)`` — hour nests inside day, so the day rows are the
+    merge of their hour rows). The single-scan multi-granularity shape is
+    how time-series stores maintain continuous aggregates without re-reading
+    the raw hypertable per granularity.
+
+    Scale notes: one scan, one shuffle; partial aggregation runs map-side
+    per (day, hour) and Spark's rollup expands grouping sets BEFORE the
+    exchange, so the shuffle carries ~|buckets| rows, not events."""
+    ev = load(spark, sf_dir, "events").select(
+        F.date_trunc("day", F.col("ts")).alias("bucket_day"),
+        F.date_trunc("hour", F.col("ts")).alias("bucket_hour"),
+        "value",
+    )
+    g_day = F.grouping("bucket_day")
+    g_hour = F.grouping("bucket_hour")
+    return (
+        ev.rollup("bucket_day", "bucket_hour")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            exact_sum(F.col("value"), 2).alias("total_value"),
+            g_day.alias("_gd"),
+            g_hour.alias("_gh"),
+        )
+        .filter(F.col("_gd") == 0)
+        .select(
+            "bucket_day",
+            F.when(F.col("_gh") == 0, F.col("bucket_hour")).alias("bucket_hour"),
+            "n_events",
+            "total_value",
+        )
+        .orderBy("bucket_day", F.col("bucket_hour").asc_nulls_first())
+    )
