@@ -333,3 +333,323 @@ def events_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket_day", F.col("bucket_hour").asc_nulls_first())
     )
+
+
+# -- TPC-H Q4/Q7/Q12/Q14/Q18/Q19/Q22 shapes ---------------------------------
+# (adapted to the fixture schema: no l_commitdate/l_receiptdate/l_shipmode/
+# c_phone columns — each query keeps the canonical plan shape and swaps the
+# missing column for a fixture equivalent, noted per query.)
+
+
+@query(
+    "q4_order_priority",
+    family="analytics",
+    oracle="""
+        SELECT o_orderpriority, count(*) AS n_orders
+        FROM orders o
+        WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+          AND o_orderdate <  TIMESTAMP '1996-10-01 00:00:00'
+          AND EXISTS (
+            SELECT 1 FROM lineitem l
+            WHERE l.l_orderkey = o.o_orderkey
+              AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+          )
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """,
+)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q4 shape: priority distribution of orders with at least one
+    late line (here: shipped >60 days after order date — the fixture has no
+    commit/receipt dates). The EXISTS is a LEFT SEMI join: the probe side
+    never duplicates, no distinct needed, and Catalyst pushes the quarter
+    filter to the orders scan so the semi-join's build input is one quarter
+    of one table, not the whole fact."""
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-07-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01 00:00:00").cast("timestamp"))
+    )
+    li = load(spark, sf_dir, "lineitem")
+    late = (li.l_orderkey == o.o_orderkey) & (
+        li.l_shipdate > o.o_orderdate + F.expr("INTERVAL 60 DAYS")
+    )
+    return (
+        o.join(li, late, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "q7_volume_shipping",
+    family="analytics",
+    oracle=f"""
+        SELECT n1.n_name AS supp_nation,
+               n2.n_name AS cust_nation,
+               CAST(year(l_shipdate) AS INT) AS l_year,
+               {sql_exact_sum(_REVENUE, 6)} AS revenue
+        FROM supplier
+        JOIN lineitem ON s_suppkey = l_suppkey
+        JOIN orders   ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+           OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+        GROUP BY supp_nation, cust_nation, l_year
+        ORDER BY supp_nation, cust_nation, l_year
+    """,
+)
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q7 shape: bilateral trade volume between two nations by year.
+    Both nation lookups broadcast; the disjunctive nation-pair predicate is
+    applied after the dim joins (it references both) but BEFORE the groupBy,
+    and Catalyst infers n_name IN (a,b) pushdown into each broadcast side."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    supp = load(spark, sf_dir, "supplier")
+    n1 = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (
+        supp.join(li, supp.s_suppkey == li.l_suppkey)
+        .join(o, o.o_orderkey == li.l_orderkey)
+        .join(cust, cust.c_custkey == o.o_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(exact_sum(revenue, 6).alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@query(
+    "q12_priority_by_linestatus",
+    family="analytics",
+    oracle="""
+        SELECT l_linestatus,
+               count(*) FILTER (WHERE o_orderpriority IN ('1-URGENT', '2-HIGH'))
+                 AS high_line_count,
+               count(*) FILTER (WHERE o_orderpriority NOT IN ('1-URGENT', '2-HIGH'))
+                 AS low_line_count
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY l_linestatus
+        ORDER BY l_linestatus
+    """,
+)
+def q12_priority_by_linestatus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q12 shape: conditional (CASE-style) aggregation over a fact-fact
+    join — urgent vs non-urgent line counts per line status (fixture has no
+    l_shipmode; l_linestatus carries the grouping role). The year filter on
+    l_shipdate reaches the lineitem scan; the counts are codegen'd
+    count(CASE WHEN ...) — one shuffle, no second pass per bucket."""
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.count(F.when(high, 1)).alias("high_line_count"),
+            F.count(F.when(~high, 1)).alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+@query(
+    "q14_promo_revenue",
+    family="analytics",
+    oracle=f"""
+        SELECT CAST(100 AS DOUBLE)
+                 * {sql_exact_sum(f"CASE WHEN p_type LIKE 'PROMO%' THEN {_REVENUE} ELSE 0 END", 6)}
+                 / {sql_exact_sum(_REVENUE, 6)} AS promo_pct,
+               {sql_exact_sum(f"CASE WHEN p_type LIKE 'PROMO%' THEN {_REVENUE} ELSE 0 END", 6)} AS promo_revenue,
+               {sql_exact_sum(_REVENUE, 6)} AS total_revenue
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+    """,
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q14 shape: promo-type revenue share for one month. part is the
+    broadcast side (dimension); the ratio divides two exact-DECIMAL-derived
+    doubles, so it is bitwise identical across engines (one IEEE division of
+    two identical operands — see functions/portable.py)."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-03-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+    )
+    p = load(spark, sf_dir, "part")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type").like("PROMO%"), revenue).otherwise(F.lit(0.0))
+    agg = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            exact_sum(promo, 6).alias("promo_revenue"),
+            exact_sum(revenue, 6).alias("total_revenue"),
+        )
+    )
+    return agg.select(
+        (F.lit(100.0) * F.col("promo_revenue") / F.col("total_revenue")).alias(
+            "promo_pct"
+        ),
+        "promo_revenue",
+        "total_revenue",
+    )
+
+
+@query(
+    "q18_large_volume_customer",
+    family="analytics",
+    oracle=f"""
+        SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+               {sql_exact_sum('l_quantity', 2)} AS total_qty
+        FROM customer
+        JOIN orders   ON c_custkey = o_custkey
+        JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE o_orderkey IN (
+          SELECT l_orderkey FROM lineitem
+          GROUP BY l_orderkey
+          HAVING sum(CAST(l_quantity AS DECIMAL(30,2))) > 350
+        )
+        GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 100
+    """,
+)
+def q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q18 shape: customers whose single orders exceed a quantity
+    threshold. The IN-subquery is a self-aggregation of lineitem → LEFT SEMI
+    join against orders; the qty threshold compares the exact DECIMAL sum
+    (portable.py) so the surviving key set is engine-independent. Top-100 by
+    price plans TakeOrderedAndProject."""
+    cust = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    big_orders = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(30,2)")).alias("qty"))
+        .filter(F.col("qty") > 350)
+        .select("l_orderkey")
+    )
+    return (
+        cust.join(o, cust.c_custkey == o.o_custkey)
+        .join(big_orders, o.o_orderkey == big_orders.l_orderkey, "left_semi")
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(exact_sum(F.col("l_quantity"), 2).alias("total_qty"))
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(100)
+    )
+
+
+@query(
+    "q19_disjunctive_predicates",
+    family="analytics",
+    oracle=f"""
+        SELECT {sql_exact_sum(_REVENUE, 6)} AS revenue,
+               count(*) AS n_lines
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+               AND l_quantity BETWEEN 1 AND 11)
+           OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 20
+               AND l_quantity BETWEEN 10 AND 20)
+           OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 25
+               AND l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q19 shape: OR-of-ANDs predicate spanning both join sides.
+    Catalyst factors the common join key and pushes the per-side residuals
+    (brand/size to the part scan via superset-OR, quantity to lineitem), then
+    evaluates the full disjunction post-join — the classic test that an
+    optimizer doesn't fall back to a cartesian for disjunctive join filters."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    qty = F.col("l_quantity")
+    cond = (
+        (F.col("p_brand") == "Brand#12")
+        & F.col("p_size").between(1, 15)
+        & qty.between(1, 11)
+    ) | (
+        (F.col("p_brand") == "Brand#23")
+        & F.col("p_size").between(1, 20)
+        & qty.between(10, 20)
+    ) | (
+        (F.col("p_brand") == "Brand#34")
+        & F.col("p_size").between(1, 25)
+        & qty.between(20, 30)
+    )
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return j.filter(cond).agg(
+        exact_sum(revenue, 6).alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+@query(
+    "q22_dormant_high_balance",
+    family="analytics",
+    oracle=f"""
+        SELECT c_mktsegment,
+               count(*) AS n_custs,
+               {sql_exact_sum('c_acctbal', 2)} AS total_bal
+        FROM customer c
+        WHERE c_acctbal > (
+            SELECT {sql_exact_sum('c_acctbal', 2)} / count(*)
+            FROM customer WHERE c_acctbal > 0
+          )
+          AND NOT EXISTS (
+            SELECT 1 FROM orders o
+            WHERE o.o_custkey = c.c_custkey
+              AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+          )
+        GROUP BY c_mktsegment
+        ORDER BY c_mktsegment
+    """,
+)
+def q22_dormant_high_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q22 shape: above-average-balance customers with no recent orders
+    (fixture customers all have SOME order, so 'dormant' = none since 2000).
+    The scalar subquery's mean is the exact-DECIMAL mean (portable.py), so
+    the strict > comparison admits the same customer set in both engines; the
+    NOT EXISTS is a LEFT ANTI join against date-pruned orders. The scalar is
+    broadcast (1 row) — no shuffle for the threshold."""
+    cust = load(spark, sf_dir, "customer")
+    recent = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01 00:00:00").cast("timestamp")
+    )
+    thresh = (
+        cust.filter(F.col("c_acctbal") > 0)
+        .agg(
+            (exact_sum(F.col("c_acctbal"), 2) / F.count(F.lit(1))).alias("avg_bal")
+        )
+    )
+    return (
+        cust.join(F.broadcast(thresh))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(recent, cust.c_custkey == recent.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_custs"),
+            exact_sum(F.col("c_acctbal"), 2).alias("total_bal"),
+        )
+        .orderBy("c_mktsegment")
+    )

@@ -156,3 +156,45 @@ def test_quantize_single_shuffle(spark):
 
     assert len(re.findall(r"Arguments: hashpartitioning", plan)) == 1, plan
     assert "EvalPython" not in plan
+
+
+def test_q4_exists_is_semi_join(spark):
+    """EXISTS must plan as a semi join (no row duplication, no distinct),
+    with the quarter filter pushed to the orders scan."""
+    plan = _plan(spark, "q4_order_priority")
+    assert "LeftSemi" in plan
+    assert "Distinct" not in plan
+    assert "GreaterThanOrEqual(o_orderdate" in plan
+
+
+def test_q7_nation_dims_broadcast(spark):
+    plan = _plan(spark, "q7_volume_shipping")
+    assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_q14_part_broadcast_and_month_pushdown(spark):
+    plan = _plan(spark, "q14_promo_revenue")
+    assert "BroadcastHashJoin" in plan
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+
+
+def test_q18_semi_join_and_topn(spark):
+    plan = _plan(spark, "q18_large_volume_customer")
+    assert "LeftSemi" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q19_disjunction_not_cartesian(spark):
+    """The OR-of-ANDs must stay attached to the equi-join, never degrade to
+    a nested-loop cartesian; brand residual reaches the part side."""
+    plan = _plan(spark, "q19_disjunctive_predicates")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q22_anti_join_with_broadcast_scalar(spark):
+    plan = _plan(spark, "q22_dormant_high_balance")
+    assert "LeftAnti" in plan
+    # recent-orders date filter reaches the orders scan
+    assert "GreaterThanOrEqual(o_orderdate" in plan
