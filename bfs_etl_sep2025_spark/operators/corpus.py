@@ -1,0 +1,273 @@
+"""Corpus-management operators for LLM training-data pipelines.
+
+Reference parity: the reference repo moves raw corpora through staged
+warehouse layers (``dags/s3_data_copy_test.py`` ingest → ``dags/
+dev_db_test.py`` SQL transforms); these operators are the corpus-side
+transforms a training-data pipeline needs between those stages: reproducible
+train/val/test assignment, fixed-window chunking, benchmark decontamination,
+and domain-mixture downsampling.
+
+Cross-engine determinism: every pseudo-random decision is a pure function of
+the data via md5 (identical hex in Spark/DuckDB — see ``functions/portable``
+and ``operators/dedup``): bucket = first 28 bits of md5(key) mod N. No RNG,
+no ``rand()`` — the same doc lands in the same split/sample on any engine,
+any partitioning, any rerun, which is what makes 100 TB pipeline re-runs and
+incremental backfills safe.
+
+Scale notes:
+- split/mixture assignment is a map-only stateless projection — no shuffle
+  at all; the per-split/per-lang report aggregates after partial map-side
+  combine.
+- chunking explodes a generated offset sequence (codegen'd ``sequence`` +
+  ``explode``) — output size is O(total chars / stride), purely row-local.
+- decontamination joins exploded doc shingles against the (small, bounded)
+  eval-set shingle table: broadcast equi-join, never a cross join; the
+  corpus side streams through once.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bfs_etl_sep2025_spark.registry import query
+from bfs_etl_sep2025_spark.tables import load
+
+# -- shared md5-bucket idiom (28-bit prefix, same as operators/dedup) -------
+
+
+def _bucket(key: Column, n: int) -> Column:
+    """Deterministic bucket in [0, n): first 28 bits of md5(key) mod n."""
+    return (
+        F.conv(F.substring(F.md5(key.cast("string")), 1, 7), 16, 10)
+        .cast("bigint")
+        % n
+    )
+
+
+def _sql_bucket(expr: str, n: int) -> str:
+    return f"(('0x' || substr(md5(CAST({expr} AS VARCHAR)), 1, 7))::BIGINT % {n})"
+
+
+# -- 1. train/val/test split ------------------------------------------------
+
+_SPLIT_CASE = "CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val' ELSE 'test' END"
+
+
+@query(
+    "corpus_split_assign",
+    family="corpus",
+    oracle=f"""
+        WITH b AS (
+          SELECT {_sql_bucket('doc_id', 100)} AS b, n_chars FROM documents
+        )
+        SELECT {_SPLIT_CASE} AS split,
+               count(*) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars
+        FROM b
+        GROUP BY split
+        ORDER BY split
+    """,
+)
+def corpus_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible 90/5/5 train/val/test assignment by content-independent
+    hash of the document key. Map-only (no shuffle for the assignment
+    itself); a doc's split never changes as the corpus grows, so incremental
+    ingests can't leak val/test docs into train."""
+    d = load(spark, sf_dir, "documents")
+    b = _bucket(F.col("doc_id"), 100)
+    split = (
+        F.when(b < 90, "train").when(b < 95, "val").otherwise("test")
+    )
+    return (
+        d.select(split.alias("split"), "n_chars")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy("split")
+    )
+
+
+# -- 2. fixed-window chunking with overlap ----------------------------------
+
+_CHUNK, _STRIDE = 200, 150
+
+
+@query(
+    "corpus_chunk_overlap",
+    family="corpus",
+    oracle=f"""
+        SELECT doc_id,
+               CAST(off AS BIGINT) AS chunk_off,
+               md5(substr(text, CAST(off AS INT) + 1, {_CHUNK})) AS chunk_md5,
+               CAST(len(substr(text, CAST(off AS INT) + 1, {_CHUNK})) AS BIGINT)
+                 AS chunk_len
+        FROM documents, UNNEST(range(0, n_chars, {_STRIDE})) AS t(off)
+        WHERE n_chars > 0
+        ORDER BY doc_id, chunk_off
+    """,
+)
+def corpus_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking ({_CHUNK}-char windows, {_STRIDE}-char stride
+    → 50-char overlap) — the standard pre-tokenization step that turns
+    variable-length documents into bounded training windows. The offset list
+    is a codegen'd ``sequence`` + ``explode`` (row-local, no UDF); output
+    volume is O(total_chars / stride) regardless of document skew, and the
+    md5 chunk fingerprint is what a downstream chunk-level dedup would key
+    on."""
+    d = load(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    offs = F.sequence(
+        F.lit(0).cast("bigint"),
+        (F.col("n_chars") - 1).cast("bigint"),
+        F.lit(_STRIDE).cast("bigint"),
+    )
+    chunk = F.col("text").substr(F.col("chunk_off").cast("int") + 1, F.lit(_CHUNK))
+    return (
+        d.select("doc_id", "text", F.explode(offs).alias("chunk_off"))
+        .select(
+            "doc_id",
+            "chunk_off",
+            F.md5(chunk).alias("chunk_md5"),
+            F.length(chunk).cast("bigint").alias("chunk_len"),
+        )
+        .orderBy("doc_id", "chunk_off")
+    )
+
+
+# -- 3. benchmark decontamination -------------------------------------------
+
+#: tokens per contamination shingle — 3 for the synthetic fixture's ~30-word
+#: vocabulary (production decontamination uses 8-13-gram windows; the plan
+#: shape is identical, only this constant changes)
+_GRAM_N = 3
+
+
+def _grams(text: Column) -> Column:
+    """{_GRAM_N}-token shingles (whole text when shorter)."""
+    t = F.split(text, " ")
+    return F.when(
+        F.size(t) >= _GRAM_N,
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - (_GRAM_N - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(t, i + k) for k in range(_GRAM_N)]
+            ),
+        ),
+    ).otherwise(F.array(text))
+
+
+_SQL_GRAMS = f"""
+        CASE WHEN len(string_split(text, ' ')) >= {_GRAM_N}
+             THEN list_transform(range(1, len(string_split(text, ' ')) - {_GRAM_N - 2}),
+                    i -> {" || ' ' || ".join(f"string_split(text, ' ')[i+{k}]" for k in range(_GRAM_N))})
+             ELSE [text] END
+"""
+
+
+@query(
+    "corpus_decontaminate",
+    family="corpus",
+    oracle=f"""
+        WITH eval_grams AS (
+          SELECT DISTINCT md5(g) AS gh
+          FROM documents, UNNEST({_SQL_GRAMS}) AS t(g)
+          WHERE doc_id % 50 = 0
+        ),
+        train_grams AS (
+          SELECT doc_id, md5(g) AS gh
+          FROM documents, UNNEST({_SQL_GRAMS}) AS t(g)
+          WHERE doc_id % 50 <> 0
+        )
+        SELECT doc_id, count(DISTINCT tg.gh) AS n_hits
+        FROM train_grams tg JOIN eval_grams eg ON tg.gh = eg.gh
+        GROUP BY doc_id
+        HAVING count(DISTINCT tg.gh) >= 3
+        ORDER BY doc_id
+    """,
+)
+def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination scan: training docs sharing >= 3 distinct
+    {_GRAM_N}-token shingles with the held-out eval set (here: every 50th
+    doc stands in for the benchmark). The canonical pre-training hygiene
+    step — eval n-grams must not appear verbatim in train.
+
+    Scale: the eval side is bounded (benchmarks are millions of grams, not
+    billions) → distinct-hashed and broadcast; the corpus side explodes
+    shingles and equi-joins on the md5 — one streaming pass, no cross join,
+    the same candidate-generation discipline as the LSH dedups."""
+    d = load(spark, sf_dir, "documents")
+    is_eval = F.col("doc_id") % 50 == 0
+    eval_grams = (
+        d.filter(is_eval)
+        .select(F.explode(_grams(F.col("text"))).alias("g"))
+        .select(F.md5("g").alias("gh"))
+        .distinct()
+    )
+    train_grams = (
+        d.filter(~is_eval)
+        .select("doc_id", F.explode(_grams(F.col("text"))).alias("g"))
+        .select("doc_id", F.md5("g").alias("gh"))
+    )
+    return (
+        train_grams.join(F.broadcast(eval_grams), "gh")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("gh").alias("n_hits"))
+        .filter(F.col("n_hits") >= 3)
+        .orderBy("doc_id")
+    )
+
+
+# -- 4. domain-mixture downsampling -----------------------------------------
+
+#: per-mille keep rates per language — the "mixture weights" of the corpus
+_MIX_RATES = {"en": 1000, "de": 500, "fr": 500, "es": 250, "zh": 250}
+
+
+@query(
+    "corpus_mixture_sample",
+    family="corpus",
+    oracle=f"""
+        WITH r AS (
+          SELECT lang, n_chars,
+                 {_sql_bucket('doc_id', 1000)} <
+                   (CASE {' '.join(f"WHEN lang = '{k}' THEN {v}" for k, v in _MIX_RATES.items())}
+                         ELSE 0 END) AS kept
+          FROM documents
+        )
+        SELECT lang,
+               count(*) AS n_total,
+               count(*) FILTER (WHERE kept) AS n_kept,
+               CAST(coalesce(sum(n_chars) FILTER (WHERE kept), 0) AS BIGINT)
+                 AS kept_chars
+        FROM r
+        GROUP BY lang
+        ORDER BY lang
+    """,
+)
+def corpus_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic domain-mixture downsampling: per-language per-mille
+    keep rates applied via the md5 bucket of the doc key — the reweighting
+    step that turns a raw crawl into a target training mixture. Stateless
+    map-side decision (no shuffle, no RNG); rerunning or backfilling keeps
+    exactly the same documents. The report shows achieved vs raw counts per
+    language."""
+    d = load(spark, sf_dir, "documents")
+    rate = F.coalesce(
+        *[F.when(F.col("lang") == k, F.lit(v)) for k, v in _MIX_RATES.items()],
+        F.lit(0),
+    )
+    kept = _bucket(F.col("doc_id"), 1000) < rate
+    return (
+        d.select("lang", "n_chars", kept.alias("kept"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.count(F.when(F.col("kept"), 1)).alias("n_kept"),
+            F.coalesce(
+                F.sum(F.when(F.col("kept"), F.col("n_chars"))), F.lit(0)
+            ).alias("kept_chars"),
+        )
+        .orderBy("lang")
+    )

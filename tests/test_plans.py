@@ -198,3 +198,29 @@ def test_q22_anti_join_with_broadcast_scalar(spark):
     assert "LeftAnti" in plan
     # recent-orders date filter reaches the orders scan
     assert "GreaterThanOrEqual(o_orderdate" in plan
+
+
+@pytest.mark.parametrize(
+    "name", ["corpus_split_assign", "corpus_mixture_sample"]
+)
+def test_corpus_assignment_is_map_only_before_agg(spark, name):
+    """Split/mixture assignment must be a stateless projection: no join, no
+    window, no shuffle of raw rows — partial aggregation runs before the
+    (only) hash exchange, so the shuffle carries |groups| rows."""
+    plan = _plan(spark, name)
+    assert "Join" not in plan and "Window" not in plan
+    assert "partial_count" in plan  # map-side combine before the exchange
+    assert plan.count("hashpartitioning") == 1  # one agg shuffle (+ sort range)
+
+
+def test_corpus_decontaminate_broadcast_equi_join(spark):
+    plan = _plan(spark, "corpus_decontaminate")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_corpus_chunk_no_python(spark):
+    plan = _plan(spark, "corpus_chunk_overlap")
+    assert "EvalPython" not in plan
+    assert "Generate" in plan  # sequence+explode, not a UDF
