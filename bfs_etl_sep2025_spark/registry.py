@@ -85,6 +85,7 @@ def _ensure_loaded() -> None:
         return
     from bfs_etl_sep2025_spark.operators import (  # noqa: F401
         corpus,
+        funnel,
         analytics,
         windows,
         relational,

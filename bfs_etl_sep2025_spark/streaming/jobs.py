@@ -192,3 +192,42 @@ def run_stream_collect(
     )
     q.awaitTermination()
     return batches
+
+
+def stream_interval_join(
+    clicks: DataFrame, purchases: DataFrame, max_gap: str = "1 hour"
+) -> DataFrame:
+    """Watermarked stream-stream inner join: purchases matched to the same
+    user's click within ``(click_ts, click_ts + max_gap]``.
+
+    Both inputs are event streams; each gets a watermark and the join
+    condition bounds purchase time relative to click time, which is what
+    lets Structured Streaming EXPIRE buffered rows — without the range
+    bound (or the watermarks) both state stores grow forever. The batch
+    twin (identical plan minus state) is
+    ``operators/funnel.py::stream_stream_interval_join``.
+    """
+    c = (
+        clicks.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            "user_id",
+            F.col("ts").cast("timestamp").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "2 hours")
+    )
+    p = (
+        purchases.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").cast("timestamp").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "2 hours")
+    )
+    return c.join(
+        p,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") > F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {max_gap}")),
+    ).select("click_id", "purchase_id", "user_id", "click_ts", "purchase_ts")

@@ -224,3 +224,28 @@ def test_corpus_chunk_no_python(spark):
     plan = _plan(spark, "corpus_chunk_overlap")
     assert "EvalPython" not in plan
     assert "Generate" in plan  # sequence+explode, not a UDF
+
+
+def test_funnel_pushes_type_filters(spark):
+    """Each funnel stage must push its event_type filter to the scan, and
+    stage joins must be equi-joins (only the 3 single-row count merges may
+    nested-loop)."""
+    plan = _plan(spark, "funnel_ordered_steps")
+    assert "EqualTo(event_type,view)" in plan
+    assert "EqualTo(event_type,click)" in plan
+    assert "EqualTo(event_type,purchase)" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_stream_stream_join_is_equi(spark):
+    """The interval join must anchor on the user_id equi-key — a theta-only
+    time join would be a nested-loop and unbounded state at stream time."""
+    plan = _plan(spark, "stream_stream_interval_join")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_event_path_single_shuffle_window(spark):
+    plan = _plan(spark, "event_path_transitions")
+    assert "Window" in plan
+    assert plan.count("hashpartitioning(user_id") >= 1

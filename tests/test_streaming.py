@@ -166,3 +166,53 @@ def test_session_window_exact_gap_boundary(spark):
         per_user.setdefault(r.user_id, []).append(r.n)
     assert per_user[1] == [2]  # merged at the exact boundary
     assert per_user[2] == [1, 1]  # split one second past it
+
+
+def test_stream_stream_interval_join(stream_env):
+    """Real two-readStream watermarked interval join: purchases pair with
+    the same user's click within 1h; a purchase 90 minutes out must NOT
+    match. Result must equal the batch formulation on identical data."""
+    from datetime import datetime
+
+    spark, src, ckpt = stream_env
+    rows = [
+        # user 1: click 10:00; purchases 10:30 (in) and 11:30 (out of 1h)
+        (1, datetime(2024, 1, 1, 10, 0), 1, "click", 1.0, "{}"),
+        (2, datetime(2024, 1, 1, 10, 30), 1, "purchase", 5.0, "{}"),
+        (3, datetime(2024, 1, 1, 11, 30), 1, "purchase", 7.0, "{}"),
+        # user 2: purchase before any click — no match
+        (4, datetime(2024, 1, 1, 9, 0), 2, "purchase", 2.0, "{}"),
+        (5, datetime(2024, 1, 1, 9, 30), 2, "click", 1.0, "{}"),
+    ]
+    # two files -> two micro-batches on each side
+    _write_batch(spark, src, rows[:3])
+    _write_batch(spark, src, rows[3:])
+
+    from bfs_etl_sep2025_spark.streaming.jobs import stream_interval_join
+
+    joined = stream_interval_join(_read_stream(spark, src), _read_stream(spark, src))
+    batches = run_stream_collect(joined, ckpt)
+    got = sorted(
+        (r.click_id, r.purchase_id) for _, b in batches for r in b
+    )
+    assert got == [(1, 2)]
+
+    # convergence: identical to the batch plan over the same rows
+    batch_df = spark.createDataFrame(rows, SCHEMA)
+    c = batch_df.filter("event_type = 'click'").selectExpr(
+        "event_id AS click_id", "user_id", "ts AS click_ts"
+    )
+    p = batch_df.filter("event_type = 'purchase'").selectExpr(
+        "event_id AS purchase_id", "user_id AS p_user_id", "ts AS purchase_ts"
+    )
+    import pyspark.sql.functions as F
+
+    batch = c.join(
+        p,
+        (c.user_id == p.p_user_id)
+        & (p.purchase_ts > c.click_ts)
+        & (p.purchase_ts <= c.click_ts + F.expr("INTERVAL 1 HOUR")),
+    )
+    assert sorted(
+        (r.click_id, r.purchase_id) for r in batch.collect()
+    ) == got
