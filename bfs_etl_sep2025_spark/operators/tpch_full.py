@@ -1,0 +1,628 @@
+"""TPC-H completion: the 11 decision-support shapes not already covered by
+``analytics.py`` — Q2, Q6, Q8, Q9, Q11, Q13, Q15, Q16, Q17, Q20, Q21.
+
+Together with Q1/Q3/Q4/Q5/Q7/Q10/Q12/Q14/Q18/Q19/Q22 elsewhere in the repo,
+all 22 TPC-H query SHAPES are now expressed as declarative Spark plans with
+DuckDB oracles.
+
+Reference parity: the reference executes arbitrary warehouse SQL via its
+pass-through operator (``dags/dev_db_test.py:41-70``); TPC-H is the canonical
+decision-support surface such a warehouse serves.
+
+Fixture adaptations (the synthetic schema omits some canonical columns):
+- no ``partsupp`` table -> the part<->supplier relationship and its cost come
+  from ``lineitem`` (unit cost = min(l_extendedprice / l_quantity) per
+  part+supplier; shipped quantity plays availqty's role in Q20).
+- no ``l_commitdate``/``l_receiptdate`` -> Q21's "late" is
+  ``l_shipdate > o_orderdate + 90 days``.
+- no ``o_comment``/``p_container``/``p_mfgr`` -> Q13 excludes an
+  o_orderpriority class instead of a comment regex; Q16/Q17 filter on
+  brand/type/size only.
+Every adaptation preserves the query's SHAPE (the join/subquery/aggregate
+structure that stresses the optimizer), which is what these exist to prove.
+
+Scale notes (100 TB):
+- correlated scalar subqueries (Q2 min-cost, Q15 max-revenue, Q17 per-part
+  avg) become per-group aggregates joined/windowed back — one extra shuffle
+  on the correlation key, never a per-row re-scan.
+- the multi-EXISTS of Q21 collapses to ONE per-order aggregate (distinct
+  suppliers, distinct late suppliers) + an equi-join — the classic rewrite
+  that turns two correlated semi/anti probes of a 100 TB fact into a single
+  shuffle on the natural key.
+- global thresholds (Q11 total, Q15 max) are 1-row broadcasts, never a
+  shuffle of the big side.
+- every sum a result depends on is exact-DECIMAL (functions/portable.py), so
+  values are identical at any parallelism; doubles are compared/ordered only
+  after both engines compute them from identical inputs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from bfs_etl_sep2025_spark.functions.portable import (
+    exact_sum,
+    sql_exact_sum,
+)
+from bfs_etl_sep2025_spark.registry import query
+from bfs_etl_sep2025_spark.tables import load
+
+_REVENUE = "l_extendedprice * (1 - l_discount)"
+
+
+@query(
+    "q6_forecast_revenue",
+    family="analytics",
+    oracle=f"""
+        SELECT {sql_exact_sum('l_extendedprice * l_discount', 6)} AS revenue,
+               count(*) AS n_lines
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+          AND l_discount BETWEEN 0.05 AND 0.07
+          AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q6 shape: single-table scan-heavy filter + aggregate. The whole
+    WHERE clause (date range, discount band, quantity cap) must reach the
+    parquet scan as PushedFilters — at 100 TB this query is pure scan
+    bandwidth, and row-group min/max statistics prune most of the file."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            exact_sum(F.col("l_extendedprice") * F.col("l_discount"), 6).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "q2_min_cost_supplier",
+    family="analytics",
+    oracle="""
+        WITH costs AS (
+          SELECT l_partkey, l_suppkey,
+                 min(l_extendedprice / l_quantity) AS unit_cost
+          FROM lineitem GROUP BY l_partkey, l_suppkey
+        )
+        SELECT s_acctbal, s_name, n_name, p_partkey, unit_cost
+        FROM part, costs, supplier, nation, region
+        WHERE p_partkey = costs.l_partkey
+          AND s_suppkey = costs.l_suppkey
+          AND p_type = 'LARGE' AND p_size <= 10
+          AND s_nationkey = n_nationkey
+          AND n_regionkey = r_regionkey
+          AND r_name = 'EUROPE'
+          AND unit_cost = (
+            SELECT min(c2.unit_cost)
+            FROM costs c2, supplier s2, nation n2, region r2
+            WHERE c2.l_partkey = p_partkey
+              AND s2.s_suppkey = c2.l_suppkey
+              AND s2.s_nationkey = n2.n_nationkey
+              AND n2.n_regionkey = r2.r_regionkey
+              AND r2.r_name = 'EUROPE'
+          )
+        ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+        LIMIT 100
+    """,
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q2 shape: for each qualifying part, the EUROPE supplier offering
+    the minimum unit cost (correlated scalar-min subquery). The subquery
+    becomes a window ``min`` over the part key on the already-joined,
+    region-filtered cost table — one shuffle on l_partkey instead of a
+    per-part re-aggregation; dims (part filter, nation, region) broadcast.
+    ``min`` over doubles is order-independent, so the equality filter admits
+    identical rows in both engines."""
+    li = load(spark, sf_dir, "lineitem")
+    costs = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost")
+    )
+    p = load(spark, sf_dir, "part").filter(
+        (F.col("p_type") == "LARGE") & (F.col("p_size") <= 10)
+    )
+    supp = load(spark, sf_dir, "supplier")
+    nat = load(spark, sf_dir, "nation")
+    reg = load(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    europe_costs = (
+        costs.join(supp, costs.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+    )
+    w = Window.partitionBy("l_partkey")
+    return (
+        europe_costs.join(F.broadcast(p), europe_costs.l_partkey == p.p_partkey)
+        .withColumn("min_cost", F.min("unit_cost").over(w))
+        .filter(F.col("unit_cost") == F.col("min_cost"))
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "unit_cost")
+        .orderBy(
+            F.desc("s_acctbal"), F.asc("n_name"), F.asc("s_name"), F.asc("p_partkey")
+        )
+        .limit(100)
+    )
+
+
+@query(
+    "q8_market_share",
+    family="analytics",
+    oracle=f"""
+        SELECT o_year,
+               {sql_exact_sum('nation_volume', 6)}
+                 / {sql_exact_sum('volume', 6)} AS mkt_share
+        FROM (
+          SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+                 l_extendedprice * (1 - l_discount) AS volume,
+                 CASE WHEN sn.n_name = 'NATION_7'
+                      THEN l_extendedprice * (1 - l_discount)
+                      ELSE 0 END AS nation_volume
+          FROM lineitem
+          JOIN orders   ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          JOIN part     ON l_partkey = p_partkey
+          JOIN supplier ON l_suppkey = s_suppkey
+          JOIN nation cn ON c_nationkey = cn.n_nationkey
+          JOIN nation sn ON s_nationkey = sn.n_nationkey
+          JOIN region   ON cn.n_regionkey = r_regionkey
+          WHERE r_name = 'AMERICA'
+            AND p_type = 'PROMO'
+            AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+            AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+        ) all_nations
+        GROUP BY o_year
+        ORDER BY o_year
+    """,
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q8 shape: national market share — one nation's fraction of
+    regional volume per year. Two ROLES for the nation dim (customer's and
+    supplier's) are two independent broadcast joins of the same 25-row table;
+    the share is a ratio of two exact-DECIMAL sums computed in ONE aggregate
+    pass (conditional sum), not two scans."""
+    li = load(spark, sf_dir, "lineitem")
+    ords = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    cust = load(spark, sf_dir, "customer")
+    p = load(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    supp = load(spark, sf_dir, "supplier")
+    cn = load(spark, sf_dir, "nation").alias("cn")
+    sn = load(spark, sf_dir, "nation").alias("sn")
+    reg = load(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    joined = (
+        li.join(ords, li.l_orderkey == ords.o_orderkey)
+        .join(cust, ords.o_custkey == cust.c_custkey)
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(cn), cust.c_nationkey == F.col("cn.n_nationkey"))
+        .join(F.broadcast(sn), supp.s_nationkey == F.col("sn.n_nationkey"))
+        .join(F.broadcast(reg), F.col("cn.n_regionkey") == reg.r_regionkey)
+        .select(
+            F.year("o_orderdate").cast("int").alias("o_year"),
+            volume.alias("volume"),
+            F.when(F.col("sn.n_name") == "NATION_7", volume)
+            .otherwise(F.lit(0.0))
+            .alias("nation_volume"),
+        )
+    )
+    return (
+        joined.groupBy("o_year")
+        .agg(
+            (
+                exact_sum(F.col("nation_volume"), 6)
+                / exact_sum(F.col("volume"), 6)
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+@query(
+    "q9_product_profit",
+    family="analytics",
+    oracle=f"""
+        SELECT n_name AS nation,
+               CAST(year(o_orderdate) AS INT) AS o_year,
+               {sql_exact_sum(
+                   'l_extendedprice * (1 - l_discount)'
+                   ' - 0.1 * p_retailprice * l_quantity', 6)} AS sum_profit
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN part     ON l_partkey = p_partkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        WHERE p_name LIKE '%red%'
+        GROUP BY nation, o_year
+        ORDER BY nation, o_year DESC
+    """,
+)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q9 shape: profit per supplier-nation per year over a part-name
+    substring filter. No partsupp in the fixture, so unit cost is modeled as
+    10% of p_retailprice (row-level double arithmetic, identical both
+    engines). The LIKE filter prunes part BEFORE its broadcast; profit
+    accumulates in exact DECIMAL."""
+    li = load(spark, sf_dir, "lineitem")
+    ords = load(spark, sf_dir, "orders")
+    p = load(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    supp = load(spark, sf_dir, "supplier")
+    nat = load(spark, sf_dir, "nation")
+    profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.lit(0.1) * F.col(
+        "p_retailprice"
+    ) * F.col("l_quantity")
+    return (
+        li.join(ords, li.l_orderkey == ords.o_orderkey)
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+        )
+        .agg(exact_sum(profit, 6).alias("sum_profit"))
+        .orderBy(F.asc("nation"), F.desc("o_year"))
+    )
+
+
+@query(
+    "q11_important_stock",
+    family="analytics",
+    oracle=f"""
+        WITH v AS (
+          SELECT l_partkey AS ps_partkey,
+                 {sql_exact_sum('l_extendedprice', 2)} AS part_value
+          FROM lineitem
+          JOIN supplier ON l_suppkey = s_suppkey
+          JOIN nation   ON s_nationkey = n_nationkey
+          WHERE n_name = 'NATION_3'
+          GROUP BY l_partkey
+        )
+        SELECT ps_partkey, part_value
+        FROM v
+        WHERE part_value > (
+            SELECT {sql_exact_sum('part_value', 2)} * 0.001 FROM v
+          )
+        ORDER BY part_value DESC, ps_partkey
+    """,
+)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q11 shape: parts whose inventory value (from one nation's
+    suppliers) exceeds a fraction of the nation's total — a HAVING against a
+    global scalar subquery. The per-part values are computed ONCE; the total
+    re-aggregates that (shuffled, small) result and broadcasts one row back.
+    Both sums exact-DECIMAL, so the strict > threshold splits identically."""
+    li = load(spark, sf_dir, "lineitem")
+    supp = load(spark, sf_dir, "supplier")
+    nat = load(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    v = (
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .groupBy(F.col("l_partkey").alias("ps_partkey"))
+        .agg(exact_sum(F.col("l_extendedprice"), 2).alias("part_value"))
+    )
+    total = v.agg(
+        (exact_sum(F.col("part_value"), 2) * F.lit(0.001)).alias("threshold")
+    )
+    return (
+        v.join(F.broadcast(total))
+        .filter(F.col("part_value") > F.col("threshold"))
+        .select("ps_partkey", "part_value")
+        .orderBy(F.desc("part_value"), F.asc("ps_partkey"))
+    )
+
+
+@query(
+    "q13_customer_distribution",
+    family="analytics",
+    oracle="""
+        SELECT c_count, count(*) AS custdist
+        FROM (
+          SELECT c_custkey, count(o_orderkey) AS c_count
+          FROM customer
+          LEFT JOIN orders ON c_custkey = o_custkey
+                          AND o_orderpriority <> '1-URGENT'
+          GROUP BY c_custkey
+        ) c_orders
+        GROUP BY c_count
+        ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q13 shape: order-count histogram over a filtered LEFT join —
+    customers with zero qualifying orders must appear in the 0 bucket, which
+    is exactly what an inner join would lose. (Fixture has no o_comment, so
+    the exclusion predicate is an o_orderpriority class.) Two aggregates:
+    the first shuffles on the join key it already has; the second is over a
+    handful of distinct counts."""
+    cust = load(spark, sf_dir, "customer")
+    ords = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        cust.join(ords, cust.c_custkey == ords.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+@query(
+    "q15_top_supplier",
+    family="analytics",
+    oracle=f"""
+        WITH revenue AS (
+          SELECT l_suppkey AS supplier_no,
+                 {sql_exact_sum(_REVENUE, 6)} AS total_revenue
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+            AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+          GROUP BY l_suppkey
+        )
+        SELECT s_suppkey, s_name, total_revenue
+        FROM supplier JOIN revenue ON s_suppkey = supplier_no
+        WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+        ORDER BY s_suppkey
+    """,
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q15 shape: the supplier(s) achieving the quarter's maximum
+    revenue (the view + scalar-max subquery). Revenue is computed once; the
+    max re-aggregates the 1-row-per-supplier result and broadcasts back.
+    Revenue sums are exact-DECIMAL so the equality keeps the same supplier
+    set in both engines (ties included)."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+    )
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        exact_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6).alias(
+            "total_revenue"
+        )
+    )
+    mx = revenue.agg(F.max("total_revenue").alias("max_revenue"))
+    supp = load(spark, sf_dir, "supplier")
+    return (
+        supp.join(revenue, supp.s_suppkey == revenue.supplier_no)
+        .join(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("max_revenue"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+@query(
+    "q16_supplier_part_count",
+    family="analytics",
+    oracle="""
+        SELECT p_brand, p_type, p_size,
+               count(DISTINCT l_suppkey) AS supplier_cnt
+        FROM lineitem
+        JOIN part ON p_partkey = l_partkey
+        WHERE p_brand <> 'Brand#1'
+          AND p_type NOT IN ('PROMO', 'ECONOMY')
+          AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+          AND l_suppkey NOT IN (
+            SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+          )
+        GROUP BY p_brand, p_type, p_size
+        ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+)
+def q16_supplier_part_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q16 shape: distinct-supplier counts per part attribute triple,
+    excluding a supplier blocklist (NOT IN subquery -> LEFT ANTI against the
+    broadcast-small exclusion set; s_suppkey is non-null so anti-join and
+    NOT IN agree). The distinct count shuffles once on the group keys."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & ~F.col("p_type").isin("PROMO", "ECONOMY")
+        & F.col("p_size").isin(1, 4, 7, 10, 13, 16, 19, 22)
+    )
+    excluded = load(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0)
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(
+            F.broadcast(excluded),
+            li.l_suppkey == excluded.s_suppkey,
+            "left_anti",
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct(F.col("l_suppkey")).alias("supplier_cnt"))
+        .orderBy(
+            F.desc("supplier_cnt"), F.asc("p_brand"), F.asc("p_type"), F.asc("p_size")
+        )
+    )
+
+
+@query(
+    "q17_small_quantity_revenue",
+    family="analytics",
+    oracle=f"""
+        WITH avgq AS (
+          SELECT l_partkey AS ap_partkey,
+                 {sql_exact_sum('l_quantity', 2)} / count(l_quantity) AS avg_qty
+          FROM lineitem GROUP BY l_partkey
+        )
+        SELECT {sql_exact_sum('l_extendedprice', 2)} / 7.0 AS avg_yearly,
+               count(*) AS n_lines
+        FROM lineitem
+        JOIN part ON p_partkey = l_partkey
+        JOIN avgq ON ap_partkey = l_partkey
+        WHERE p_brand = 'Brand#3'
+          AND p_type = 'MEDIUM'
+          AND l_quantity < 0.2 * avg_qty
+    """,
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q17 shape: revenue lost to small-quantity orders — each line
+    compared against 20% of ITS part's average quantity (correlated avg
+    subquery). The per-part average is a window aggregate over the part key
+    (one shuffle, no re-scan); the average is exact-DECIMAL-sum / count so
+    the strict < boundary is identical in both engines."""
+    li = load(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_partkey")
+    with_avg = li.withColumn(
+        "avg_qty",
+        F.sum(F.col("l_quantity").cast("decimal(30,2)")).over(w).cast("double")
+        / F.count("l_quantity").over(w),
+    )
+    p = load(spark, sf_dir, "part").filter(
+        (F.col("p_brand") == "Brand#3") & (F.col("p_type") == "MEDIUM")
+    )
+    return (
+        with_avg.join(F.broadcast(p), with_avg.l_partkey == p.p_partkey)
+        .filter(F.col("l_quantity") < F.lit(0.2) * F.col("avg_qty"))
+        .agg(
+            (exact_sum(F.col("l_extendedprice"), 2) / F.lit(7.0)).alias(
+                "avg_yearly"
+            ),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "q20_potential_promotion",
+    family="analytics",
+    oracle=f"""
+        WITH shipped AS (
+          SELECT l_partkey, l_suppkey,
+                 {sql_exact_sum('l_quantity', 2)} AS qty
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+            AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+          GROUP BY l_partkey, l_suppkey
+        ),
+        tot AS (
+          SELECT l_partkey, {sql_exact_sum('qty', 2)} AS total_qty
+          FROM shipped GROUP BY l_partkey
+        )
+        SELECT s_suppkey, s_name
+        FROM supplier
+        WHERE s_suppkey IN (
+          SELECT shipped.l_suppkey
+          FROM shipped
+          JOIN tot ON shipped.l_partkey = tot.l_partkey
+          WHERE shipped.l_partkey IN (
+              SELECT p_partkey FROM part WHERE p_name LIKE 'hot%'
+            )
+            AND shipped.qty > 0.25 * tot.total_qty
+        )
+        ORDER BY s_suppkey
+    """,
+)
+def q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q20 shape: suppliers holding a dominant share (>25%) of any
+    'hot%' part's annual shipments — nested IN subqueries over an aggregate.
+    (No partsupp: shipped quantity stands in for availqty.) The inner IN is
+    a broadcast semi-join on the name-filtered part set; the per-part total
+    is a window sum (exact DECIMAL) over the part key — the (part, supplier)
+    aggregate and the window reuse the SAME shuffle; the outer IN is a
+    semi-join into supplier."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    hot_parts = load(spark, sf_dir, "part").filter(F.col("p_name").like("hot%"))
+    shipped = (
+        li.join(F.broadcast(hot_parts), li.l_partkey == hot_parts.p_partkey, "left_semi")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(exact_sum(F.col("l_quantity"), 2).alias("qty"))
+    )
+    w = Window.partitionBy("l_partkey")
+    dominant = (
+        shipped.withColumn(
+            "total_qty",
+            F.sum(F.col("qty").cast("decimal(30,2)")).over(w).cast("double"),
+        )
+        .filter(F.col("qty") > F.lit(0.25) * F.col("total_qty"))
+        .select("l_suppkey")
+    )
+    supp = load(spark, sf_dir, "supplier")
+    return (
+        supp.join(dominant, supp.s_suppkey == dominant.l_suppkey, "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )
+
+
+@query(
+    "q21_suppliers_kept_waiting",
+    family="analytics",
+    oracle="""
+        SELECT s_name, count(*) AS numwait
+        FROM supplier, lineitem l1, orders
+        WHERE s_suppkey = l1.l_suppkey
+          AND o_orderkey = l1.l_orderkey
+          AND o_orderstatus = 'F'
+          AND l1.l_shipdate > o_orderdate + INTERVAL 90 DAY
+          AND EXISTS (
+            SELECT 1 FROM lineitem l2
+            WHERE l2.l_orderkey = l1.l_orderkey
+              AND l2.l_suppkey <> l1.l_suppkey
+          )
+          AND NOT EXISTS (
+            SELECT 1 FROM lineitem l3
+            WHERE l3.l_orderkey = l1.l_orderkey
+              AND l3.l_suppkey <> l1.l_suppkey
+              AND l3.l_shipdate > o_orderdate + INTERVAL 90 DAY
+          )
+        GROUP BY s_name
+        ORDER BY numwait DESC, s_name
+        LIMIT 100
+    """,
+)
+def q21_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q21 shape: suppliers who were the SOLE late shipper on a
+    multi-supplier finished order. (No commit/receipt dates in the fixture:
+    late = shipped >90 days after the order date.)
+
+    The oracle keeps the canonical correlated EXISTS + NOT EXISTS; the Spark
+    plan is the scalable rewrite — ONE aggregate per order computing
+    (distinct suppliers, distinct LATE suppliers), then an equi-join back to
+    the late lines with ``n_supp >= 2 AND n_late = 1``. For a late line l1,
+    "no OTHER supplier late" is exactly "the order's only late supplier is
+    l1's" — the two correlated probes of a 100 TB lineitem collapse into a
+    single shuffle on l_orderkey."""
+    ords = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    li = load(spark, sf_dir, "lineitem")
+    lines = li.join(ords, li.l_orderkey == ords.o_orderkey).withColumn(
+        "is_late",
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAY"),
+    )
+    per_order = lines.groupBy("l_orderkey").agg(
+        F.count_distinct("l_suppkey").alias("n_supp"),
+        F.count_distinct(
+            F.when(F.col("is_late"), F.col("l_suppkey"))
+        ).alias("n_late"),
+    )
+    late_lines = lines.filter(F.col("is_late")).select("l_orderkey", "l_suppkey")
+    waiting = late_lines.join(
+        per_order.filter((F.col("n_supp") >= 2) & (F.col("n_late") == 1)),
+        "l_orderkey",
+        "left_semi",
+    )
+    supp = load(spark, sf_dir, "supplier")
+    return (
+        waiting.join(supp, waiting.l_suppkey == supp.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(100)
+    )

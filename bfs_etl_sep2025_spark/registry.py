@@ -84,6 +84,7 @@ def _ensure_loaded() -> None:
     if _LOADED:
         return
     from bfs_etl_sep2025_spark.operators import (  # noqa: F401
+        tpch_full,
         corpus,
         funnel,
         analytics,
