@@ -243,8 +243,8 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         JOIN supplier ON l_suppkey = s_suppkey
         JOIN nation   ON s_nationkey = n_nationkey
         WHERE p_name LIKE '%red%'
-        GROUP BY nation, o_year
-        ORDER BY nation, o_year DESC
+        GROUP BY n_name, CAST(year(o_orderdate) AS INT)
+        ORDER BY n_name, CAST(year(o_orderdate) AS INT) DESC
     """,
 )
 def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
