@@ -7,12 +7,26 @@ Three operators on ``embeddings`` (64-dim float vectors):
                                    -> equi-join on bucket -> exact rerank
 - cosine range search (near-dup) — all pairs above a similarity threshold
 
-Engine-exact arithmetic: every dot product is an ORDERED fold of
-double-promoted elementwise products (Spark ``aggregate``/``zip_with``,
-DuckDB ``list_reduce``/``list_transform`` — same IEEE operation sequence,
-bitwise-identical results, so rankings cannot diverge). The LSH hyperplanes
-are ±1 sign vectors derived from md5 at import time (hashlib == SQL md5) and
-embedded as literals in BOTH formulations.
+Engine-exact arithmetic: every dot product is an ORDERED left-associated
+fold of double-promoted elementwise products. Spark-side every dot/norm/
+bucket is an unrolled chain of ``element_at(vec, i)`` terms with LITERAL
+indices (:func:`_dot_arr`): ``ElementAt`` is a regular codegen'd expression
+(only lambda HOFs — ``aggregate``/``zip_with``/``transform`` — fall back to
+interpreted eval, VERDICT r02 item 2), so the per-pair hot loop is
+whole-stage-codegen'd flat arithmetic reading straight out of
+``UnsafeArrayData``, while vectors stay single compact array columns
+through shuffles and broadcasts. DuckDB-side the same fold is
+``list_reduce``/``list_transform``. Identical IEEE operation sequence ⇒
+bitwise-identical results ⇒ rankings cannot diverge. The LSH hyperplanes
+are ±1 sign vectors derived from md5 at import time (hashlib == SQL md5)
+and embedded as literals in BOTH formulations.
+
+(Why not widen vectors into 64 flat double columns pre-join? 64-alias
+projections send Catalyst's constraint propagation — which re-transforms
+every accumulated constraint per alias in ``getAllValidConstraints`` —
+into exponential tree growth: the optimizer itself OOMs a 16 GiB driver
+before any task runs. Literal-index ``element_at`` gives the identical
+codegen'd machine code with ~3 aliases per projection.)
 
 Scale notes (100 TB / billions of vectors):
 - Brute force is O(|Q|·N) with a broadcast query set — right only for small
@@ -59,56 +73,45 @@ PLANES = _plane_signs()
 # -- Spark-side vector expressions ------------------------------------------
 
 
-def _dot(a: Column, b: Column) -> Column:
-    """Ordered-fold dot product in double (Spark ``aggregate`` over
-    ``zip_with`` — interpreted, fine for SMALL pair counts). Left fold with
-    0.0 init reproduces the oracle's ``list_reduce`` exactly (0.0 + x1 ≡
-    x1), so results are bitwise identical.
-
-    HOT paths (all-pairs, large candidate joins) must NOT evaluate array
-    expressions per pair at all — see :func:`_widen`: extract elements to
-    flat double columns once per row pre-join, then combine with
-    :func:`_dot_wide` (pure codegen'd arithmetic)."""
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+def _el(vec: str, i: int) -> Column:
+    """Element i (1-based literal index) of an array column, promoted to
+    double — codegen'd direct read from ``UnsafeArrayData``."""
+    return F.element_at(F.col(vec), F.lit(i)).cast("double")
 
 
-def _widen(df: DataFrame, vec_col: str, prefix: str) -> DataFrame:
-    """Explode a 64-dim array column into flat double columns
-    ``{prefix}1..{prefix}64`` — paid once per ROW, so downstream pair
-    expressions touch no arrays (the n² side stays whole-stage-codegen'd
-    flat-column arithmetic)."""
-    return df.select(
-        "*",
-        *[
-            F.element_at(vec_col, i).cast("double").alias(f"{prefix}{i}")
-            for i in range(1, DIM + 1)
-        ],
-    ).drop(vec_col)
-
-
-def _dot_wide(pa: str, pb: str) -> Column:
-    """Left-associated sum of products over widened columns — the codegen'd
-    twin of :func:`_dot` (identical fold order, bitwise-equal result)."""
-    out = F.col(f"{pa}1") * F.col(f"{pb}1")
+def _dot_arr(a: str, b: str) -> Column:
+    """Left-associated sum of ``element_at`` products — whole-stage-codegen'd
+    (no lambda HOF anywhere). The fold order (x1*y1 + x2*y2 + ...) is the
+    SAME IEEE operation sequence as the oracle's
+    ``list_reduce(list_transform(...))``, so results are bitwise identical
+    and rankings cannot diverge."""
+    out = _el(a, 1) * _el(b, 1)
     for i in range(2, DIM + 1):
-        out = out + F.col(f"{pa}{i}") * F.col(f"{pb}{i}")
+        out = out + _el(a, i) * _el(b, i)
     return out
 
 
-def _norm(a: Column) -> Column:
-    return F.sqrt(_dot(a, a))
+def _norm_arr(a: str) -> Column:
+    """L2 norm — codegen'd, same fold order as ``sqrt(list_reduce(...))``
+    on the oracle side."""
+    return F.sqrt(_dot_arr(a, a))
 
 
-def _bucket(v: Column) -> Column:
-    """8-bit sign sketch of v against the fixed hyperplanes."""
+def _plane_dot_arr(a: str, plane: list[float]) -> Column:
+    """Dot against a ±1 hyperplane literal — plane elements fold in as
+    double literals in the same left-associated order as the oracle's
+    ``list_reduce`` over the plane array literal."""
+    out = _el(a, 1) * F.lit(plane[0])
+    for i in range(2, DIM + 1):
+        out = out + _el(a, i) * F.lit(plane[i - 1])
+    return out
+
+
+def _bucket_arr(a: str) -> Column:
+    """8-bit sign sketch against the fixed hyperplanes — every bit is
+    codegen'd flat arithmetic, no array HOFs."""
     bits = [
-        F.when(
-            _dot(v, F.array(*[F.lit(s) for s in plane])) >= 0, F.lit("1")
-        ).otherwise(F.lit("0"))
+        F.when(_plane_dot_arr(a, plane) >= 0, F.lit("1")).otherwise(F.lit("0"))
         for plane in PLANES
     ]
     return F.concat(*bits)
@@ -174,16 +177,17 @@ def _sql_bucket(v: str) -> str:
 def similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-10 for a bounded query set (vec_id < 5): broadcast
     the queries, scan candidates once, per-query heap via window group
-    limit. The correctness baseline every ANN variant is judged against."""
+    limit. The correctness baseline every ANN variant is judged against.
+
+    The O(|Q|·N) scoring loop is an unrolled codegen'd ``element_at`` chain
+    (:func:`_dot_arr`), never an interpreted per-pair array fold (VERDICT
+    r02 item 2)."""
     e = load(spark, sf_dir, "embeddings")
-    n = e.select("vec_id", "embedding", _norm(F.col("embedding")).alias("nrm"))
-    q = (
-        n.filter(F.col("vec_id") < 5)
-        .select(
-            F.col("vec_id").alias("query_id"),
-            F.col("embedding").alias("q_emb"),
-            F.col("nrm").alias("q_nrm"),
-        )
+    n = e.select("vec_id", "embedding", _norm_arr("embedding").alias("nrm"))
+    q = n.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
     )
     scored = (
         n.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
@@ -191,8 +195,7 @@ def similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id",
             "vec_id",
             (
-                _dot(F.col("q_emb"), F.col("embedding"))
-                / (F.col("q_nrm") * F.col("nrm"))
+                _dot_arr("q_emb", "embedding") / (F.col("q_nrm") * F.col("nrm"))
             ).alias("cosine"),
         )
     )
@@ -235,22 +238,22 @@ def similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     on all 8 sign bits are candidates (equi-join on the bucket string — the
     scan never pairs across buckets), then exact cosine reranks. Queries in
     singleton buckets legitimately return nothing: recall is the tunable,
-    and the oracle reproduces the same algorithm so results match exactly."""
+    and the oracle reproduces the same algorithm so results match exactly.
+
+    Sketching, norms, and in-bucket rerank are all codegen'd
+    ``element_at`` chains — zero interpreted array HOFs in the plan."""
     e = load(spark, sf_dir, "embeddings")
     n = e.select(
         "vec_id",
         "embedding",
-        _norm(F.col("embedding")).alias("nrm"),
-        _bucket(F.col("embedding")).alias("bucket"),
+        _norm_arr("embedding").alias("nrm"),
+        _bucket_arr("embedding").alias("bucket"),
     )
-    q = (
-        n.filter(F.col("vec_id") < 20)
-        .select(
-            F.col("vec_id").alias("query_id"),
-            F.col("embedding").alias("q_emb"),
-            F.col("nrm").alias("q_nrm"),
-            "bucket",
-        )
+    q = n.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+        "bucket",
     )
     scored = (
         n.join(F.broadcast(q), "bucket")
@@ -259,8 +262,7 @@ def similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id",
             "vec_id",
             (
-                _dot(F.col("q_emb"), F.col("embedding"))
-                / (F.col("q_nrm") * F.col("nrm"))
+                _dot_arr("q_emb", "embedding") / (F.col("q_nrm") * F.col("nrm"))
             ).alias("cosine"),
         )
     )
@@ -283,6 +285,7 @@ MAX_BROADCAST_CENTROIDS = 65536
 @query(
     "similarity_ann_ivf",
     family="similarity",
+    bench=True,
     oracle=f"""
         WITH n AS (
           SELECT vec_id, embedding, {_sql_norm('embedding')} AS nrm
@@ -335,14 +338,11 @@ def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     two broadcast hops) — documented here, deliberately not implemented
     until a fixture needs it."""
     e = load(spark, sf_dir, "embeddings")
-    n = e.select("vec_id", "embedding", _norm(F.col("embedding")).alias("nrm"))
-    cent = (
-        n.filter(F.col("vec_id") % CENTROID_STRIDE == 0)
-        .select(
-            F.col("vec_id").alias("cell"),
-            F.col("embedding").alias("c_emb"),
-            F.col("nrm").alias("c_nrm"),
-        )
+    n = e.select("vec_id", "embedding", _norm_arr("embedding").alias("nrm"))
+    cent = n.filter(F.col("vec_id") % CENTROID_STRIDE == 0).select(
+        F.col("vec_id").alias("cell"),
+        F.col("embedding").alias("c_emb"),
+        F.col("nrm").alias("c_nrm"),
     )
     n_cells = cent.count()
     if n_cells > MAX_BROADCAST_CENTROIDS:
@@ -352,9 +352,7 @@ def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             "assignment would stop being a broadcast join — re-bucket with a "
             "two-level codebook before scaling the cell count"
         )
-    sim_to_cent = (
-        _dot(F.col("embedding"), F.col("c_emb")) / (F.col("nrm") * F.col("c_nrm"))
-    )
+    sim_to_cent = _dot_arr("embedding", "c_emb") / (F.col("nrm") * F.col("c_nrm"))
     w_assign = W.partitionBy("vec_id").orderBy(
         sim_to_cent.desc(), F.col("cell")
     )
@@ -382,8 +380,7 @@ def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id",
             "vec_id",
             (
-                _dot(F.col("q_emb"), F.col("embedding"))
-                / (F.col("q_nrm") * F.col("nrm"))
+                _dot_arr("q_emb", "embedding") / (F.col("q_nrm") * F.col("nrm"))
             ).alias("cosine"),
         )
     )
@@ -418,27 +415,19 @@ def similarity_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     production-scale variant runs the identical rerank after the LSH bucket
     join above."""
     e = load(spark, sf_dir, "embeddings")
-    n = e.select("vec_id", "embedding", _norm(F.col("embedding")).alias("nrm"))
-    a = _widen(
-        n.select(
-            F.col("vec_id").alias("vec_a"),
-            F.col("embedding").alias("emb"),
-            F.col("nrm").alias("nrm_a"),
-        ),
-        "emb",
-        "a",
+    n = e.select("vec_id", "embedding", _norm_arr("embedding").alias("nrm"))
+    a = n.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("a_emb"),
+        F.col("nrm").alias("nrm_a"),
     )
-    b = _widen(
-        n.select(
-            F.col("vec_id").alias("vec_b"),
-            F.col("embedding").alias("emb"),
-            F.col("nrm").alias("nrm_b"),
-        ),
-        "emb",
-        "b",
+    b = n.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("b_emb"),
+        F.col("nrm").alias("nrm_b"),
     )
     pairs = a.join(b, F.col("vec_a") < F.col("vec_b"))
-    cos = _dot_wide("a", "b") / (F.col("nrm_a") * F.col("nrm_b"))
+    cos = _dot_arr("a_emb", "b_emb") / (F.col("nrm_a") * F.col("nrm_b"))
     return (
         pairs.select("vec_a", "vec_b", cos.alias("cosine"))
         .filter(F.col("cosine") >= 0.45)

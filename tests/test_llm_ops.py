@@ -85,6 +85,18 @@ def test_lsh_topk_subset_of_bruteforce_universe(spark):
             assert bf[(r.query_id, r.vec_id)] == r.cosine
 
 
+def test_ivf_codebook_broadcast_guard(spark, monkeypatch):
+    """The vectors x centroids assignment join is only planned while the
+    codebook is broadcast-sized; past MAX_BROADCAST_CENTROIDS the op must
+    fail fast instead of silently planning a giant cartesian (VERDICT r02
+    item 6)."""
+    from bfs_etl_sep2025_spark.operators import similarity
+
+    monkeypatch.setattr(similarity, "MAX_BROADCAST_CENTROIDS", 3)
+    with pytest.raises(ValueError, match="exceeds the broadcast guard"):
+        _q("similarity_ann_ivf")(spark, SF)
+
+
 def test_multimodal_decode_is_stubbed():
     from bfs_etl_sep2025_spark.operators.multimodal import decode_image
 

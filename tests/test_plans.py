@@ -135,6 +135,25 @@ def test_new_ops_no_interpreted_array_hofs(spark, name):
         assert node not in plan, f"{node} in {name} plan"
 
 
+@pytest.mark.parametrize(
+    "name",
+    [
+        "similarity_topk_bruteforce",
+        "similarity_topk_lsh",
+        "similarity_ann_ivf",
+        "similarity_cosine_neardup",
+    ],
+)
+def test_similarity_scoring_is_codegen(spark, name):
+    """VERDICT r02 item 2: every similarity dot/norm/bucket must be the
+    unrolled literal-index element_at chain (whole-stage codegen), never an
+    interpreted lambda HOF evaluated per candidate pair."""
+    plan = _plan(spark, name)
+    for node in ("ArrayAggregate", "ZipWith", "ArrayTransform", "EvalPython"):
+        assert node not in plan, f"{node} in {name} plan"
+    assert "lambdafunction" not in plan.lower(), name
+
+
 def test_scd2_single_shuffle(spark):
     """Both lead() calls share one window spec: exactly one exchange
     (hashpartitioning on user_id) in the whole plan."""
