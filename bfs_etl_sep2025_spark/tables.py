@@ -33,11 +33,13 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one fixture table. Columnar parquet scan: Catalyst pushes filters
     and prunes columns below this automatically.
 
-    ``events.ts`` is stored as parquet TIMESTAMP(NANOS), which Spark's
-    vectorized reader rejects outright; it is read as raw nanos
+    ``events.ts`` has shipped as parquet TIMESTAMP(NANOS) in some fixture
+    generations and TIMESTAMP(MICROS) in others, so the loader normalizes by
+    the dtype it actually reads: a NANOS column is read as raw nanos
     (``nanosAsLong``) and floor-truncated to a microsecond ``timestamp_ntz``
-    — exactly what DuckDB's reader does implicitly, so both engines see
-    identical values.
+    — exactly what DuckDB's reader does implicitly — while a MICROS column
+    is already the canonical µs NTZ and passes through untouched. Either
+    way every consumer sees the same µs-NTZ ``ts``.
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
@@ -47,9 +49,13 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         from pyspark.sql import functions as F
 
         df = spark.read.parquet(path)
-        return df.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
-        )
+        ts_type = dict(df.dtypes)["ts"]
+        if ts_type in ("bigint", "long"):
+            return df.withColumn(
+                "ts",
+                F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz"),
+            )
+        return df.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
     return spark.read.parquet(path)
 
 
