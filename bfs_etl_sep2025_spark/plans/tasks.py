@@ -26,6 +26,7 @@ from datetime import datetime
 from pathlib import Path
 from typing import TYPE_CHECKING, Any
 
+from bfs_etl_sep2025_spark.plans.qualify import rewrite_qualify
 from bfs_etl_sep2025_spark.plans.sqlsplit import split_statements
 from bfs_etl_sep2025_spark.plans.templating import build_context, render_any
 
@@ -221,6 +222,9 @@ class SqlTask(Task):
         # load_utc_ts) -> the injectable clock, as a literal.
         now = ctx.clock()
         out = _SYSDATE.sub(f"TIMESTAMP '{now.isoformat(sep=' ')}'", out)
+        # Snowflake QUALIFY (reachable through the reference's arbitrary-SQL
+        # pass-through) -> window+filter rewrite; no-op without QUALIFY.
+        out = rewrite_qualify(out)
         # Session catalog has no REPLACE TABLE (v2-only) -> drop + create.
         m = _CREATE_OR_REPLACE.match(out)
         if m:

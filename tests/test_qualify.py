@@ -1,0 +1,81 @@
+"""Snowflake QUALIFY dialect shim (plans/qualify.py): string-level rewrite
+units plus an executed SqlTask proving the window+filter form returns the
+rows Snowflake's QUALIFY would. Reference surface: arbitrary Snowflake SQL
+through the SnowflakeOperator pass-through (dags/dev_db_test.py:41-70)."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from bfs_etl_sep2025_spark.plans import Pipeline, SqlTask
+from bfs_etl_sep2025_spark.plans.qualify import rewrite_qualify
+
+FROZEN = datetime(2024, 3, 1, 12, 0, 0)
+
+
+def test_noop_without_qualify():
+    sql = "SELECT a, b FROM t WHERE a > 1 ORDER BY b"
+    assert rewrite_qualify(sql) == sql
+
+
+def test_qualify_in_string_literal_untouched():
+    sql = "SELECT 'use QUALIFY here' AS note FROM t"
+    assert rewrite_qualify(sql) == sql
+
+
+def test_qualify_in_subquery_untouched():
+    # only top-level QUALIFY is rewritten; a parenthesized one is left alone
+    sql = "SELECT * FROM (SELECT 1 AS x) WHERE x IN (SELECT 1)"
+    assert rewrite_qualify(sql) == sql
+
+
+def test_basic_rewrite_shape():
+    out = rewrite_qualify(
+        "SELECT g, x FROM t QUALIFY row_number() OVER "
+        "(PARTITION BY g ORDER BY x) = 1"
+    )
+    assert out.startswith("SELECT * EXCEPT (__qualify__) FROM (")
+    assert "WHERE __qualify__" in out
+    assert "AS __qualify__" in out
+
+
+def test_rewrite_preserves_order_by_tail():
+    out = rewrite_qualify(
+        "SELECT g, x FROM t QUALIFY rank() OVER (ORDER BY x) <= 2 "
+        "ORDER BY g LIMIT 5"
+    )
+    assert out.endswith("ORDER BY g LIMIT 5")
+    assert "rank() OVER (ORDER BY x) <= 2" in out
+
+
+def test_qualify_executes_latest_per_key(spark):
+    """End-to-end: Snowflake-spelled dedup-to-latest via QUALIFY runs on
+    Spark and keeps exactly the per-group argmax rows."""
+    p = Pipeline("qualify_clone", clock=lambda: FROZEN)
+    seed = SqlTask(
+        "seed",
+        sql=(
+            "CREATE OR REPLACE TABLE q_src (g INT, x INT, v VARCHAR(10)); "
+            "INSERT INTO q_src VALUES (1, 10, 'a'), (1, 20, 'b'), "
+            "(2, 5, 'c'), (2, 1, 'd')"
+        ),
+        schema="dev_db",
+        pipeline=p,
+    )
+    t = SqlTask(
+        "latest",
+        sql=(
+            "CREATE OR REPLACE TABLE q_latest AS "
+            "SELECT g, x, v FROM q_src "
+            "QUALIFY row_number() OVER (PARTITION BY g ORDER BY x DESC) = 1"
+        ),
+        schema="dev_db",
+        pipeline=p,
+    )
+    seed >> t
+    p.run(spark)
+    rows = {(r.g, r.x, r.v) for r in spark.table("dev_db.q_latest").collect()}
+    assert rows == {(1, 20, "b"), (2, 5, "c")}
+    assert any("__qualify__" in s for s in t.executed)
+    # rewritten schema must NOT leak the helper column
+    assert set(spark.table("dev_db.q_latest").columns) == {"g", "x", "v"}
