@@ -517,6 +517,7 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q18_large_volume_customer",
     family="analytics",
+    bench=True,
     oracle=f"""
         SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
                {sql_exact_sum('l_quantity', 2)} AS total_qty

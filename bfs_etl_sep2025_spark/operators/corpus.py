@@ -169,6 +169,7 @@ _SQL_GRAMS = f"""
 @query(
     "corpus_decontaminate",
     family="corpus",
+    bench=True,
     oracle=f"""
         WITH eval_grams AS (
           SELECT DISTINCT md5(g) AS gh

@@ -408,6 +408,7 @@ def llm_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "dedup_minhash_clusters",
     family="dedup",
+    bench=True,
     oracle=f"""
         WITH RECURSIVE sh AS (SELECT doc_id, {SQL_SHINGLES} AS shingles FROM documents),
         mh AS (SELECT doc_id, {SQL_SIG} AS sig FROM sh),

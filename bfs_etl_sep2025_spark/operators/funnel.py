@@ -30,6 +30,7 @@ from bfs_etl_sep2025_spark.tables import load
 @query(
     "funnel_ordered_steps",
     family="events",
+    bench=True,
     oracle="""
         WITH s1 AS (
           SELECT user_id, min(ts) AS t1 FROM events

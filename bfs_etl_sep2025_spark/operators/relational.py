@@ -199,10 +199,17 @@ def sink_partitioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale notes: partitionBy on a low-cardinality column gives
     partition-prunable layout at any size; the write itself is
     embarrassingly parallel (no shuffle — each task writes its own files
-    into per-value directories)."""
+    into per-value directories). The scratch path is deterministic per sf
+    so ``mode("overwrite")`` reuses it across driver/bench re-runs instead
+    of leaking a fresh lineitem copy per invocation (ADVICE r02)."""
+    import os
     import tempfile
 
-    out = tempfile.mkdtemp(prefix="bfs_sink_roundtrip_")
+    out = os.path.join(
+        tempfile.gettempdir(),
+        "bfs_sink_roundtrip",
+        os.path.basename(sf_dir.rstrip("/")),
+    )
     li = load(spark, sf_dir, "lineitem").select(
         "l_returnflag", "l_linestatus", "l_quantity"
     )
