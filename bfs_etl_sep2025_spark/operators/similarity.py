@@ -73,48 +73,57 @@ PLANES = _plane_signs()
 # -- Spark-side vector expressions ------------------------------------------
 
 
-def _el(vec: str, i: int) -> Column:
+def _el_sql(vec: str, i: int) -> str:
     """Element i (1-based literal index) of an array column, promoted to
     double — codegen'd direct read from ``UnsafeArrayData``."""
-    return F.element_at(F.col(vec), F.lit(i)).cast("double")
+    return f"CAST(element_at({vec}, {i}) AS DOUBLE)"
+
+
+def _dot_sql(a: str, b: str) -> str:
+    """Left-associated sum of ``element_at`` products as a SQL fragment —
+    whole-stage-codegen'd (no lambda HOF anywhere). The fold order
+    (x1*y1 + x2*y2 + ..., ``+`` parses left-associative) is the SAME IEEE
+    operation sequence as the oracle's ``list_reduce(list_transform(...))``,
+    so results are bitwise identical and rankings cannot diverge.
+
+    Why strings + one ``F.expr`` instead of composing Column objects: each
+    Column operation is a py4j round-trip, and an unrolled 64-term dot is
+    ~450 of them — building the LSH query spent ~4.5 s per invocation in
+    gateway calls alone. One parser call builds the identical tree in
+    milliseconds."""
+    return " + ".join(
+        f"{_el_sql(a, i)} * {_el_sql(b, i)}" for i in range(1, DIM + 1)
+    )
 
 
 def _dot_arr(a: str, b: str) -> Column:
-    """Left-associated sum of ``element_at`` products — whole-stage-codegen'd
-    (no lambda HOF anywhere). The fold order (x1*y1 + x2*y2 + ...) is the
-    SAME IEEE operation sequence as the oracle's
-    ``list_reduce(list_transform(...))``, so results are bitwise identical
-    and rankings cannot diverge."""
-    out = _el(a, 1) * _el(b, 1)
-    for i in range(2, DIM + 1):
-        out = out + _el(a, i) * _el(b, i)
-    return out
+    return F.expr(_dot_sql(a, b))
 
 
 def _norm_arr(a: str) -> Column:
     """L2 norm — codegen'd, same fold order as ``sqrt(list_reduce(...))``
     on the oracle side."""
-    return F.sqrt(_dot_arr(a, a))
+    return F.expr(f"sqrt({_dot_sql(a, a)})")
 
 
-def _plane_dot_arr(a: str, plane: list[float]) -> Column:
+def _plane_dot_sql(a: str, plane: list[float]) -> str:
     """Dot against a ±1 hyperplane literal — plane elements fold in as
-    double literals in the same left-associated order as the oracle's
-    ``list_reduce`` over the plane array literal."""
-    out = _el(a, 1) * F.lit(plane[0])
-    for i in range(2, DIM + 1):
-        out = out + _el(a, i) * F.lit(plane[i - 1])
-    return out
+    double literals (``D`` suffix; bare ``1.0`` would parse as DECIMAL) in
+    the same left-associated order as the oracle's ``list_reduce`` over the
+    plane array literal."""
+    return " + ".join(
+        f"{_el_sql(a, i)} * {plane[i - 1]}D" for i in range(1, DIM + 1)
+    )
 
 
 def _bucket_arr(a: str) -> Column:
     """8-bit sign sketch against the fixed hyperplanes — every bit is
     codegen'd flat arithmetic, no array HOFs."""
-    bits = [
-        F.when(_plane_dot_arr(a, plane) >= 0, F.lit("1")).otherwise(F.lit("0"))
+    bits = ", ".join(
+        f"CASE WHEN ({_plane_dot_sql(a, plane)}) >= 0 THEN '1' ELSE '0' END"
         for plane in PLANES
-    ]
-    return F.concat(*bits)
+    )
+    return F.expr(f"concat({bits})")
 
 
 # -- DuckDB-side twins (literal SQL fragments) ------------------------------
