@@ -160,6 +160,7 @@ _CREATE_OR_REPLACE = re.compile(
     r"(?i)^\s*CREATE\s+OR\s+REPLACE\s+TABLE\s+(?P<name>[\w.`\"]+)"
 )
 _SYSDATE = re.compile(r"(?i)\bsysdate\s*\(\s*\)")
+_IFF = re.compile(r"(?i)\bIFF\s*\(")
 _DATETIME_TYPE = re.compile(r"(?i)(\s)datetime\b")
 _PYFORMAT = re.compile(r"%\((\w+)\)s")
 
@@ -222,6 +223,9 @@ class SqlTask(Task):
         # load_utc_ts) -> the injectable clock, as a literal.
         now = ctx.clock()
         out = _SYSDATE.sub(f"TIMESTAMP '{now.isoformat(sep=' ')}'", out)
+        # Snowflake IFF(cond, a, b) -> Spark IF (same ternary semantics;
+        # listagg/split_part/nvl need no mapping — Spark 4 has them).
+        out = _IFF.sub("IF(", out)
         # Snowflake QUALIFY (reachable through the reference's arbitrary-SQL
         # pass-through) -> window+filter rewrite; no-op without QUALIFY.
         out = rewrite_qualify(out)
@@ -276,6 +280,7 @@ class SqlTask(Task):
 
     def execute(self, ctx: RunContext) -> None:
         from bfs_etl_sep2025_spark.plans.locks import table_write_lock
+        from bfs_etl_sep2025_spark.plans.merge import is_merge, run_merge
 
         spark = ctx.spark
         if self.schema:
@@ -291,4 +296,9 @@ class SqlTask(Task):
                 # writers on one table (shared _temporary dir) -> serialize
                 # per table; cross-table parallelism is unaffected.
                 with table_write_lock(target):
-                    spark.sql(stmt)
+                    if is_merge(stmt):
+                        # plain-parquet catalog has no native MERGE INTO;
+                        # decompose to join+union+overwrite (plans/merge.py)
+                        run_merge(spark, stmt)
+                    else:
+                        spark.sql(stmt)

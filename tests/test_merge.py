@@ -1,0 +1,120 @@
+"""Executable MERGE INTO (plans/merge.py): parser units plus end-to-end
+upsert / delete / insert-only runs through SqlTask against the session
+catalog. Reference surface: warehouse-side MERGE reachable through the
+SnowflakeOperator pass-through (dags/dev_db_test.py:41-70)."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pytest
+
+from bfs_etl_sep2025_spark.plans import Pipeline, SqlTask
+from bfs_etl_sep2025_spark.plans.merge import parse_merge
+
+FROZEN = datetime(2024, 3, 1, 12, 0, 0)
+
+MERGE_UPSERT = """\
+MERGE INTO m_tgt t USING m_src s ON t.id = s.id
+WHEN MATCHED THEN UPDATE SET val = s.val, n = t.n + 1
+WHEN NOT MATCHED THEN INSERT (id, val, n) VALUES (s.id, s.val, 0)"""
+
+
+def test_parse_upsert_shape():
+    spec = parse_merge(MERGE_UPSERT)
+    assert spec.target == "m_tgt" and spec.target_alias == "t"
+    assert spec.source_sql == "m_src" and spec.source_alias == "s"
+    assert spec.on == "t.id = s.id"
+    assert spec.update_sets == {"val": "s.val", "n": "t.n + 1"}
+    assert spec.insert_cols == ["id", "val", "n"]
+    assert spec.insert_vals == ["s.id", "s.val", "0"]
+
+
+def test_parse_subquery_source_and_delete():
+    spec = parse_merge(
+        "MERGE INTO db.tgt USING (SELECT id FROM x WHERE ok) AS s "
+        "ON tgt.id = s.id WHEN MATCHED THEN DELETE"
+    )
+    assert spec.target == "db.tgt" and spec.target_alias == "tgt"
+    assert spec.source_sql == "(SELECT id FROM x WHERE ok)"
+    assert spec.delete_matched and not spec.update_sets
+    assert spec.insert_vals is None
+
+
+def test_parse_rejects_update_plus_delete():
+    with pytest.raises(ValueError):
+        parse_merge(
+            "MERGE INTO t USING s ON t.id = s.id "
+            "WHEN MATCHED THEN UPDATE SET a = 1 "
+            "WHEN MATCHED THEN DELETE"
+        )
+
+
+def _seed(spark, pipeline):
+    SqlTask(
+        "seed",
+        sql=(
+            "CREATE OR REPLACE TABLE m_tgt (id INT, val VARCHAR(10), n INT); "
+            "INSERT INTO m_tgt VALUES (1, 'a', 10), (2, 'b', 20); "
+            "CREATE OR REPLACE TABLE m_src (id INT, val VARCHAR(10)); "
+            "INSERT INTO m_src VALUES (2, 'B'), (3, 'C')"
+        ),
+        schema="dev_db",
+        pipeline=pipeline,
+    )
+
+
+def test_merge_upsert_executes(spark):
+    p = Pipeline("merge_upsert", clock=lambda: FROZEN)
+    _seed(spark, p)
+    p.run(spark)
+    p2 = Pipeline("merge_upsert2", clock=lambda: FROZEN)
+    SqlTask("merge", sql=MERGE_UPSERT, schema="dev_db", pipeline=p2)
+    p2.run(spark)
+    rows = {
+        (r.id, r.val, r.n) for r in spark.table("dev_db.m_tgt").collect()
+    }
+    # 1 untouched, 2 updated (val from source, n incremented), 3 inserted
+    assert rows == {(1, "a", 10), (2, "B", 21), (3, "C", 0)}
+    # staging table cleaned up
+    assert not spark.catalog.tableExists("dev_db.m_tgt__merge_stage")
+
+
+def test_merge_delete_executes(spark):
+    p = Pipeline("merge_del", clock=lambda: FROZEN)
+    _seed(spark, p)
+    p.run(spark)
+    p2 = Pipeline("merge_del2", clock=lambda: FROZEN)
+    SqlTask(
+        "merge",
+        sql=(
+            "MERGE INTO m_tgt t USING m_src s ON t.id = s.id "
+            "WHEN MATCHED THEN DELETE"
+        ),
+        schema="dev_db",
+        pipeline=p2,
+    )
+    p2.run(spark)
+    rows = {(r.id, r.val, r.n) for r in spark.table("dev_db.m_tgt").collect()}
+    assert rows == {(1, "a", 10)}
+
+
+def test_merge_insert_only_with_null_fill(spark):
+    """INSERT listing a subset of target columns: the rest land as typed
+    NULLs (schema-driven CAST in the rewrite)."""
+    p = Pipeline("merge_ins", clock=lambda: FROZEN)
+    _seed(spark, p)
+    p.run(spark)
+    p2 = Pipeline("merge_ins2", clock=lambda: FROZEN)
+    SqlTask(
+        "merge",
+        sql=(
+            "MERGE INTO m_tgt t USING m_src s ON t.id = s.id "
+            "WHEN NOT MATCHED THEN INSERT (id, val) VALUES (s.id, s.val)"
+        ),
+        schema="dev_db",
+        pipeline=p2,
+    )
+    p2.run(spark)
+    rows = {(r.id, r.val, r.n) for r in spark.table("dev_db.m_tgt").collect()}
+    assert rows == {(1, "a", 10), (2, "b", 20), (3, "C", None)}

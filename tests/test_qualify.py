@@ -48,6 +48,24 @@ def test_rewrite_preserves_order_by_tail():
     assert "rank() OVER (ORDER BY x) <= 2" in out
 
 
+def test_iff_translates_and_executes(spark):
+    """Snowflake IFF maps to Spark's IF ternary; a column named
+    'different' must not be mangled by the word-boundary regex."""
+    p = Pipeline("iff_shim", clock=lambda: FROZEN)
+    t = SqlTask(
+        "t",
+        sql=(
+            "CREATE OR REPLACE TABLE iff_out AS "
+            "SELECT IFF(2 > 1, 'yes', 'no') AS different"
+        ),
+        schema="dev_db",
+        pipeline=p,
+    )
+    p.run(spark)
+    assert spark.table("dev_db.iff_out").collect()[0].different == "yes"
+    assert any("IF(2 > 1" in s for s in t.executed)
+
+
 def test_qualify_executes_latest_per_key(spark):
     """End-to-end: Snowflake-spelled dedup-to-latest via QUALIFY runs on
     Spark and keeps exactly the per-group argmax rows."""

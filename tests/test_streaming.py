@@ -216,3 +216,67 @@ def test_stream_stream_interval_join(stream_env):
     assert sorted(
         (r.click_id, r.purchase_id) for r in batch.collect()
     ) == got
+
+
+def test_foreachbatch_merge_upsert_sink(stream_env):
+    """Streaming upsert: each micro-batch MERGEs into a catalog table via
+    foreachBatch (latest value per user wins within the batch; the MERGE
+    updates matches and inserts the rest). Re-running a batch of the same
+    keys converges instead of duplicating — the exactly-once-style sink the
+    reference's warehouse MERGE loads provide."""
+    from pyspark.sql import functions as F
+    from bfs_etl_sep2025_spark.plans.merge import run_merge
+
+    spark, src, ckpt = stream_env
+    spark.sql("CREATE DATABASE IF NOT EXISTS dev_db")
+    spark.sql("DROP TABLE IF EXISTS dev_db.user_latest")
+    spark.sql(
+        "CREATE TABLE dev_db.user_latest "
+        "(user_id BIGINT, ts TIMESTAMP_NTZ, value DOUBLE)"
+    )
+
+    def upsert(batch_df, batch_id):
+        latest = (
+            batch_df.groupBy("user_id")
+            .agg(F.max_by(F.struct("ts", "value"), "ts").alias("s"))
+            .select("user_id", "s.ts", "s.value")
+        )
+        latest.createOrReplaceTempView("batch_latest")
+        run_merge(
+            batch_df.sparkSession,
+            "MERGE INTO dev_db.user_latest t USING batch_latest s "
+            "ON t.user_id = s.user_id "
+            "WHEN MATCHED THEN UPDATE SET ts = s.ts, value = s.value "
+            "WHEN NOT MATCHED THEN INSERT (user_id, ts, value) "
+            "VALUES (s.user_id, s.ts, s.value)",
+        )
+
+    from datetime import datetime
+
+    def go():
+        q = (
+            _read_stream(spark, src)
+            .writeStream.foreachBatch(upsert)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # batch 1: two events for user 1 -> latest (11:00) wins within the batch
+    _write_batch(spark, src, _rows([(1, (10, 0)), (2, (11, 0))]))
+    go()
+    # batch 2: user 1 again with a newer ts (UPDATE path) + user 2 (INSERT)
+    spark.createDataFrame(
+        [
+            (3, datetime(2024, 1, 1, 13, 0), 1, "click", 5.0, "{}"),
+            (4, datetime(2024, 1, 1, 12, 0), 2, "click", 9.0, "{}"),
+        ],
+        SCHEMA,
+    ).coalesce(1).write.mode("append").parquet(src)
+    go()
+    rows = {
+        (r.user_id, r.ts.hour, r.value)
+        for r in spark.table("dev_db.user_latest").collect()
+    }
+    assert rows == {(1, 13, 5.0), (2, 12, 9.0)}
