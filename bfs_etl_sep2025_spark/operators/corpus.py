@@ -272,3 +272,75 @@ def corpus_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# -- 5. sequence packing ----------------------------------------------------
+
+_N_SHARDS = 8  # parallel packing shards (a cluster uses one per task)
+_SEQ_LEN = 256  # tokens per packed training sequence
+
+
+@query(
+    "corpus_pack_sequences",
+    family="corpus",
+    oracle=f"""
+        WITH t AS (
+          SELECT doc_id, {_sql_bucket('doc_id', _N_SHARDS)} AS shard,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+          FROM documents
+        ), c AS (
+          SELECT doc_id, shard, n_toks,
+                 CAST(sum(n_toks) OVER (PARTITION BY shard ORDER BY doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      AS BIGINT) AS cum
+          FROM t
+        )
+        SELECT doc_id, shard, n_toks,
+               cum - n_toks AS tok_start,
+               (cum - n_toks) // {_SEQ_LEN} AS first_seq,
+               (cum - 1) // {_SEQ_LEN} AS last_seq
+        FROM c
+        ORDER BY doc_id
+    """,
+)
+def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing — the standard pretraining step
+    that concatenates tokenized documents into a contiguous stream and cuts
+    fixed-length training sequences ({_SEQ_LEN} tokens), so no batch slot is
+    wasted on padding. Each document's placement is its token interval in
+    the stream: ``tok_start`` plus the first/last sequence ids it lands in
+    (a document may straddle a cut, exactly as GPT-style packing allows).
+
+    Scale notes: a single global stream would serialize on one window
+    partition, so packing runs inside {_N_SHARDS} deterministic md5 shards
+    (same bucket idiom as the split/mixture ops) — one shuffle by shard,
+    running totals per shard, every shard independent. On a cluster, shards
+    scale with the executor count and each packs its own stream; determinism
+    (md5 shard + doc_id order) makes re-runs reproducible. Integer ``div``
+    keeps ids exact cross-engine (``//`` in DuckDB); the cumulative sum is
+    pinned BIGINT both sides."""
+    from pyspark.sql import Window as W
+
+    d = load(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        _bucket(F.col("doc_id"), _N_SHARDS).alias("shard"),
+        F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_toks"),
+    )
+    w = (
+        W.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    c = t.select(
+        "doc_id", "shard", "n_toks",
+        F.sum("n_toks").over(w).cast("bigint").alias("cum"),
+    )
+    return c.select(
+        "doc_id",
+        "shard",
+        "n_toks",
+        (F.col("cum") - F.col("n_toks")).alias("tok_start"),
+        F.expr(f"(cum - n_toks) div {_SEQ_LEN}").alias("first_seq"),
+        F.expr(f"(cum - 1) div {_SEQ_LEN}").alias("last_seq"),
+    ).orderBy("doc_id")

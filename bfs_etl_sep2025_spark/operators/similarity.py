@@ -53,12 +53,13 @@ DIM = 64
 N_PLANES = 8
 
 
-def _plane_signs() -> list[list[float]]:
+def _plane_signs(start: int = 0) -> list[list[float]]:
     """Deterministic ±1 hyperplanes: sign(p, d) = +1 iff the first hex digit
     of md5('p|d') has its high bit set. hashlib.md5 == Spark md5 == DuckDB
-    md5, so all three derivations agree."""
+    md5, so all three derivations agree. ``start`` offsets the plane index
+    so independent tables draw disjoint hyperplane sets."""
     planes = []
-    for p in range(N_PLANES):
+    for p in range(start, start + N_PLANES):
         row = []
         for d in range(1, DIM + 1):
             h = hashlib.md5(f"{p}|{d}".encode()).hexdigest()
@@ -68,6 +69,9 @@ def _plane_signs() -> list[list[float]]:
 
 
 PLANES = _plane_signs()
+#: second independent hyperplane table (disjoint md5 plane indices) for the
+#: multi-table recall path
+PLANES_B = _plane_signs(start=N_PLANES)
 
 
 # -- Spark-side vector expressions ------------------------------------------
@@ -116,12 +120,12 @@ def _plane_dot_sql(a: str, plane: list[float]) -> str:
     )
 
 
-def _bucket_arr(a: str) -> Column:
-    """8-bit sign sketch against the fixed hyperplanes — every bit is
+def _bucket_arr(a: str, planes: list[list[float]] = PLANES) -> Column:
+    """8-bit sign sketch against a fixed hyperplane table — every bit is
     codegen'd flat arithmetic, no array HOFs."""
     bits = ", ".join(
         f"CASE WHEN ({_plane_dot_sql(a, plane)}) >= 0 THEN '1' ELSE '0' END"
-        for plane in PLANES
+        for plane in planes
     )
     return F.expr(f"concat({bits})")
 
@@ -147,12 +151,12 @@ def _sql_norm(a: str) -> str:
     return f"sqrt({_sql_dot(a, a)})"
 
 
-def _sql_bucket(v: str) -> str:
+def _sql_bucket(v: str, planes: list[list[float]] | None = None) -> str:
     bits = [
         "CASE WHEN "
         + _sql_dot(v, f"{_sql_plane_literal(plane)}::DOUBLE[]")
         + " >= 0 THEN '1' ELSE '0' END"
-        for plane in PLANES
+        for plane in (planes if planes is not None else PLANES)
     ]
     return " || ".join(bits)
 
@@ -505,4 +509,93 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("vec_id", "maxabs", "q_vec")
         .orderBy("vec_id")
+    )
+
+
+@query(
+    "similarity_topk_lsh_multitable",
+    family="similarity",
+    oracle=f"""
+        WITH n AS (
+          SELECT vec_id, embedding,
+                 {_sql_norm('embedding')} AS nrm,
+                 {_sql_bucket('embedding')} AS bucket_a,
+                 {_sql_bucket('embedding', PLANES_B)} AS bucket_b
+          FROM embeddings
+        ),
+        q AS (
+          SELECT vec_id AS query_id, embedding AS q_emb, nrm AS q_nrm,
+                 bucket_a AS qa, bucket_b AS qb
+          FROM n WHERE vec_id < 20
+        ),
+        scored AS (
+          SELECT q.query_id, c.vec_id,
+                 {_sql_dot('q.q_emb', 'c.embedding')} / (q.q_nrm * c.nrm)
+                   AS cosine
+          FROM q JOIN n c ON c.bucket_a = q.qa AND c.vec_id <> q.query_id
+          UNION
+          SELECT q.query_id, c.vec_id,
+                 {_sql_dot('q.q_emb', 'c.embedding')} / (q.q_nrm * c.nrm)
+                   AS cosine
+          FROM q JOIN n c ON c.bucket_b = q.qb AND c.vec_id <> q.query_id
+        )
+        SELECT query_id, vec_id, cosine, rnk
+        FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                           ORDER BY cosine DESC, vec_id) AS rnk
+              FROM scored)
+        WHERE rnk <= 3
+        ORDER BY query_id, rnk
+    """,
+)
+def similarity_topk_lsh_multitable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table hyperplane LSH — the recall knob the single-table variant
+    documents: two independent 8-plane tables (disjoint md5-derived
+    hyperplane sets), candidates unioned across tables, exact rerank. A
+    vector missed by one sketch is caught when it collides in the other
+    (per-plane collision prob 1 - θ/π compounds per table), which is how
+    production ANN trades compute for recall without touching the rerank.
+
+    Scale shape: each table is the same bucket equi-join as
+    ``similarity_topk_lsh`` (never all-pairs); candidates are SCORED inside
+    their branch so the union + distinct shuffles only (int, int, double)
+    triples, not embedding arrays, and duplicate candidates collapse before
+    the top-k window. Cosines from the two branches are the identical
+    codegen'd expression, hence bitwise-equal — distinct on the double is
+    deterministic."""
+    e = load(spark, sf_dir, "embeddings")
+    n = e.select(
+        "vec_id",
+        "embedding",
+        _norm_arr("embedding").alias("nrm"),
+        _bucket_arr("embedding").alias("bucket_a"),
+        _bucket_arr("embedding", PLANES_B).alias("bucket_b"),
+    )
+    q = n.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+        F.col("bucket_a").alias("qa"),
+        F.col("bucket_b").alias("qb"),
+    )
+    cosine = (
+        _dot_arr("q_emb", "embedding") / (F.col("q_nrm") * F.col("nrm"))
+    ).alias("cosine")
+
+    def branch(bucket_col: str, q_bucket: str) -> DataFrame:
+        return (
+            n.join(
+                F.broadcast(q), F.col(bucket_col) == F.col(q_bucket)
+            )
+            .filter(F.col("vec_id") != F.col("query_id"))
+            .select("query_id", "vec_id", cosine)
+        )
+
+    scored = branch("bucket_a", "qa").unionByName(
+        branch("bucket_b", "qb")
+    ).distinct()
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return (
+        scored.select("*", F.row_number().over(w).alias("rnk"))
+        .filter(F.col("rnk") <= 3)
+        .orderBy("query_id", "rnk")
     )

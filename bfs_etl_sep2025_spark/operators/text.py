@@ -539,3 +539,85 @@ def text_bpe_pretokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_ws.alias("n_ws_tokens"),
         (n_bpe.cast("double") / n_ws).alias("pretokens_per_word"),
     ).orderBy("doc_id")
+
+
+# -- per-document n-gram repetition (Gopher §A1.1 repetition filters) -------
+
+
+@query(
+    "text_repetition_ngrams",
+    family="text",
+    oracle="""
+        WITH toks AS (
+          SELECT doc_id, string_split(text, ' ') AS t
+          FROM documents
+          WHERE len(string_split(text, ' ')) >= 2
+        ), bg AS (
+          SELECT doc_id, t[i] || ' ' || t[i + 1] AS bigram
+          FROM toks, UNNEST(range(1, len(t))) AS r(i)
+        ), per AS (
+          SELECT doc_id, bigram, count(*) AS n
+          FROM bg GROUP BY doc_id, bigram
+        )
+        SELECT doc_id,
+               CAST(sum(n) AS BIGINT) AS n_bigrams,
+               CAST(count(*) AS BIGINT) AS n_distinct,
+               CAST(max(n) AS BIGINT) AS top_n,
+               CAST(max(n) AS DOUBLE) / CAST(sum(n) AS DOUBLE) AS top_frac,
+               CASE WHEN CAST(max(n) AS DOUBLE) / CAST(sum(n) AS DOUBLE)
+                         <= 0.2
+                    THEN 1 ELSE 0 END AS rep_passes
+        FROM per
+        GROUP BY doc_id
+        ORDER BY doc_id
+    """,
+)
+def text_repetition_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document 2-gram repetition filter (Gopher / Rae et al. 2021
+    §A1.1, public paper): the fraction of a document's bigrams taken by its
+    single most frequent bigram, plus the distinct-bigram count — the
+    repetition heuristics that catch boilerplate and degenerate loops which
+    word-level dedup misses. ``rep_passes`` applies the Gopher-style ≤0.2
+    top-fraction threshold.
+
+    Scale notes: bigrams come from ``explode(sequence)`` over token
+    positions with codegen'd ``element_at`` pairing — per the hot-path rule,
+    no interpreted array lambda touches the exploded rows. Two hash
+    aggregations, both with map-side partial combine: (doc_id, bigram)
+    counts first (the explode fan-out collapses before the shuffle), then
+    per-doc stats; only count columns cross the wire. Reporting ``top_n``
+    (the max count) rather than the top bigram string keeps the result
+    deterministic under count ties."""
+    d = load(spark, sf_dir, "documents")
+    t = _tokens(F.col("text"))
+    bg = (
+        d.filter(F.size(t) >= 2)
+        .select(
+            "doc_id",
+            t.alias("t"),
+            F.explode(F.sequence(F.lit(1), F.size(t) - 1)).alias("i"),
+        )
+        .select(
+            "doc_id",
+            F.concat_ws(
+                " ",
+                F.element_at("t", F.col("i")),
+                F.element_at("t", F.col("i") + 1),
+            ).alias("bigram"),
+        )
+    )
+    per = bg.groupBy("doc_id", "bigram").agg(F.count(F.lit(1)).alias("n"))
+    top_frac = F.max("n").cast("double") / F.sum("n").cast("double")
+    return (
+        per.groupBy("doc_id")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_bigrams"),
+            F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
+            F.max("n").cast("bigint").alias("top_n"),
+            top_frac.alias("top_frac"),
+            F.when(top_frac <= 0.2, F.lit(1)).otherwise(F.lit(0)).alias(
+                "rep_passes"
+            ),
+        )
+        .orderBy("doc_id")
+    )

@@ -115,6 +115,10 @@ _PRIORITY: tuple[str, ...] = (
     "join_salted_skew",
     "join_asof",
     "scan_orc_roundtrip",
+    # new in round 3 — no external row yet
+    "corpus_pack_sequences",
+    "text_repetition_ngrams",
+    "similarity_topk_lsh_multitable",
 )
 
 

@@ -85,6 +85,23 @@ def test_lsh_topk_subset_of_bruteforce_universe(spark):
             assert bf[(r.query_id, r.vec_id)] == r.cosine
 
 
+def test_multitable_lsh_recall_dominates_single_table(spark):
+    """The two-table union's candidate set is a superset of table A's, so
+    per query its best-found cosine must be >= the single-table best."""
+    single = {}
+    for r in _q("similarity_topk_lsh")(spark, SF).collect():
+        if r.rnk == 1:
+            single[r.query_id] = r.cosine
+    multi = {}
+    for r in _q("similarity_topk_lsh_multitable")(spark, SF).collect():
+        if r.rnk == 1:
+            multi[r.query_id] = r.cosine
+    # every query answered by table A alone is still answered, at least as well
+    assert set(single) <= set(multi)
+    for qid, c in single.items():
+        assert multi[qid] >= c
+
+
 def test_ivf_codebook_broadcast_guard(spark, monkeypatch):
     """The vectors x centroids assignment join is only planned while the
     codebook is broadcast-sized; past MAX_BROADCAST_CENTROIDS the op must

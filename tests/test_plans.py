@@ -140,6 +140,7 @@ def test_new_ops_no_interpreted_array_hofs(spark, name):
     [
         "similarity_topk_bruteforce",
         "similarity_topk_lsh",
+        "similarity_topk_lsh_multitable",
         "similarity_ann_ivf",
         "similarity_cosine_neardup",
     ],
@@ -152,6 +153,25 @@ def test_similarity_scoring_is_codegen(spark, name):
     for node in ("ArrayAggregate", "ZipWith", "ArrayTransform", "EvalPython"):
         assert node not in plan, f"{node} in {name} plan"
     assert "lambdafunction" not in plan.lower(), name
+
+
+def test_pack_sequences_single_shard_shuffle(spark):
+    """Packing must shuffle once (hashpartitioning on shard for the running
+    totals) — a global-stream formulation would serialize on one window
+    partition."""
+    plan = _plan(spark, "corpus_pack_sequences")
+    body = plan.split("ORDER BY")[0] if "ORDER BY" in plan else plan
+    assert plan.count("hashpartitioning(shard") == 1, plan[:400]
+    assert "EvalPython" not in body
+
+
+def test_repetition_ngrams_codegen_and_partial_agg(spark):
+    """Bigram pairing must be codegen'd element_at (no interpreted array
+    lambda on the exploded rows) and the (doc_id, bigram) count must
+    partial-aggregate before its shuffle."""
+    plan = _plan(spark, "text_repetition_ngrams")
+    assert "lambdafunction" not in plan.lower()
+    assert "partial_count" in plan or "partial count" in plan.lower()
 
 
 def test_scd2_single_shuffle(spark):
