@@ -279,6 +279,10 @@ class SqlTask(Task):
         return name
 
     def execute(self, ctx: RunContext) -> None:
+        from bfs_etl_sep2025_spark.plans.dml import (
+            is_update_or_delete,
+            run_update_or_delete,
+        )
         from bfs_etl_sep2025_spark.plans.locks import table_write_lock
         from bfs_etl_sep2025_spark.plans.merge import is_merge, run_merge
 
@@ -300,5 +304,8 @@ class SqlTask(Task):
                         # plain-parquet catalog has no native MERGE INTO;
                         # decompose to join+union+overwrite (plans/merge.py)
                         run_merge(spark, stmt)
+                    elif is_update_or_delete(stmt):
+                        # ditto UPDATE/DELETE: snapshot rewrite (plans/dml.py)
+                        run_update_or_delete(spark, stmt)
                     else:
                         spark.sql(stmt)

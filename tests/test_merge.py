@@ -118,3 +118,57 @@ def test_merge_insert_only_with_null_fill(spark):
     p2.run(spark)
     rows = {(r.id, r.val, r.n) for r in spark.table("dev_db.m_tgt").collect()}
     assert rows == {(1, "a", 10), (2, "b", 20), (3, "C", None)}
+
+
+# -- UPDATE / DELETE (plans/dml.py, same staging-rewrite machinery) ---------
+
+
+def test_update_with_where_and_null_predicate(spark):
+    """UPDATE applies SET only where the predicate is TRUE; rows where it
+    evaluates NULL are untouched (warehouse three-valued semantics)."""
+    p = Pipeline("dml_upd", clock=lambda: FROZEN)
+    SqlTask(
+        "seed",
+        sql=(
+            "CREATE OR REPLACE TABLE d_t (id INT, v INT); "
+            "INSERT INTO d_t VALUES (1, 10), (2, 20), (3, NULL)"
+        ),
+        schema="dev_db",
+        pipeline=p,
+    )
+    p.run(spark)
+    p2 = Pipeline("dml_upd2", clock=lambda: FROZEN)
+    SqlTask(
+        "upd",
+        sql="UPDATE d_t SET v = v + 1 WHERE v >= 20",
+        schema="dev_db",
+        pipeline=p2,
+    )
+    p2.run(spark)
+    rows = {(r.id, r.v) for r in spark.table("dev_db.d_t").collect()}
+    # id=1: pred false; id=2: updated; id=3: pred NULL -> untouched
+    assert rows == {(1, 10), (2, 21), (3, None)}
+
+
+def test_delete_where_and_unconditional(spark):
+    p = Pipeline("dml_del", clock=lambda: FROZEN)
+    SqlTask(
+        "seed",
+        sql=(
+            "CREATE OR REPLACE TABLE d_d (id INT, v INT); "
+            "INSERT INTO d_d VALUES (1, 10), (2, 20), (3, NULL)"
+        ),
+        schema="dev_db",
+        pipeline=p,
+    )
+    p.run(spark)
+    p2 = Pipeline("dml_del2", clock=lambda: FROZEN)
+    SqlTask("del", sql="DELETE FROM d_d WHERE v > 15", schema="dev_db", pipeline=p2)
+    p2.run(spark)
+    rows = {(r.id, r.v) for r in spark.table("dev_db.d_d").collect()}
+    # v=20 deleted; NULL predicate row survives
+    assert rows == {(1, 10), (3, None)}
+    p3 = Pipeline("dml_del3", clock=lambda: FROZEN)
+    SqlTask("del_all", sql="DELETE FROM d_d", schema="dev_db", pipeline=p3)
+    p3.run(spark)
+    assert spark.table("dev_db.d_d").count() == 0

@@ -97,3 +97,48 @@ def test_qualify_executes_latest_per_key(spark):
     assert any("__qualify__" in s for s in t.executed)
     # rewritten schema must NOT leak the helper column
     assert set(spark.table("dev_db.q_latest").columns) == {"g", "x", "v"}
+
+
+# -- property-based robustness (same strategy as test_sqlsplit) -------------
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_ident = st.from_regex(r"[A-Za-z_][A-Za-z0-9_]{0,8}", fullmatch=True).filter(
+    # an identifier spelled exactly QUALIFY would legitimately trigger the
+    # top-level keyword scan — not the property under test
+    lambda s: s.upper() != "QUALIFY"
+)
+
+
+@given(
+    cols=st.lists(_ident, min_size=1, max_size=4),
+    tbl=_ident,
+    lit=st.text(
+        alphabet=st.characters(blacklist_characters="'", min_codepoint=32,
+                               max_codepoint=126),
+        max_size=12,
+    ),
+)
+@settings(max_examples=60, deadline=None)
+def test_no_qualify_means_identity(cols, tbl, lit):
+    """Any SELECT without a top-level QUALIFY — including QUALIFY inside a
+    string literal or subquery — passes through byte-identical."""
+    sql = (
+        f"SELECT {', '.join(cols)} FROM {tbl} "
+        f"WHERE c = '{lit} QUALIFY x' AND id IN (SELECT id FROM {tbl})"
+    )
+    assert rewrite_qualify(sql) == sql
+
+
+@given(cols=st.lists(_ident, min_size=1, max_size=4, unique=True), tbl=_ident)
+@settings(max_examples=60, deadline=None)
+def test_qualify_rewrite_always_wraps(cols, tbl):
+    """Rewrite of a well-formed QUALIFY always produces the EXCEPT-wrapped
+    form, keeps the predicate verbatim, and never leaks the QUALIFY
+    keyword."""
+    pred = f"row_number() OVER (PARTITION BY {cols[0]} ORDER BY {cols[-1]}) = 1"
+    out = rewrite_qualify(f"SELECT {', '.join(cols)} FROM {tbl} QUALIFY {pred}")
+    assert out.startswith("SELECT * EXCEPT (__qualify__)")
+    assert pred in out
+    assert "QUALIFY" not in out
