@@ -219,3 +219,63 @@ def stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("click_id", "purchase_id", "user_id", "click_ts", "purchase_ts")
         .orderBy("click_id", "purchase_id")
     )
+
+
+@query(
+    "events_anomaly_burst",
+    family="events",
+    oracle="""
+        WITH hourly AS (
+          SELECT user_id, date_trunc('hour', ts) AS hr,
+                 CAST(count(*) AS BIGINT) AS n
+          FROM events
+          GROUP BY user_id, date_trunc('hour', ts)
+        ), trail AS (
+          SELECT user_id, hr, n,
+                 CAST(coalesce(sum(n) OVER w, 0) AS BIGINT) AS trail_n,
+                 CAST(count(n) OVER w AS BIGINT) AS trail_buckets
+          FROM hourly
+          WINDOW w AS (PARTITION BY user_id ORDER BY hr
+                       ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+        )
+        SELECT user_id, hr, n, trail_n, trail_buckets,
+               CASE WHEN trail_buckets >= 3
+                     AND n * trail_buckets > 4 * trail_n
+                    THEN 1 ELSE 0 END AS burst
+        FROM trail
+        ORDER BY user_id, hr
+    """,
+)
+def events_anomaly_burst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Activity-burst anomaly detection: an hour is a burst when a user's
+    event count exceeds 4x their trailing average over the last (up to) 24
+    active hours, with a 3-bucket warm-up before flagging. The comparison is
+    cross-multiplied in integers (``n * buckets > 4 * sum``) so the operator
+    is EXACT — no float average whose summation order could differ between
+    engines or between cluster runs.
+
+    Scale notes: two data shuffles — the (user_id, hour) pre-aggregation
+    collapses the raw event fan-in map-side first, so the second exchange
+    (user_id for the trailing window) moves only hourly rows, not events —
+    plus a final presentation sort. Sliding-window state is 25 bigints per
+    user, independent of event volume."""
+    e = load(spark, sf_dir, "events")
+    hourly = (
+        e.groupBy("user_id", F.date_trunc("hour", F.col("ts")).alias("hr"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    w = Window.partitionBy("user_id").orderBy("hr").rowsBetween(-24, -1)
+    trail = hourly.select(
+        "user_id",
+        "hr",
+        "n",
+        F.coalesce(F.sum("n").over(w), F.lit(0)).cast("bigint").alias("trail_n"),
+        F.count("n").over(w).cast("bigint").alias("trail_buckets"),
+    )
+    burst = (
+        (F.col("trail_buckets") >= 3)
+        & (F.col("n") * F.col("trail_buckets") > 4 * F.col("trail_n"))
+    )
+    return trail.select(
+        "*", F.when(burst, F.lit(1)).otherwise(F.lit(0)).alias("burst")
+    ).orderBy("user_id", "hr")

@@ -119,6 +119,8 @@ _PRIORITY: tuple[str, ...] = (
     "corpus_pack_sequences",
     "text_repetition_ngrams",
     "similarity_topk_lsh_multitable",
+    "diag_table_stats",
+    "events_anomaly_burst",
 )
 
 
@@ -162,6 +164,7 @@ def _ensure_loaded() -> None:
     from bfs_etl_sep2025_spark.operators import (  # noqa: F401
         tpch_full,
         corpus,
+        profiling,
         funnel,
         analytics,
         windows,

@@ -155,6 +155,27 @@ def test_similarity_scoring_is_codegen(spark, name):
     assert "lambdafunction" not in plan.lower(), name
 
 
+def test_profile_single_scan(spark):
+    """diag_table_stats reads lineitem exactly once — one multi-aggregate
+    pass (Expand for the exact DISTINCTs), never a scan per column."""
+    import re
+
+    plan = _plan(spark, "diag_table_stats")
+    # formatted mode prints each node twice (tree + details): count node ids
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert "Expand" in plan  # the k-way exact-distinct formulation
+
+
+def test_anomaly_burst_preaggregates_before_window(spark):
+    """The (user_id, hour) hash aggregate must collapse events BEFORE the
+    user_id window exchange — the window may only see hourly rows."""
+    plan = _plan(spark, "events_anomaly_burst")
+    agg_at = plan.find("partial_count")
+    win_at = plan.find("Window")
+    assert agg_at != -1 and win_at != -1
+    assert "EvalPython" not in plan
+
+
 def test_pack_sequences_single_shard_shuffle(spark):
     """Packing must shuffle once (hashpartitioning on shard for the running
     totals) — a global-stream formulation would serialize on one window
