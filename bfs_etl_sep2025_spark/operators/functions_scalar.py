@@ -632,3 +632,54 @@ def fn_map_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at("stats", "u").alias("n_users"),
         F.size("stats").alias("n_keys"),
     ).orderBy("event_type")
+
+
+@query(
+    "fn_higher_order_suite",
+    family="functions",
+    oracle="""
+        SELECT vec_id,
+               CAST(len(list_filter(embedding, x -> x > 0)) AS INT)
+                 AS n_positive,
+               CAST(len(list_filter(embedding, x -> x > 0.9)) > 0 AS INT)
+                 AS any_big,
+               CAST(len(list_filter(embedding, x -> abs(x) > 1.5)) = 0 AS INT)
+                 AS all_bounded,
+               list_transform(embedding, x -> x::DOUBLE * 2)[1]
+                 AS first_doubled,
+               list_reduce(list_transform(embedding, x -> x::DOUBLE),
+                           (a, b) -> a + b) AS fold_sum
+        FROM embeddings
+        WHERE vec_id < 50
+        ORDER BY vec_id
+    """,
+)
+def fn_higher_order_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The user-facing higher-order-function API: ``filter`` / ``exists`` /
+    ``forall`` / ``transform`` / ``aggregate`` lambdas over array columns.
+
+    This is deliberately the API-surface demo, NOT a hot path: lambda HOFs
+    evaluate interpreted (the module rule every hot operator follows by
+    using explode+codegen or unrolled ``element_at`` instead — see
+    operators/similarity.py), which is fine for the bounded 50-row slice
+    here and for interactive exploration, and exactly what a user migrating
+    HOF-style queries expects to keep writing. ``exists``/``forall`` land
+    as INT (1/0) both engines; the ordered ``aggregate`` fold reproduces
+    DuckDB's ``list_reduce`` bitwise."""
+    e = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 50)
+    emb = F.col("embedding")
+    dbl = lambda x: x.cast("double")  # noqa: E731
+    return e.select(
+        "vec_id",
+        F.size(F.filter(emb, lambda x: x > 0)).alias("n_positive"),
+        F.exists(emb, lambda x: x > 0.9).cast("int").alias("any_big"),
+        F.forall(emb, lambda x: F.abs(x) <= 1.5).cast("int").alias(
+            "all_bounded"
+        ),
+        F.element_at(F.transform(emb, lambda x: dbl(x) * 2), 1).alias(
+            "first_doubled"
+        ),
+        F.aggregate(emb, F.lit(0.0), lambda a, x: a + dbl(x)).alias(
+            "fold_sum"
+        ),
+    ).orderBy("vec_id")

@@ -170,3 +170,32 @@ def udf_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "udf_arrow_scalar",
+    family="udfs",
+    oracle="""
+        SELECT o_orderkey,
+               CAST(string_split(o_orderpriority, '-')[1] AS INT)
+                 AS priority_rank
+        FROM orders
+        WHERE o_orderkey <= 2000
+        ORDER BY o_orderkey
+    """,
+)
+def udf_arrow_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-optimized Python UDF (Spark 3.5+/4 ``useArrow=True``): scalar
+    Python semantics with Arrow-batch transfer instead of per-row pickle —
+    the drop-in upgrade for row UDFs that can't be vectorized as pandas.
+    The oracle recomputes the parse ('1-URGENT' -> 1) in SQL, cross-checking
+    the Arrow data path itself."""
+
+    @F.udf(T.IntegerType(), useArrow=True)
+    def priority_rank(p: str) -> int:
+        return int(p.split("-")[0])
+
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 2000)
+    return o.select(
+        "o_orderkey", priority_rank("o_orderpriority").alias("priority_rank")
+    ).orderBy("o_orderkey")

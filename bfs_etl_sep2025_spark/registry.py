@@ -121,6 +121,8 @@ _PRIORITY: tuple[str, ...] = (
     "similarity_topk_lsh_multitable",
     "diag_table_stats",
     "events_anomaly_burst",
+    "udf_arrow_scalar",
+    "fn_higher_order_suite",
 )
 
 
