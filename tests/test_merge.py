@@ -172,3 +172,40 @@ def test_delete_where_and_unconditional(spark):
     SqlTask("del_all", sql="DELETE FROM d_d", schema="dev_db", pipeline=p3)
     p3.run(spark)
     assert spark.table("dev_db.d_d").count() == 0
+
+
+# -- property-based parser robustness (same strategy as test_sqlsplit) ------
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_kw = {"MERGE", "INTO", "USING", "ON", "WHEN", "MATCHED", "THEN", "UPDATE",
+       "SET", "DELETE", "INSERT", "VALUES", "NOT", "AS"}
+_ident = st.from_regex(r"[A-Za-z_][A-Za-z0-9_]{0,8}", fullmatch=True).filter(
+    lambda s: s.upper() not in _kw
+)
+
+
+@given(
+    tgt=_ident, talias=_ident, salias=_ident,
+    key=_ident, cols=st.lists(_ident, min_size=1, max_size=3, unique=True),
+)
+@settings(max_examples=60, deadline=None)
+def test_parse_merge_extracts_fields_exactly(tgt, talias, salias, key, cols):
+    """Generated well-formed upserts always parse into exactly their own
+    pieces — aliases, ON condition, SET map, and INSERT lists verbatim."""
+    sets = ", ".join(f"{c} = {salias}.{c}" for c in cols)
+    icols = ", ".join([key] + cols)
+    ivals = ", ".join(f"{salias}.{c}" for c in [key] + cols)
+    spec = parse_merge(
+        f"MERGE INTO {tgt} AS {talias} USING src AS {salias} "
+        f"ON {talias}.{key} = {salias}.{key} "
+        f"WHEN MATCHED THEN UPDATE SET {sets} "
+        f"WHEN NOT MATCHED THEN INSERT ({icols}) VALUES ({ivals})"
+    )
+    assert spec.target == tgt and spec.target_alias == talias
+    assert spec.source_alias == salias
+    assert spec.on == f"{talias}.{key} = {salias}.{key}"
+    assert spec.update_sets == {c: f"{salias}.{c}" for c in cols}
+    assert spec.insert_cols == [key] + cols
+    assert spec.insert_vals == [f"{salias}.{c}" for c in [key] + cols]
