@@ -294,3 +294,57 @@ def window_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "session_id")
     )
+
+
+@query(
+    "window_gaps_islands",
+    family="windows",
+    oracle="""
+        WITH daily AS (
+          SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+        ), isl AS (
+          SELECT user_id, d,
+                 d - CAST(row_number() OVER (PARTITION BY user_id ORDER BY d)
+                          AS INTEGER) AS grp
+          FROM daily
+        )
+        SELECT user_id,
+               CAST(min(d) AS VARCHAR) AS streak_start,
+               CAST(max(d) AS VARCHAR) AS streak_end,
+               CAST(count(*) AS BIGINT) AS streak_days
+        FROM isl
+        GROUP BY user_id, grp
+        ORDER BY user_id, streak_start
+    """,
+)
+def window_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: each user's streaks of CONSECUTIVE active days
+    (start, end, length) — the classic retention/engagement pattern, via the
+    row_number-difference trick: consecutive dates share ``date - rn``, so
+    one window pass plus one group-by finds every island with no self-join.
+
+    All-integer/date arithmetic — nothing float touches the result, so it is
+    exact at any parallelism. Dates render to string inside both engines
+    (engine-native ISO formatting, identical).
+
+    Scale notes: the DISTINCT day grid collapses raw events map-side before
+    its shuffle; window and final aggregate both partition by user_id over
+    day-grain rows (at most ~365/user/year regardless of event volume)."""
+    e = load(spark, sf_dir, "events")
+    daily = e.select(
+        "user_id", F.col("ts").cast("date").alias("d")
+    ).distinct()
+    rn = F.row_number().over(W.partitionBy("user_id").orderBy("d"))
+    isl = daily.select(
+        "user_id", "d", F.date_sub(F.col("d"), rn).alias("grp")
+    )
+    return (
+        isl.groupBy("user_id", "grp")
+        .agg(
+            F.min("d").cast("string").alias("streak_start"),
+            F.max("d").cast("string").alias("streak_end"),
+            F.count(F.lit(1)).cast("bigint").alias("streak_days"),
+        )
+        .drop("grp")
+        .orderBy("user_id", "streak_start")
+    )
