@@ -459,14 +459,25 @@ def dedup_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle computes the same fixpoint with DuckDB's WITH RECURSIVE —
     two unrelated fixpoint engines agreeing on every component."""
     pairs = dedup_minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
-    edges = (
+
+    def _materialize(df: DataFrame) -> DataFrame:
+        """Truncate lineage once per round. With a checkpoint dir configured
+        (``spark.sparkContext.setCheckpointDir``) use RELIABLE
+        ``checkpoint()`` — executor-local blocks from ``localCheckpoint``
+        vanish on executor loss, which would kill a long propagation run on
+        a real cluster (VERDICT r3); without one (local mode, tests) keep
+        the cheap executor-local path."""
+        if spark.sparkContext.getCheckpointDir() is not None:
+            return df.checkpoint(eager=True)
+        return df.localCheckpoint()
+
+    edges = _materialize(
         pairs.select(F.col("doc_a").alias("s"), F.col("doc_b").alias("d"))
         .unionByName(
             pairs.select(F.col("doc_b").alias("s"), F.col("doc_a").alias("d"))
         )
         .distinct()
-        .localCheckpoint()  # fixed frontier reused every iteration
-    )
+    )  # fixed frontier reused every iteration
     labels = edges.select("s").distinct().select(
         F.col("s").alias("node"), F.col("s").alias("label")
     )
@@ -480,7 +491,7 @@ def dedup_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         # checkpoint FIRST (one execution of the round's plan), then compute
         # the convergence probe against the materialized partitions — the old
         # checkpoint-after-count shape ran every round's join twice.
-        new_labels = (
+        new_labels = _materialize(
             labels.join(neighbor_min, labels.node == neighbor_min.s, "left")
             .select(
                 "node",
@@ -488,7 +499,7 @@ def dedup_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
                 ).alias("label"),
             )
-        ).localCheckpoint()
+        )
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "node")

@@ -291,8 +291,77 @@ N_PROBE = 2  # IVF cells probed per query
 CENTROID_STRIDE = 50  # vec_id % stride == 0 -> centroid (deterministic "kmeans")
 #: hard ceiling on codebook size for the broadcast assignment join — ~64k
 #: cells x (embedding + norm) stays comfortably under the 8 GB broadcast
-#: limit at dim<=4096; past this the assignment needs a two-level codebook
+#: limit at dim<=4096; past this the assignment switches to the two-level
+#: codebook path (coarse-quantize the centroids, assign in two hops)
 MAX_BROADCAST_CENTROIDS = 65536
+
+
+def _ivf_assign(n, cent, max_broadcast: int):
+    """Assign every vector to its IVF cell, returning ``(vec_id, embedding,
+    nrm, cell, cr)`` with ``cr`` = rank of the cell by similarity (1 =
+    nearest; callers keep ``cr == 1`` as membership and ``cr <= N_PROBE``
+    as probes).
+
+    - codebook fits the broadcast guard -> ONE broadcast join + per-row
+      argmax (window over the per-vector candidate list).
+    - larger codebook -> TWO-LEVEL: pick a coarse sub-codebook (every
+      ``group``-th centroid, deterministic by cell id), route each centroid
+      and each vector to its nearest coarse cell with a small broadcast
+      join, then rank only the centroids sharing the vector's coarse cell —
+      an equi-join on ``coarse_id``, never a vectors x all-centroids
+      product. This is the standard IVF-IMI approximation: a vector whose
+      true nearest centroid lives in a neighboring coarse cell may be
+      assigned its best WITHIN-coarse-cell centroid instead; recall is
+      recovered at query time by probing ``cr <= N_PROBE`` cells.
+    """
+    sim_vc = _dot_arr("embedding", "c_emb") / (F.col("nrm") * F.col("c_nrm"))
+    w_vc = W.partitionBy("vec_id").orderBy(sim_vc.desc(), F.col("cell"))
+    n_cells = cent.count()
+    if n_cells <= max_broadcast:
+        return n.join(F.broadcast(cent)).select(
+            "vec_id", "embedding", "nrm", "cell",
+            F.row_number().over(w_vc).alias("cr"),
+        )
+    # ---- two-level path: coarse codebook of ceil(n_cells / group) cells
+    group = -(-n_cells // max_broadcast)  # centroids per coarse cell
+    # cells are vec_ids at CENTROID_STRIDE spacing -> every group-th of them
+    # (deterministic, no global window needed)
+    coarse = cent.filter(
+        (F.col("cell") % (CENTROID_STRIDE * group)) == 0
+    ).select(
+        F.col("cell").alias("coarse_id"),
+        F.col("c_emb").alias("g_emb"),
+        F.col("c_nrm").alias("g_nrm"),
+    )
+    # hop 1a: centroid -> nearest coarse centroid (broadcast tiny codebook)
+    sim_cg = _dot_arr("c_emb", "g_emb") / (F.col("c_nrm") * F.col("g_nrm"))
+    w_cg = W.partitionBy("cell").orderBy(sim_cg.desc(), F.col("coarse_id"))
+    cent_routed = (
+        cent.join(F.broadcast(coarse))
+        .select(
+            "cell", "c_emb", "c_nrm", "coarse_id",
+            F.row_number().over(w_cg).alias("gr"),
+        )
+        .filter(F.col("gr") == 1)
+        .drop("gr")
+    )
+    # hop 1b: vector -> nearest coarse centroid (same broadcast)
+    sim_vg = _dot_arr("embedding", "g_emb") / (F.col("nrm") * F.col("g_nrm"))
+    w_vg = W.partitionBy("vec_id").orderBy(sim_vg.desc(), F.col("coarse_id"))
+    vec_routed = (
+        n.join(F.broadcast(coarse))
+        .select(
+            "vec_id", "embedding", "nrm", "coarse_id",
+            F.row_number().over(w_vg).alias("gr"),
+        )
+        .filter(F.col("gr") == 1)
+        .drop("gr")
+    )
+    # hop 2: rank only the ~group centroids in the vector's coarse cell
+    return vec_routed.join(cent_routed, "coarse_id").select(
+        "vec_id", "embedding", "nrm", "cell",
+        F.row_number().over(w_vc).alias("cr"),
+    )
 
 
 @query(
@@ -344,12 +413,13 @@ def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     holds at billions of vectors.
 
     The vectors x centroids assignment join is only safe while the codebook
-    is broadcast-sized: the guard below fails fast if it grows past
-    ``MAX_BROADCAST_CENTROIDS`` instead of silently planning a giant
-    cartesian (VERDICT r01 item 6). A million-cell codebook needs the
-    two-level scheme (coarse-quantize the centroids themselves, assign in
-    two broadcast hops) — documented here, deliberately not implemented
-    until a fixture needs it."""
+    is broadcast-sized: past ``MAX_BROADCAST_CENTROIDS`` cells,
+    :func:`_ivf_assign` switches to the two-level codebook (coarse-quantize
+    the centroids themselves, assign in two broadcast hops) instead of
+    silently planning a giant cartesian (VERDICT r01 item 6, r3 item 5).
+    At this fixture's codebook size the driver-checked path is the
+    single-hop broadcast; the two-level path is exercised by
+    ``tests/test_llm_ops.py`` with the guard lowered."""
     e = load(spark, sf_dir, "embeddings")
     n = e.select("vec_id", "embedding", _norm_arr("embedding").alias("nrm"))
     cent = n.filter(F.col("vec_id") % CENTROID_STRIDE == 0).select(
@@ -357,23 +427,7 @@ def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("c_emb"),
         F.col("nrm").alias("c_nrm"),
     )
-    n_cells = cent.count()
-    if n_cells > MAX_BROADCAST_CENTROIDS:
-        raise ValueError(
-            f"similarity_ann_ivf: {n_cells} centroids exceeds the broadcast "
-            f"guard ({MAX_BROADCAST_CENTROIDS}); the vectors x centroids "
-            "assignment would stop being a broadcast join — re-bucket with a "
-            "two-level codebook before scaling the cell count"
-        )
-    sim_to_cent = _dot_arr("embedding", "c_emb") / (F.col("nrm") * F.col("c_nrm"))
-    w_assign = W.partitionBy("vec_id").orderBy(
-        sim_to_cent.desc(), F.col("cell")
-    )
-    assign = (
-        n.join(F.broadcast(cent))
-        .select("vec_id", "embedding", "nrm", "cell",
-                F.row_number().over(w_assign).alias("cr"))
-    )
+    assign = _ivf_assign(n, cent, MAX_BROADCAST_CENTROIDS)
     members = assign.filter(F.col("cr") == 1).select(
         "vec_id", "embedding", "nrm", "cell"
     )

@@ -26,19 +26,26 @@ from __future__ import annotations
 import re
 
 from bfs_etl_sep2025_spark.plans.merge import _split_top_level
+from bfs_etl_sep2025_spark.plans.qualify import _top_level_positions
 
-_DELETE = re.compile(
-    r"(?is)^\s*DELETE\s+FROM\s+(?P<name>[\w.`\"]+)\s*"
-    r"(?:WHERE\s+(?P<pred>.+?))?\s*$"
-)
-_UPDATE = re.compile(
-    r"(?is)^\s*UPDATE\s+(?P<name>[\w.`\"]+)\s+SET\s+(?P<sets>.+?)"
-    r"(?:\s+WHERE\s+(?P<pred>.+?))?\s*$"
-)
+_DELETE_HEAD = re.compile(r"(?is)^\s*DELETE\s+FROM\s+(?P<name>[\w.`\"]+)\s*")
+_UPDATE_HEAD = re.compile(r"(?is)^\s*UPDATE\s+(?P<name>[\w.`\"]+)\s+SET\s")
+_WHERE = re.compile(r"(?i)^WHERE\b")
 
 
 def is_update_or_delete(stmt: str) -> bool:
-    return bool(_DELETE.match(stmt) or _UPDATE.match(stmt))
+    return bool(_DELETE_HEAD.match(stmt) or _UPDATE_HEAD.match(stmt))
+
+
+def _split_where(text: str) -> tuple[str, str | None]:
+    """Split ``text`` at its first *top-level* WHERE (quote-, comment-, and
+    paren-aware), so a WHERE inside a subquery or a string literal never
+    becomes the statement boundary — unlike a lazy ``.+?`` regex, which
+    splits at the first textual ' where ' regardless of nesting."""
+    for i in _top_level_positions(text):
+        if _WHERE.match(text[i:]) and (i == 0 or not text[i - 1].isalnum()):
+            return text[:i].strip(), text[i + len("WHERE") :].strip()
+    return text.strip(), None
 
 
 def _swap(spark, table: str, select: str) -> None:
@@ -53,9 +60,11 @@ def _swap(spark, table: str, select: str) -> None:
 
 def run_update_or_delete(spark, stmt: str) -> None:
     """Parse + execute one UPDATE or DELETE against the session catalog."""
-    if m := _DELETE.match(stmt):
+    if m := _DELETE_HEAD.match(stmt):
         table = m.group("name").strip('`"')
-        pred = m.group("pred")
+        rest, pred = _split_where(stmt[m.end() :])
+        if rest:
+            raise ValueError(f"unsupported DELETE tail: {rest[:60]!r}")
         if pred is None:
             # unconditional DELETE == empty the table
             select = f"SELECT * FROM {table} WHERE false"
@@ -65,13 +74,13 @@ def run_update_or_delete(spark, stmt: str) -> None:
             )
         _swap(spark, table, select)
         return
-    m = _UPDATE.match(stmt)
+    m = _UPDATE_HEAD.match(stmt)
     if not m:
         raise ValueError(f"unsupported DML statement: {stmt[:60]!r}")
     table = m.group("name").strip('`"')
-    pred = m.group("pred")
+    sets_sql, pred = _split_where(stmt[m.end() :])
     sets: dict[str, str] = {}
-    for assign in _split_top_level(m.group("sets")):
+    for assign in _split_top_level(sets_sql):
         col, _, expr = assign.partition("=")
         if not expr:
             raise ValueError(f"bad SET assignment: {assign!r}")

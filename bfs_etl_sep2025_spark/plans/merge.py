@@ -24,13 +24,18 @@ Supported grammar (the common Snowflake shapes)::
 
     MERGE INTO <tgt> [[AS] t] USING <src | (subquery)> [[AS] s]
     ON <cond>
-    [WHEN MATCHED THEN UPDATE SET col = expr [, ...]]
-    [WHEN MATCHED THEN DELETE]
-    [WHEN NOT MATCHED THEN INSERT [(cols)] VALUES (exprs)]
+    [WHEN MATCHED [AND <guard>] THEN UPDATE SET col = expr [, ...]] ...
+    [WHEN MATCHED [AND <guard>] THEN DELETE] ...
+    [WHEN NOT MATCHED [AND <guard>] THEN INSERT [(cols)] VALUES (exprs)] ...
 
-Standard MERGE preconditions apply: the source must be unique on the join
-key (a duplicate match would fan out the LEFT JOIN where a real MERGE
-raises); extra ``AND`` guards on WHEN clauses are not parsed.
+Multiple guarded branches per match side are evaluated in statement order —
+the first branch whose guard is true applies (Snowflake's rule); a branch
+after an unguarded one on the same side is unreachable and rejected. The
+standard MERGE precondition — the source must be unique on the join key —
+is ENFORCED at runtime when any MATCHED branch exists: a pre-rewrite
+aggregate counts source matches per target row and raises, mirroring
+Snowflake's nondeterministic-merge error, instead of silently fanning out
+the LEFT JOIN.
 
 Scale notes: the rewrite is two joins and a union over the snapshot — the
 same shuffle shape Delta's MERGE plans under the hood (join on the merge
@@ -50,12 +55,13 @@ _MERGE_HEAD = re.compile(r"(?i)^\s*MERGE\s+INTO\s+")
 _USING = re.compile(r"(?i)^USING\b")
 _ON = re.compile(r"(?i)^ON\b")
 _WHEN = re.compile(r"(?i)^WHEN\b")
-_UPDATE = re.compile(
-    r"(?is)^WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+(?P<sets>.+)$"
-)
-_DELETE = re.compile(r"(?is)^WHEN\s+MATCHED\s+THEN\s+DELETE\s*$")
-_INSERT = re.compile(
-    r"(?is)^WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s*"
+_WHEN_HEAD = re.compile(r"(?is)^WHEN\s+(?P<not>NOT\s+)?MATCHED\b")
+_THEN = re.compile(r"(?i)^THEN\b")
+_AND_HEAD = re.compile(r"(?is)^AND\b")
+_UPDATE_ACT = re.compile(r"(?is)^UPDATE\s+SET\s+(?P<sets>.+)$")
+_DELETE_ACT = re.compile(r"(?is)^DELETE\s*$")
+_INSERT_ACT = re.compile(
+    r"(?is)^INSERT\s*"
     r"(?:\((?P<cols>[^)]*)\)\s*)?VALUES\s*\((?P<vals>.+)\)\s*$"
 )
 
@@ -65,23 +71,63 @@ def is_merge(stmt: str) -> bool:
 
 
 @dataclass
+class MatchedBranch:
+    """One ``WHEN MATCHED [AND guard] THEN UPDATE|DELETE`` clause."""
+
+    guard: str | None  # extra AND condition, verbatim; None = unguarded
+    delete: bool = False
+    sets: dict[str, str] = field(default_factory=dict)  # col -> expr
+
+
+@dataclass
+class InsertBranch:
+    """One ``WHEN NOT MATCHED [AND guard] THEN INSERT`` clause."""
+
+    guard: str | None
+    cols: list[str] | None  # None = full target column list
+    vals: list[str] = field(default_factory=list)
+
+
+@dataclass
 class MergeSpec:
     target: str
     target_alias: str
     source_sql: str  # table name or parenthesized subquery, verbatim
     source_alias: str
     on: str
-    update_sets: dict[str, str] = field(default_factory=dict)  # col -> expr
-    delete_matched: bool = False
-    insert_cols: list[str] | None = None  # None and no insert clause differ
-    insert_vals: list[str] | None = None
+    matched: list[MatchedBranch] = field(default_factory=list)
+    not_matched: list[InsertBranch] = field(default_factory=list)
+
+    # -- first-branch convenience views (the pre-guard API shape) ----------
+    @property
+    def update_sets(self) -> dict[str, str]:
+        for b in self.matched:
+            if not b.delete:
+                return b.sets
+        return {}
+
+    @property
+    def delete_matched(self) -> bool:
+        return any(b.delete for b in self.matched)
+
+    @property
+    def insert_cols(self) -> list[str] | None:
+        return self.not_matched[0].cols if self.not_matched else None
+
+    @property
+    def insert_vals(self) -> list[str] | None:
+        return self.not_matched[0].vals if self.not_matched else None
 
 
 def _split_top_level(text: str, sep: str = ",") -> list[str]:
-    """Split on a separator at paren depth 0, outside quotes/comments."""
-    tops = set(_top_level_positions(text))
+    """Split on a separator at paren depth 0, outside quotes/comments.
+
+    ``_top_level_positions`` already returns ascending indices — iterate it
+    directly. (A ``set()`` wrapper here once scrambled iteration order for
+    sparse position lists with large values, silently mis-splitting long
+    SET/VALUES clauses; regression-tested in tests/test_merge.py.)"""
     parts, last = [], 0
-    for i in tops:
+    for i in _top_level_positions(text):
         if text[i] == sep:
             parts.append(text[last:i])
             last = i + 1
@@ -138,77 +184,209 @@ def parse_merge(stmt: str) -> MergeSpec:
     bounds = when_ats + [len(body)]
     for a, b in zip(bounds, bounds[1:]):
         clause = body[a:b].strip()
-        if _DELETE.match(clause):
-            spec.delete_matched = True
-        elif mm := _UPDATE.match(clause):
+        head = _WHEN_HEAD.match(clause)
+        if not head:
+            raise ValueError(f"unsupported MERGE clause: {clause[:60]!r}")
+        is_not = bool(head.group("not"))
+        rest = clause[head.end() :].strip()
+        # optional AND <guard> runs to the first top-level THEN
+        guard: str | None = None
+        then_at = None
+        for i in _top_level_positions(rest):
+            if _THEN.match(rest[i:]) and (i == 0 or not rest[i - 1].isalnum()):
+                then_at = i
+                break
+        if then_at is None:
+            raise ValueError(f"MERGE clause missing THEN: {clause[:60]!r}")
+        between = rest[:then_at].strip()
+        if between:
+            gm = _AND_HEAD.match(between)
+            if not gm:
+                raise ValueError(
+                    f"unsupported MERGE clause head: {clause[:60]!r}"
+                )
+            guard = between[gm.end() :].strip()
+            if not guard:
+                raise ValueError(f"empty MERGE guard: {clause[:60]!r}")
+        action = rest[then_at + len("THEN") :].strip()
+        prior = spec.not_matched if is_not else spec.matched
+        if prior and prior[-1].guard is None:
+            raise ValueError(
+                "MERGE: branch after an unguarded WHEN "
+                f"{'NOT ' if is_not else ''}MATCHED is unreachable"
+            )
+        if not is_not and _DELETE_ACT.match(action):
+            spec.matched.append(MatchedBranch(guard=guard, delete=True))
+        elif not is_not and (mm := _UPDATE_ACT.match(action)):
+            sets: dict[str, str] = {}
             for assign in _split_top_level(mm.group("sets")):
                 col, _, expr = assign.partition("=")
                 if not expr:
                     raise ValueError(f"bad SET assignment: {assign!r}")
-                spec.update_sets[col.strip().split(".")[-1].strip('`"')] = (
-                    expr.strip()
-                )
-        elif mm := _INSERT.match(clause):
+                sets[col.strip().split(".")[-1].strip('`"')] = expr.strip()
+            spec.matched.append(MatchedBranch(guard=guard, sets=sets))
+        elif is_not and (mm := _INSERT_ACT.match(action)):
             cols = mm.group("cols")
-            spec.insert_cols = (
-                [c.strip().strip('`"') for c in cols.split(",")]
-                if cols
-                else None
+            spec.not_matched.append(
+                InsertBranch(
+                    guard=guard,
+                    cols=(
+                        [c.strip().strip('`"') for c in cols.split(",")]
+                        if cols
+                        else None
+                    ),
+                    vals=_split_top_level(mm.group("vals")),
+                )
             )
-            spec.insert_vals = _split_top_level(mm.group("vals"))
         else:
             raise ValueError(f"unsupported MERGE clause: {clause[:60]!r}")
-    if spec.delete_matched and spec.update_sets:
-        raise ValueError("MERGE: UPDATE and DELETE on the same MATCHED branch")
     return spec
 
 
 def _rewrite(spec: MergeSpec, tgt_fields: list[tuple[str, str]]) -> str:
     """The UNION ALL select over (kept/updated target rows) + (inserts).
-    ``tgt_fields`` is [(name, spark_sql_type)] from the live table schema."""
+    ``tgt_fields`` is [(name, spark_sql_type)] from the live table schema.
+
+    Guarded branches compile to one first-true-wins ``CASE`` selecting a
+    branch ordinal (0 = no branch applies, keep the row as-is); the ordinal
+    expression is inlined wherever needed — Catalyst's common-subexpression
+    elimination shares it, and the whole matched side stays ONE left join
+    over the snapshot regardless of branch count (same shuffle shape Delta
+    plans for a multi-branch MERGE)."""
     t, s = spec.target_alias, spec.source_alias
     # a non-null marker column makes "matched" testable after the LEFT JOIN
     src = f"(SELECT *, true AS __merge_m FROM {spec.source_sql}) AS {s}"
     branches: list[str] = []
-    if spec.delete_matched:
+    only_unguarded_delete = (
+        len(spec.matched) == 1
+        and spec.matched[0].delete
+        and spec.matched[0].guard is None
+    )
+    if only_unguarded_delete:
         cols = ", ".join(f"{t}.{c} AS {c}" for c, _ in tgt_fields)
         branches.append(
             f"SELECT {cols} FROM {spec.target} AS {t} "
             f"LEFT ANTI JOIN {src} ON {spec.on}"
         )
     else:
+        # first-true-wins branch ordinal; 0 = untouched target row
+        arms = "".join(
+            f" WHEN {s}.__merge_m"
+            + (f" AND ({b.guard})" if b.guard is not None else "")
+            + f" THEN {i}"
+            for i, b in enumerate(spec.matched, start=1)
+        )
+        act = f"CASE{arms} ELSE 0 END" if arms else "0"
+        del_ids = [
+            str(i) for i, b in enumerate(spec.matched, start=1) if b.delete
+        ]
         cols = ", ".join(
-            f"CASE WHEN {s}.__merge_m THEN ({expr}) ELSE {t}.{c} END AS {c}"
-            if (expr := spec.update_sets.get(c))
+            (
+                f"CASE ({act})"
+                + "".join(
+                    f" WHEN {i} THEN ({b.sets[c]})"
+                    for i, b in enumerate(spec.matched, start=1)
+                    if not b.delete and c in b.sets
+                )
+                + f" ELSE {t}.{c} END AS {c}"
+            )
+            if any(
+                not b.delete and c in b.sets for b in spec.matched
+            )
             else f"{t}.{c} AS {c}"
             for c, _ in tgt_fields
         )
+        keep = f" WHERE ({act}) NOT IN ({', '.join(del_ids)})" if del_ids else ""
         branches.append(
             f"SELECT {cols} FROM {spec.target} AS {t} "
-            f"LEFT JOIN {src} ON {spec.on}"
+            f"LEFT JOIN {src} ON {spec.on}{keep}"
         )
-    if spec.insert_vals is not None:
+    if spec.not_matched:
         names = [c for c, _ in tgt_fields]
-        icols = spec.insert_cols if spec.insert_cols is not None else names
-        if len(icols) != len(spec.insert_vals):
-            raise ValueError("MERGE INSERT: column/value count mismatch")
-        vals = dict(zip(icols, spec.insert_vals))
-        proj = ", ".join(
-            f"({vals[c]}) AS {c}"
-            if c in vals
-            else f"CAST(NULL AS {typ}) AS {c}"
-            for c, typ in tgt_fields
-        )
-        branches.append(
-            f"SELECT {proj} FROM {src} "
-            f"LEFT ANTI JOIN {spec.target} AS {t} ON {spec.on}"
-        )
+        per_branch_vals: list[dict[str, str]] = []
+        for b in spec.not_matched:
+            icols = b.cols if b.cols is not None else names
+            if len(icols) != len(b.vals):
+                raise ValueError("MERGE INSERT: column/value count mismatch")
+            per_branch_vals.append(dict(zip(icols, b.vals)))
+        if len(spec.not_matched) == 1 and spec.not_matched[0].guard is None:
+            vals = per_branch_vals[0]
+            proj = ", ".join(
+                f"({vals[c]}) AS {c}"
+                if c in vals
+                else f"CAST(NULL AS {typ}) AS {c}"
+                for c, typ in tgt_fields
+            )
+            branches.append(
+                f"SELECT {proj} FROM {src} "
+                f"LEFT ANTI JOIN {spec.target} AS {t} ON {spec.on}"
+            )
+        else:
+            arms = "".join(
+                f" WHEN ({b.guard}) THEN {i}"
+                if b.guard is not None
+                else f" WHEN true THEN {i}"
+                for i, b in enumerate(spec.not_matched, start=1)
+            )
+            iact = f"CASE{arms} ELSE 0 END"
+            proj = ", ".join(
+                (
+                    f"CASE ({iact})"
+                    + "".join(
+                        f" WHEN {i} THEN ({vals[c]})"
+                        for i, vals in enumerate(per_branch_vals, start=1)
+                        if c in vals
+                    )
+                    + f" ELSE CAST(NULL AS {typ}) END AS {c}"
+                )
+                if any(c in vals for vals in per_branch_vals)
+                else f"CAST(NULL AS {typ}) AS {c}"
+                for c, typ in tgt_fields
+            )
+            branches.append(
+                f"SELECT {proj} FROM {src} "
+                f"LEFT ANTI JOIN {spec.target} AS {t} ON {spec.on} "
+                f"WHERE ({iact}) <> 0"
+            )
     return " UNION ALL ".join(branches)
+
+
+def _check_deterministic(spark, spec: MergeSpec) -> None:
+    """Raise if any target row matches more than one source row on the ON
+    condition — Snowflake's nondeterministic-merge error (default
+    ``ERROR_ON_NONDETERMINISTIC_MERGE=true``), which the LEFT-JOIN rewrite
+    would otherwise silently fan out. One extra join+aggregate over the
+    snapshot, the same pre-check Delta's MERGE runs; only needed (and only
+    run) when a MATCHED branch exists — insert-only merges are unaffected
+    by duplicate matches (the anti join collapses them)."""
+    t, s = spec.target_alias, spec.source_alias
+    view = "__merge_rid_" + re.sub(r"\W", "_", spec.target)
+    from pyspark.sql import functions as F
+
+    spark.table(spec.target).withColumn(
+        "__merge_rid", F.monotonically_increasing_id()
+    ).createOrReplaceTempView(view)
+    try:
+        dup = spark.sql(
+            f"SELECT 1 AS one FROM {view} AS {t} "
+            f"JOIN {spec.source_sql} AS {s} ON {spec.on} "
+            f"GROUP BY {t}.__merge_rid HAVING count(*) > 1 LIMIT 1"
+        ).count()
+    finally:
+        spark.catalog.dropTempView(view)
+    if dup:
+        raise ValueError(
+            f"MERGE INTO {spec.target}: a target row matches multiple "
+            "source rows on the ON condition — nondeterministic MERGE "
+            "(deduplicate the source on the join key)"
+        )
 
 
 def run_merge(spark, stmt: str) -> None:
     """Parse + execute one MERGE INTO against the session catalog."""
     spec = parse_merge(stmt)
+    if spec.matched:
+        _check_deterministic(spark, spec)
     schema = spark.table(spec.target).schema
     tgt_fields = [(f.name, f.dataType.simpleString()) for f in schema.fields]
     select = _rewrite(spec, tgt_fields)

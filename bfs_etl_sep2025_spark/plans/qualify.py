@@ -26,7 +26,12 @@ datetime).
 Scope: the QUALIFY must be top-level (not inside a subquery — Spark planning
 inside nested scopes would need a real parser); the predicate may reference
 select-list aliases or contain inline window calls, the common Snowflake
-shapes. Keyword detection is quote-, comment-, and paren-aware.
+shapes. Keyword detection is quote-, comment-, and paren-aware. Two
+documented restrictions (ADVICE r3): ``SELECT DISTINCT ... QUALIFY`` is
+REJECTED with ValueError — Snowflake evaluates QUALIFY before DISTINCT, but
+the wrap would run DISTINCT first and can keep different rows; and an ORDER
+BY tail after QUALIFY may only reference columns in the select list (the
+wrap hides the head's other columns from the outer sort).
 """
 
 from __future__ import annotations
@@ -40,8 +45,20 @@ _TAIL_RE = re.compile(r"(?i)^(ORDER|LIMIT|OFFSET)\b")
 _QUALIFY_RE = re.compile(r"(?i)^QUALIFY\b")
 
 
+def _unquoted_positions(sql: str) -> set[int]:
+    """Indices of chars outside quotes and comments, at ANY paren depth —
+    the span where dialect keyword substitution is safe (a membership set,
+    not an ordered walk; contrast ``_top_level_positions``)."""
+    return set(_scan_positions(sql, any_depth=True))
+
+
 def _top_level_positions(sql: str) -> list[int]:
-    """Indices of chars at paren depth 0, outside quotes and comments."""
+    """Indices of chars at paren depth 0, outside quotes and comments
+    (ascending — callers rely on the order)."""
+    return _scan_positions(sql, any_depth=False)
+
+
+def _scan_positions(sql: str, any_depth: bool) -> list[int]:
     out: list[int] = []
     i, n, depth = 0, len(sql), 0
     state: str | None = None
@@ -61,9 +78,13 @@ def _top_level_positions(sql: str) -> list[int]:
                 continue
             elif ch == "(":
                 depth += 1
+                if any_depth:
+                    out.append(i)
             elif ch == ")":
                 depth -= 1
-            elif depth == 0:
+                if any_depth:
+                    out.append(i)
+            elif any_depth or depth == 0:
                 out.append(i)
             i += 1
         elif state in ("'", '"', "`"):
@@ -87,6 +108,20 @@ def _top_level_positions(sql: str) -> list[int]:
                 continue
             i += 1
     return out
+
+
+def sub_unquoted(pattern: re.Pattern, repl, text: str) -> str:
+    """``pattern.sub(repl, text)`` applied only to matches that START
+    outside string literals and comments, so a dialect keyword quoted as
+    data (``SELECT 'IFF(x)' AS note``) is never rewritten (ADVICE r3)."""
+    ok = _unquoted_positions(text)
+
+    def _repl(m: re.Match) -> str:
+        if m.start() not in ok:
+            return m.group(0)
+        return repl(m) if callable(repl) else m.expand(repl)
+
+    return pattern.sub(_repl, text)
 
 
 _SELECT_RE = re.compile(r"(?i)^SELECT\b")
@@ -115,6 +150,12 @@ def rewrite_qualify(stmt: str) -> str:
     stmt = stmt[sel_at:]
     q_at -= sel_at
     head = stmt[:q_at].rstrip()
+    if re.match(r"(?is)^SELECT\s+DISTINCT\b", head):
+        raise ValueError(
+            "QUALIFY with SELECT DISTINCT is unsupported: Snowflake runs "
+            "QUALIFY before DISTINCT; the window+filter rewrite would "
+            "invert that order. Deduplicate in a subquery instead."
+        )
     rest = stmt[q_at + len("QUALIFY") :]
     # find where the predicate ends (top-level ORDER BY / LIMIT / OFFSET)
     tail_at = None

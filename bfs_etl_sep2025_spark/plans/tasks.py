@@ -26,7 +26,7 @@ from datetime import datetime
 from pathlib import Path
 from typing import TYPE_CHECKING, Any
 
-from bfs_etl_sep2025_spark.plans.qualify import rewrite_qualify
+from bfs_etl_sep2025_spark.plans.qualify import rewrite_qualify, sub_unquoted
 from bfs_etl_sep2025_spark.plans.sqlsplit import split_statements
 from bfs_etl_sep2025_spark.plans.templating import build_context, render_any
 
@@ -212,20 +212,25 @@ class SqlTask(Task):
     def _translate(self, stmt: str, ctx: RunContext) -> list[str]:
         """Snowflake spelling -> Spark SQL, one input statement -> 1-2
         executable statements."""
-        out = _TRANSIENT.sub(
+        # All keyword substitutions are quote-aware (sub_unquoted): a
+        # dialect spelling inside a string literal is data, not syntax.
+        out = sub_unquoted(
+            _TRANSIENT,
             lambda m: "CREATE OR REPLACE TABLE"
             if m.group(1)
             else "CREATE TABLE",
             stmt,
         )
-        out = _DATETIME_TYPE.sub(r"\1TIMESTAMP_NTZ", out)
+        out = sub_unquoted(_DATETIME_TYPE, r"\1TIMESTAMP_NTZ", out)
         # sysdate() is UTC 'now' (the reference's audit column is
         # load_utc_ts) -> the injectable clock, as a literal.
         now = ctx.clock()
-        out = _SYSDATE.sub(f"TIMESTAMP '{now.isoformat(sep=' ')}'", out)
+        out = sub_unquoted(
+            _SYSDATE, f"TIMESTAMP '{now.isoformat(sep=' ')}'", out
+        )
         # Snowflake IFF(cond, a, b) -> Spark IF (same ternary semantics;
         # listagg/split_part/nvl need no mapping — Spark 4 has them).
-        out = _IFF.sub("IF(", out)
+        out = sub_unquoted(_IFF, "IF(", out)
         # Snowflake QUALIFY (reachable through the reference's arbitrary-SQL
         # pass-through) -> window+filter rewrite; no-op without QUALIFY.
         out = rewrite_qualify(out)

@@ -102,16 +102,29 @@ def test_multitable_lsh_recall_dominates_single_table(spark):
         assert multi[qid] >= c
 
 
-def test_ivf_codebook_broadcast_guard(spark, monkeypatch):
-    """The vectors x centroids assignment join is only planned while the
-    codebook is broadcast-sized; past MAX_BROADCAST_CENTROIDS the op must
-    fail fast instead of silently planning a giant cartesian (VERDICT r02
-    item 6)."""
+def test_ivf_codebook_over_guard_uses_two_level(spark, monkeypatch):
+    """Past MAX_BROADCAST_CENTROIDS the assignment no longer raises (the
+    pre-r4 behavior): it switches to the two-level codebook, the full query
+    still answers every probe, and the plan never contains a vectors x
+    all-centroids cartesian (VERDICT r02 item 6, r3 item 5)."""
     from bfs_etl_sep2025_spark.operators import similarity
 
+    baseline = _q("similarity_ann_ivf")(spark, SF)
+    base_queries = {r.query_id for r in baseline.collect()}
     monkeypatch.setattr(similarity, "MAX_BROADCAST_CENTROIDS", 3)
-    with pytest.raises(ValueError, match="exceeds the broadcast guard"):
-        _q("similarity_ann_ivf")(spark, SF)
+    df = _q("similarity_ann_ivf")(spark, SF)
+    rows = df.collect()
+    assert {r.query_id for r in rows} == base_queries
+    # every probe still yields a full (or capped) top-k, ranked 1..k
+    from collections import defaultdict
+
+    per_q = defaultdict(list)
+    for r in rows:
+        per_q[r.query_id].append(r.rnk)
+    for q, rnks in per_q.items():
+        assert sorted(rnks) == list(range(1, len(rnks) + 1))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
 
 
 def test_multimodal_decode_is_stubbed():
@@ -156,3 +169,86 @@ def test_language_id_scores_populated(spark):
     rows = _q("text_language_id")(spark, SF).collect()
     assert len(rows) == 500
     assert any(r.best_score > 0 for r in rows)
+
+
+def test_clusters_with_reliable_checkpoint_dir(spark, tmp_path):
+    """With a checkpoint dir configured, the label-propagation loop uses
+    RELIABLE checkpoint() (survives executor loss on a cluster) and yields
+    the identical fixpoint labeling (VERDICT r3 item 4)."""
+    before = {
+        r.doc_id: r.cluster_id
+        for r in _q("dedup_minhash_clusters")(spark, SF).collect()
+    }
+    sc = spark.sparkContext
+    assert sc.getCheckpointDir() is None
+    sc.setCheckpointDir(str(tmp_path / "ckpt"))
+    try:
+        after = {
+            r.doc_id: r.cluster_id
+            for r in _q("dedup_minhash_clusters")(spark, SF).collect()
+        }
+    finally:
+        # scope the global setting to this test: later tests (and the
+        # shared-session parity suite) keep the cheap localCheckpoint path
+        setter = getattr(sc._jsc.sc(), "checkpointDir_$eq")
+        setter(sc._jvm.scala.Option.empty())
+    assert after == before
+    assert sc.getCheckpointDir() is None
+
+
+def test_ivf_two_level_assignment_matches_numpy_oracle(spark):
+    """With the broadcast guard lowered, _ivf_assign takes the two-level
+    codebook path (VERDICT r3 item 5). An independent numpy replay of the
+    scheme — route centroids and vectors to their nearest coarse cell,
+    then argmax within the coarse cell — must agree on every vector's
+    assigned cell."""
+    import math
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from bfs_etl_sep2025_spark.operators import similarity as sim
+    from bfs_etl_sep2025_spark.tables import load
+
+    max_bc = 3
+    e = load(spark, SF, "embeddings")
+    n = e.select(
+        "vec_id", "embedding", sim._norm_arr("embedding").alias("nrm")
+    )
+    cent = n.filter(F.col("vec_id") % sim.CENTROID_STRIDE == 0).select(
+        F.col("vec_id").alias("cell"),
+        F.col("embedding").alias("c_emb"),
+        F.col("nrm").alias("c_nrm"),
+    )
+    got = {
+        r.vec_id: r.cell
+        for r in sim._ivf_assign(n, cent, max_bc)
+        .filter("cr = 1")
+        .select("vec_id", "cell")
+        .collect()
+    }
+
+    pdf = e.toPandas().sort_values("vec_id")
+    ids = pdf.vec_id.to_numpy()
+    V = np.stack(pdf.embedding.to_numpy())
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    cent_mask = ids % sim.CENTROID_STRIDE == 0
+    cells, C = ids[cent_mask], Vn[cent_mask]
+    group = math.ceil(len(cells) / max_bc)
+    coarse_mask = cells % (sim.CENTROID_STRIDE * group) == 0
+    coarse_ids, G = cells[coarse_mask], C[coarse_mask]
+
+    def route(X):  # nearest coarse cell, ties -> smaller coarse_id
+        s = X @ G.T
+        return coarse_ids[np.argmax(s, axis=1)]
+
+    cent_coarse = route(C)
+    vec_coarse = route(Vn)
+    want = {}
+    for i, vid in enumerate(ids):
+        members = cent_coarse == vec_coarse[i]
+        s = Vn[i] @ C[members].T
+        want[vid] = cells[members][np.argmax(s)]
+    assert len(got) == len(ids)  # every vector assigned exactly once
+    mismatches = {v: (got[v], want[v]) for v in want if got[v] != want[v]}
+    assert not mismatches, f"{len(mismatches)} mismatches: {mismatches}"

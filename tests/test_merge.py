@@ -42,12 +42,47 @@ def test_parse_subquery_source_and_delete():
 
 
 def test_parse_rejects_update_plus_delete():
+    """An unguarded branch makes any later branch on the same side
+    unreachable (first-true-wins), so the statement is rejected."""
     with pytest.raises(ValueError):
         parse_merge(
             "MERGE INTO t USING s ON t.id = s.id "
             "WHEN MATCHED THEN UPDATE SET a = 1 "
             "WHEN MATCHED THEN DELETE"
         )
+
+
+def test_parse_guarded_branches():
+    spec = parse_merge(
+        "MERGE INTO t USING s ON t.id = s.id "
+        "WHEN MATCHED AND s.op = 'D' THEN DELETE "
+        "WHEN MATCHED AND s.op = 'U' THEN UPDATE SET v = s.v "
+        "WHEN NOT MATCHED AND s.op <> 'D' THEN INSERT (id, v) "
+        "VALUES (s.id, s.v)"
+    )
+    assert [b.guard for b in spec.matched] == ["s.op = 'D'", "s.op = 'U'"]
+    assert spec.matched[0].delete and not spec.matched[1].delete
+    assert spec.matched[1].sets == {"v": "s.v"}
+    assert spec.not_matched[0].guard == "s.op <> 'D'"
+    # a guard containing AND / THEN inside parens or strings still parses
+    spec2 = parse_merge(
+        "MERGE INTO t USING s ON t.id = s.id "
+        "WHEN MATCHED AND (s.a > 1 AND s.note <> 'THEN') THEN DELETE"
+    )
+    assert spec2.matched[0].guard == "(s.a > 1 AND s.note <> 'THEN')"
+
+
+def test_split_top_level_sparse_positions_regression():
+    """A long parenthesized expression leaves few-but-large top-level
+    indices; iterating them through a set() once scrambled CPython's int
+    iteration order and silently mis-split SET clauses (ADVICE r3, high)."""
+    from bfs_etl_sep2025_spark.plans.merge import _split_top_level
+
+    big = "(" + " + ".join(f"col{i:05d}" for i in range(500)) + ")"
+    parts = _split_top_level(f"a = {big}, b = 2, c = 3")
+    assert len(parts) == 3
+    assert parts[0] == f"a = {big}" and parts[1] == "b = 2"
+    assert parts[2] == "c = 3"
 
 
 def _seed(spark, pipeline):
@@ -120,6 +155,83 @@ def test_merge_insert_only_with_null_fill(spark):
     assert rows == {(1, "a", 10), (2, "b", 20), (3, "C", None)}
 
 
+def test_merge_guarded_cdc_executes(spark):
+    """The canonical CDC shape: one MERGE routing deletes/updates/inserts
+    by an op column, guards evaluated first-true-wins."""
+    p = Pipeline("merge_cdc", clock=lambda: FROZEN)
+    SqlTask(
+        "seed",
+        sql=(
+            "CREATE OR REPLACE TABLE c_tgt (id INT, val VARCHAR(10), n INT); "
+            "INSERT INTO c_tgt VALUES (1, 'a', 10), (2, 'b', 20), (3, 'c', 30); "
+            "CREATE OR REPLACE TABLE c_src (id INT, val VARCHAR(10), op VARCHAR(1)); "
+            "INSERT INTO c_src VALUES (1, NULL, 'D'), (2, 'B', 'U'), "
+            "(4, 'd', 'I'), (5, NULL, 'D')"
+        ),
+        schema="dev_db",
+        pipeline=p,
+    )
+    p.run(spark)
+    p2 = Pipeline("merge_cdc2", clock=lambda: FROZEN)
+    SqlTask(
+        "merge",
+        sql=(
+            "MERGE INTO c_tgt t USING c_src s ON t.id = s.id "
+            "WHEN MATCHED AND s.op = 'D' THEN DELETE "
+            "WHEN MATCHED THEN UPDATE SET val = s.val, n = t.n + 1 "
+            "WHEN NOT MATCHED AND s.op <> 'D' THEN INSERT (id, val, n) "
+            "VALUES (s.id, s.val, 0)"
+        ),
+        schema="dev_db",
+        pipeline=p2,
+    )
+    p2.run(spark)
+    rows = {(r.id, r.val, r.n) for r in spark.table("dev_db.c_tgt").collect()}
+    # 1 deleted; 2 updated; 3 untouched; 4 inserted; 5 (op=D, unmatched) skipped
+    assert rows == {(2, "B", 21), (3, "c", 30), (4, "d", 0)}
+
+
+def test_merge_duplicate_source_raises(spark):
+    """A target row matching two source rows is a nondeterministic MERGE —
+    the runtime guard raises like Snowflake/Delta instead of silently
+    fanning out the LEFT JOIN (VERDICT r3 item 2)."""
+    p = Pipeline("merge_dup", clock=lambda: FROZEN)
+    SqlTask(
+        "seed",
+        sql=(
+            "CREATE OR REPLACE TABLE u_tgt (id INT, v INT); "
+            "INSERT INTO u_tgt VALUES (1, 10); "
+            "CREATE OR REPLACE TABLE u_src (id INT, v INT); "
+            "INSERT INTO u_src VALUES (1, 100), (1, 200)"
+        ),
+        schema="dev_db",
+        pipeline=p,
+    )
+    p.run(spark)
+    from bfs_etl_sep2025_spark.plans.merge import run_merge
+
+    with pytest.raises(ValueError, match="nondeterministic"):
+        run_merge(
+            spark,
+            "MERGE INTO dev_db.u_tgt t USING dev_db.u_src s ON t.id = s.id "
+            "WHEN MATCHED THEN UPDATE SET v = s.v",
+        )
+    # target untouched by the failed merge
+    assert {(r.id, r.v) for r in spark.table("dev_db.u_tgt").collect()} == {
+        (1, 10)
+    }
+    # insert-only MERGE is deterministic under duplicate matches: anti join
+    # collapses them, no guard, no error
+    run_merge(
+        spark,
+        "MERGE INTO dev_db.u_tgt t USING dev_db.u_src s ON t.id = s.id "
+        "WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.id, s.v)",
+    )
+    assert {(r.id, r.v) for r in spark.table("dev_db.u_tgt").collect()} == {
+        (1, 10)
+    }
+
+
 # -- UPDATE / DELETE (plans/dml.py, same staging-rewrite machinery) ---------
 
 
@@ -174,6 +286,60 @@ def test_delete_where_and_unconditional(spark):
     assert spark.table("dev_db.d_d").count() == 0
 
 
+def test_update_where_boundary_is_top_level(spark):
+    """A WHERE inside a SET subquery or a string literal must not become
+    the statement's predicate boundary (ADVICE r3, medium): the boundary
+    scan is quote- and paren-aware, not a lazy regex."""
+    p = Pipeline("dml_sub", clock=lambda: FROZEN)
+    SqlTask(
+        "seed",
+        sql=(
+            "CREATE OR REPLACE TABLE d_s (id INT, v INT); "
+            "INSERT INTO d_s VALUES (1, 10), (2, 20), (3, 30); "
+            "CREATE OR REPLACE TABLE d_u (c INT, x INT); "
+            "INSERT INTO d_u VALUES (1, 7), (2, 99)"
+        ),
+        schema="dev_db",
+        pipeline=p,
+    )
+    p.run(spark)
+    p2 = Pipeline("dml_sub2", clock=lambda: FROZEN)
+    SqlTask(
+        "upd",
+        sql=(
+            "UPDATE d_s SET v = (SELECT max(x) FROM d_u WHERE c = 1) "
+            "WHERE id = 1"
+        ),
+        schema="dev_db",
+        pipeline=p2,
+    )
+    p2.run(spark)
+    rows = {(r.id, r.v) for r in spark.table("dev_db.d_s").collect()}
+    assert rows == {(1, 7), (2, 20), (3, 30)}
+    # string literal containing ' where ' is not a boundary either
+    p3 = Pipeline("dml_sub3", clock=lambda: FROZEN)
+    SqlTask(
+        "seed2",
+        sql=(
+            "CREATE OR REPLACE TABLE d_w (id INT, note VARCHAR(40)); "
+            "INSERT INTO d_w VALUES (1, 'x'), (2, 'y')"
+        ),
+        schema="dev_db",
+        pipeline=p3,
+    )
+    p3.run(spark)
+    p4 = Pipeline("dml_sub4", clock=lambda: FROZEN)
+    SqlTask(
+        "upd2",
+        sql="UPDATE d_w SET note = 'tell me where it hurts' WHERE id = 2",
+        schema="dev_db",
+        pipeline=p4,
+    )
+    p4.run(spark)
+    rows = {(r.id, r.note) for r in spark.table("dev_db.d_w").collect()}
+    assert rows == {(1, "x"), (2, "tell me where it hurts")}
+
+
 # -- property-based parser robustness (same strategy as test_sqlsplit) ------
 
 from hypothesis import given, settings  # noqa: E402
@@ -209,3 +375,28 @@ def test_parse_merge_extracts_fields_exactly(tgt, talias, salias, key, cols):
     assert spec.update_sets == {c: f"{salias}.{c}" for c in cols}
     assert spec.insert_cols == [key] + cols
     assert spec.insert_vals == [f"{salias}.{c}" for c in [key] + cols]
+
+
+@given(
+    tgt=_ident, salias=_ident, key=_ident,
+    cols=st.lists(_ident, min_size=1, max_size=3, unique=True),
+    gval=st.integers(min_value=0, max_value=99),
+)
+@settings(max_examples=40, deadline=None)
+def test_parse_merge_guarded_roundtrip(tgt, salias, key, cols, gval):
+    """Guarded multi-branch merges parse into their exact branch list,
+    guards verbatim, order preserved."""
+    sets = ", ".join(f"{c} = {salias}.{c}" for c in cols)
+    spec = parse_merge(
+        f"MERGE INTO {tgt} USING src AS {salias} "
+        f"ON {tgt}.{key} = {salias}.{key} "
+        f"WHEN MATCHED AND {salias}.{key} > {gval} THEN DELETE "
+        f"WHEN MATCHED THEN UPDATE SET {sets} "
+        f"WHEN NOT MATCHED AND {salias}.{key} <= {gval} THEN "
+        f"INSERT ({key}) VALUES ({salias}.{key})"
+    )
+    assert spec.matched[0].guard == f"{salias}.{key} > {gval}"
+    assert spec.matched[0].delete
+    assert spec.matched[1].guard is None
+    assert spec.matched[1].sets == {c: f"{salias}.{c}" for c in cols}
+    assert spec.not_matched[0].guard == f"{salias}.{key} <= {gval}"

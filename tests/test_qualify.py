@@ -142,3 +142,31 @@ def test_qualify_rewrite_always_wraps(cols, tbl):
     assert out.startswith("SELECT * EXCEPT (__qualify__)")
     assert pred in out
     assert "QUALIFY" not in out
+
+
+def test_qualify_distinct_rejected():
+    """Snowflake evaluates QUALIFY before DISTINCT; the wrap would invert
+    that, so DISTINCT heads are refused loudly (ADVICE r3)."""
+    import pytest
+
+    with pytest.raises(ValueError, match="DISTINCT"):
+        rewrite_qualify(
+            "SELECT DISTINCT a FROM t "
+            "QUALIFY row_number() OVER (ORDER BY a) = 1"
+        )
+
+
+def test_dialect_substitution_skips_string_literals():
+    """Keyword substitutions are quote-aware: a dialect spelling inside a
+    string literal is data, not syntax (ADVICE r3)."""
+    from bfs_etl_sep2025_spark.plans.qualify import sub_unquoted
+    from bfs_etl_sep2025_spark.plans.tasks import _IFF, _SYSDATE
+
+    assert (
+        sub_unquoted(_IFF, "IF(", "SELECT 'IFF(x)' AS note, IFF(a, b, c)")
+        == "SELECT 'IFF(x)' AS note, IF(a, b, c)"
+    )
+    assert (
+        sub_unquoted(_SYSDATE, "NOW", "SELECT 'sysdate()' AS s, sysdate()")
+        == "SELECT 'sysdate()' AS s, NOW"
+    )
