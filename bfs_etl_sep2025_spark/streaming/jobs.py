@@ -231,3 +231,48 @@ def stream_interval_join(
         & (F.col("purchase_ts") > F.col("click_ts"))
         & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {max_gap}")),
     ).select("click_id", "purchase_id", "user_id", "click_ts", "purchase_ts")
+
+
+def run_stream_merge_upsert(
+    df: DataFrame,
+    target: str,
+    merge_sql: str,
+    checkpoint_dir: str,
+    source_view: str = "batch_source",
+    prepare=None,
+) -> None:
+    """Drain all available input, MERGE-upserting each micro-batch into a
+    catalog table — the canonical CDC-to-table sink the reference's
+    COPY-then-warehouse-MERGE loads imply (``plans/merge.py`` executes the
+    statement against the plain-parquet catalog; on Delta/Iceberg the same
+    statement runs natively).
+
+    Per micro-batch: ``prepare(batch_df)`` (default: identity) collapses
+    the batch to at most one row per merge key — REQUIRED, since MERGE
+    raises on duplicate source matches — the result is registered as
+    ``source_view``, and ``merge_sql`` (which must read ``USING
+    <source_view>``) executes. Checkpoint recovery makes re-runs skip
+    processed files, and a replayed batch of the same keys converges via
+    the MATCHED branch instead of duplicating — idempotent upserts, the
+    exactly-once-style sink pattern.
+
+    Scale notes: each micro-batch costs the MERGE's two joins over the
+    target snapshot (the no-transactional-format price; see
+    ``plans/merge.py``); the stream's own state is file-tracking only.
+    ``target`` is taken for lock serialization via the statement head, so
+    concurrent same-table writers queue (``plans/locks.py``).
+    """
+    from bfs_etl_sep2025_spark.plans.merge import run_merge
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        src = prepare(batch_df) if prepare is not None else batch_df
+        src.createOrReplaceTempView(source_view)
+        run_merge(batch_df.sparkSession, merge_sql)
+
+    q = (
+        df.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

