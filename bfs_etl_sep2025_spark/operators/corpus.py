@@ -30,8 +30,9 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from bfs_etl_sep2025_spark.operators._ngrams import exploded_ngrams
 from bfs_etl_sep2025_spark.registry import query
-from bfs_etl_sep2025_spark.tables import load
+from bfs_etl_sep2025_spark.tables import load, widen
 
 # -- shared md5-bucket idiom (28-bit prefix, same as operators/dedup) -------
 
@@ -144,20 +145,6 @@ def corpus_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 _GRAM_N = 3
 
 
-def _grams(text: Column) -> Column:
-    """{_GRAM_N}-token shingles (whole text when shorter)."""
-    t = F.split(text, " ")
-    return F.when(
-        F.size(t) >= _GRAM_N,
-        F.transform(
-            F.sequence(F.lit(1), F.size(t) - (_GRAM_N - 1)),
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(t, i + k) for k in range(_GRAM_N)]
-            ),
-        ),
-    ).otherwise(F.array(text))
-
-
 _SQL_GRAMS = f"""
         CASE WHEN len(string_split(text, ' ')) >= {_GRAM_N}
              THEN list_transform(range(1, len(string_split(text, ' ')) - {_GRAM_N - 2}),
@@ -197,20 +184,20 @@ def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the eval side is bounded (benchmarks are millions of grams, not
     billions) → distinct-hashed and broadcast; the corpus side explodes
     shingles and equi-joins on the md5 — one streaming pass, no cross join,
-    the same candidate-generation discipline as the LSH dedups."""
-    d = load(spark, sf_dir, "documents")
+    the same candidate-generation discipline as the LSH dedups. Shingles
+    come from the codegen'd index-explode builder (``_ngrams``), never the
+    interpreted transform-lambda, and the scan is widened to all cores
+    (no-op on a many-split cluster input)."""
+    d = widen(load(spark, sf_dir, "documents"))
     is_eval = F.col("doc_id") % 50 == 0
     eval_grams = (
-        d.filter(is_eval)
-        .select(F.explode(_grams(F.col("text"))).alias("g"))
+        exploded_ngrams(d.filter(is_eval), n=_GRAM_N, out="g")
         .select(F.md5("g").alias("gh"))
         .distinct()
     )
-    train_grams = (
-        d.filter(~is_eval)
-        .select("doc_id", F.explode(_grams(F.col("text"))).alias("g"))
-        .select("doc_id", F.md5("g").alias("gh"))
-    )
+    train_grams = exploded_ngrams(
+        d.filter(~is_eval), n=_GRAM_N, out="g"
+    ).select("doc_id", F.md5("g").alias("gh"))
     return (
         train_grams.join(F.broadcast(eval_grams), "gh")
         .groupBy("doc_id")

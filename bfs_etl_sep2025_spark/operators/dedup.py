@@ -29,10 +29,12 @@ Scale notes (100 TB corpus):
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from bfs_etl_sep2025_spark.operators._ngrams import exploded_ngrams
 from bfs_etl_sep2025_spark.registry import query
-from bfs_etl_sep2025_spark.tables import load
+from bfs_etl_sep2025_spark.tables import load, widen
 
 # --------------------------------------------------------------------------
 # shared signature builders (Spark side)
@@ -47,21 +49,6 @@ def _tokens(text: Column) -> Column:
     return F.split(text, " ")
 
 
-def _shingles(text: Column) -> Column:
-    """3-gram token shingles; degenerate short docs fall back to whole-text
-    (mirrored exactly in the oracle SQL)."""
-    t = _tokens(text)
-    return F.when(
-        F.size(t) >= 3,
-        F.transform(
-            F.sequence(F.lit(1), F.size(t) - 2),
-            lambda i: F.concat_ws(
-                " ", F.element_at(t, i), F.element_at(t, i + 1), F.element_at(t, i + 2)
-            ),
-        ),
-    ).otherwise(F.array(text))
-
-
 def minhash_signatures(docs: DataFrame) -> DataFrame:
     """(doc_id, text) -> (doc_id, sig array<bigint>[16]) via the scalable
     plan: explode shingles, one hash-aggregate computing all 16 mins in a
@@ -73,8 +60,12 @@ def minhash_signatures(docs: DataFrame) -> DataFrame:
     16 times, the per-j work is integer arithmetic, and numeric min() takes
     the HashAggregate fast path (string min would fall back to
     SortAggregate) with 8-byte shuffle values. Minhash over a multiset
-    equals minhash over the set, so duplicate shingles don't matter."""
-    sh = docs.select("doc_id", F.explode(_shingles(F.col("text"))).alias("s"))
+    equals minhash over the set, so duplicate shingles don't matter.
+
+    Shingles come from the codegen'd index-explode builder (``_ngrams``) —
+    never the interpreted transform-lambda — and the scan is widened to all
+    cores first (no-op on a many-split cluster input)."""
+    sh = exploded_ngrams(widen(docs), n=3)
     hexd = F.md5("s")
     hashed = sh.select(
         "doc_id",
@@ -555,7 +546,9 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     md5(token) has its high bit set iff the char is >= '8'. Emitted as a
     bitstring so the oracle comparison is byte-exact."""
     d = load(spark, sf_dir, "documents")
-    tok = d.select("doc_id", F.explode(_tokens(F.col("text"))).alias("tok"))
+    tok = widen(d).select(
+        "doc_id", F.explode(_tokens(F.col("text"))).alias("tok")
+    )
     # substring with dynamic position needs the expr form substring(h, j, 1)
     bits = (
         tok.select(
@@ -569,17 +562,18 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "j")
         .agg(F.sum(F.when(F.col("c") >= "8", 1).otherwise(-1)).alias("acc"))
     )
+    # bit char computed BEFORE the collect, so assembly is sort_array (on
+    # the (j, c) struct, j first => positional order; sort_array, NOT
+    # array_sort, which carries an implicit lambda comparator) + the
+    # codegen'd GetArrayStructFields projection — no interpreted lambda.
+    bit_c = F.when(F.col("acc") >= 0, F.lit("1")).otherwise(F.lit("0"))
     sig = (
-        bits.groupBy("doc_id")
+        bits.select("doc_id", "j", bit_c.alias("c"))
+        .groupBy("doc_id")
         .agg(
             F.concat_ws(
                 "",
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(F.struct("j", "acc"))
-                    ),
-                    lambda s: F.when(s["acc"] >= 0, "1").otherwise("0"),
-                ),
+                F.sort_array(F.collect_list(F.struct("j", "c"))).getField("c"),
             ).alias("simhash")
         )
     )
@@ -626,7 +620,9 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     codegen'd ``bit_count(xor)`` per candidate — string/array forms of this
     comparison were 10-60x slower on the ~400k-candidate join."""
     d = load(spark, sf_dir, "documents")
-    tok = d.select("doc_id", F.explode(_tokens(F.col("text"))).alias("tok"))
+    tok = widen(d).select(
+        "doc_id", F.explode(_tokens(F.col("text"))).alias("tok")
+    )
     bits = (
         tok.select(
             "doc_id",
@@ -705,12 +701,17 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram Jaccard for pairs sharing at least one shingle — the
     inverted-index candidate pattern (explode -> equi-join on shingle ->
-    count) that verifies minhash estimates without an all-pairs pass."""
+    count) that verifies minhash estimates without an all-pairs pass.
+
+    Per-doc distinct-shingle counts come from exploded rows (distinct on
+    (doc_id, gram) + a doc_id-partitioned window count) rather than a
+    per-row ``array_distinct(transform(...))`` — one extra narrow shuffle
+    buys an all-codegen row path (hot-path rule: no interpreted HOFs)."""
     d = load(spark, sf_dir, "documents")
-    ds = d.select(
-        "doc_id", F.array_distinct(_shingles(F.col("text"))).alias("s")
+    distinct_grams = exploded_ngrams(widen(d), n=3, out="g").distinct()
+    ex = distinct_grams.withColumn(
+        "n", F.count(F.lit(1)).over(W.partitionBy("doc_id"))
     )
-    ex = ds.select("doc_id", F.explode("s").alias("g"), F.size("s").alias("n"))
     a = ex.select(
         F.col("doc_id").alias("doc_a"), "g", F.col("n").alias("na")
     )

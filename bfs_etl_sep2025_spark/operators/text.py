@@ -24,8 +24,9 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from bfs_etl_sep2025_spark.operators._ngrams import exploded_ngrams
 from bfs_etl_sep2025_spark.registry import query
-from bfs_etl_sep2025_spark.tables import load
+from bfs_etl_sep2025_spark.tables import load, widen
 
 #: marker tokens per language for the n-gram/keyword lang-ID heuristic —
 #: deterministic and mirrored verbatim in the oracle SQL.
@@ -307,31 +308,30 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Three-level fingerprint: whole-content hash, first-8-token prefix
     hash, and a winnowing-style minimum over 5-gram hashes (the rolling-hash
-    fingerprint that survives local edits)."""
-    d = load(spark, sf_dir, "documents")
+    fingerprint that survives local edits).
+
+    Plan shape: the 5-gram min comes from the codegen'd index-explode
+    builder (``_ngrams``) + a hash-aggregate min keyed on (doc_id, the two
+    per-doc hashes computed before the explode) — the per-row
+    ``array_min(transform(...))`` it replaces evaluated the md5 lambda
+    interpreted (hot-path rule: no HOFs). Grouping on the carried hashes
+    (fixed 32-char strings) avoids a second join back to the doc table."""
+    d = widen(load(spark, sf_dir, "documents"))
     t = _tokens(F.col("text"))
-    grams = F.when(
-        F.size(t) >= 5,
-        F.transform(
-            F.sequence(F.lit(1), F.size(t) - 4),
-            lambda i: F.md5(
-                F.concat_ws(
-                    " ",
-                    F.element_at(t, i),
-                    F.element_at(t, i + 1),
-                    F.element_at(t, i + 2),
-                    F.element_at(t, i + 3),
-                    F.element_at(t, i + 4),
-                )
-            ),
-        ),
-    ).otherwise(F.array(F.md5("text")))
-    return d.select(
+    per_doc = d.select(
         "doc_id",
+        "text",
         F.md5("text").alias("content_hash"),
         F.md5(F.concat_ws(" ", F.slice(t, 1, 8))).alias("prefix_hash"),
-        F.array_min(grams).alias("winnow_hash"),
-    ).orderBy("doc_id")
+    )
+    grams = exploded_ngrams(
+        per_doc, n=5, id_cols=("doc_id", "content_hash", "prefix_hash")
+    )
+    return (
+        grams.groupBy("doc_id", "content_hash", "prefix_hash")
+        .agg(F.min(F.md5("s")).alias("winnow_hash"))
+        .orderBy("doc_id")
+    )
 
 
 @query(
@@ -402,16 +402,12 @@ def text_term_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def text_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus-level top-50 bigrams: per-row n-gram expansion, global count,
-    TakeOrdered top-k (count desc, bigram asc tie-break)."""
-    d = load(spark, sf_dir, "documents")
-    t = _tokens(F.col("text"))
-    bigrams = F.transform(
-        F.sequence(F.lit(1), F.size(t) - 1),
-        lambda i: F.concat_ws(" ", F.element_at(t, i), F.element_at(t, i + 1)),
-    )
+    """Corpus-level top-50 bigrams: per-row n-gram expansion (codegen'd
+    index-explode form, hot-path rule), global count, TakeOrdered top-k
+    (count desc, bigram asc tie-break)."""
+    d = widen(load(spark, sf_dir, "documents"))
     return (
-        d.select(F.explode(bigrams).alias("bigram"))
+        exploded_ngrams(d, n=2, out="bigram")
         .groupBy("bigram")
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy(F.col("n").desc(), "bigram")

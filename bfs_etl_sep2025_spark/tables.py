@@ -64,3 +64,24 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     (the reference's pass-through contract) can address them by name."""
     for name in TABLES:
         load(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def widen(df: DataFrame) -> DataFrame:
+    """Raise a narrow scan's parallelism to the session's core count before
+    heavy per-row compute (md5-per-shingle, per-token hashing, ...).
+
+    Why: a small fixture ships as ONE parquet file with one row group, and a
+    parquet split only yields the row groups whose midpoint falls inside it —
+    so no matter how Spark slices the file, the whole scan lands on a single
+    task and the expensive projection above it runs 1-of-N cores. This helper
+    repartitions *up* only when the scan's current parallelism is below
+    ``defaultParallelism``; on a real cluster (thousands of input splits) the
+    guard makes it a no-op, so nothing extra shuffles at 100 TB, while
+    locally it costs one round-robin shuffle of the raw rows (~MBs) to light
+    up all cores. AQE never coalesces an explicit-numPartitions repartition,
+    so the width sticks through the compute stage.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df

@@ -96,11 +96,36 @@ def test_no_interpreted_hof_on_text_hot_paths(spark, name):
 
 
 def test_corpus_clean_stopword_count_is_codegen(spark):
-    """llm_corpus_clean keeps the (sanctioned) shingle-builder transform
-    lambdas, but its stopword quality gate must use regexp_count, not the
-    interpreted F.filter(...isin...) lambda it shipped with in r01."""
+    """llm_corpus_clean's stopword quality gate must use regexp_count, not
+    the interpreted F.filter(...isin...) lambda it shipped with in r01 —
+    and since r4 the shingle builder is the index-explode form, so the
+    whole composed plan is lambda-free."""
     plan = _plan(spark, "llm_corpus_clean").lower()
     assert "regexp_extract_all" in plan
+    assert "lambdafunction" not in plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "dedup_minhash_signature",
+        "dedup_minhash_lsh_pairs",
+        "dedup_ngram_jaccard",
+        "dedup_simhash",
+        "dedup_simhash_pairs",
+        "corpus_decontaminate",
+        "text_fingerprint",
+        "text_top_bigrams",
+    ],
+)
+def test_shingle_paths_are_lambda_free(spark, name):
+    """r4: every shingle/n-gram hot path uses the codegen'd index-explode
+    builder (operators/_ngrams.py) — the transform-lambda form it replaces
+    evaluated interpreted per element (~2.5-6x slower end-to-end on the
+    minhash signature build, bitwise-identical output)."""
+    plan = _plan(spark, name).lower()
+    assert "lambdafunction" not in plan, name
+    assert "evalpython" not in plan, name
 
 def test_q3_topn_avoids_full_sort(spark):
     """TPC-H Q3 shape: top-10 must plan TakeOrderedAndProject (per-partition
