@@ -49,7 +49,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from bfs_etl_sep2025_spark.registry import query
-from bfs_etl_sep2025_spark.tables import load
+from bfs_etl_sep2025_spark.tables import load, widen
 
 DIM = 64
 N_PLANES = 8
@@ -197,7 +197,7 @@ def similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     The O(|Q|·N) scoring loop is an unrolled codegen'd ``element_at`` chain
     (:func:`_dot_arr`), never an interpreted per-pair array fold (VERDICT
     r02 item 2)."""
-    e = load(spark, sf_dir, "embeddings")
+    e = widen(load(spark, sf_dir, "embeddings"))
     n = e.select("vec_id", "embedding", _norm_arr("embedding").alias("nrm"))
     q = n.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"),
@@ -257,7 +257,7 @@ def similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Sketching, norms, and in-bucket rerank are all codegen'd
     ``element_at`` chains — zero interpreted array HOFs in the plan."""
-    e = load(spark, sf_dir, "embeddings")
+    e = widen(load(spark, sf_dir, "embeddings"))
     n = e.select(
         "vec_id",
         "embedding",
@@ -515,7 +515,7 @@ def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     At this fixture's codebook size the driver-checked path is the
     single-hop broadcast; the two-level path is exercised by
     ``tests/test_llm_ops.py`` with the guard lowered."""
-    e = load(spark, sf_dir, "embeddings")
+    e = widen(load(spark, sf_dir, "embeddings"))
     n = e.select("vec_id", "embedding", _norm_arr("embedding").alias("nrm"))
     cent = n.filter(F.col("vec_id") % CENTROID_STRIDE == 0).select(
         F.col("vec_id").alias("cell"),
@@ -576,7 +576,7 @@ def similarity_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~0.51). Brute-force all-pairs as the oracle-checkable baseline; the
     production-scale variant runs the identical rerank after the LSH bucket
     join above."""
-    e = load(spark, sf_dir, "embeddings")
+    e = widen(load(spark, sf_dir, "embeddings"))
     n = e.select("vec_id", "embedding", _norm_arr("embedding").alias("nrm"))
     a = n.select(
         F.col("vec_id").alias("vec_a"),
@@ -711,7 +711,7 @@ def similarity_topk_lsh_multitable(spark: SparkSession, sf_dir: str) -> DataFram
     the top-k window. Cosines from the two branches are the identical
     codegen'd expression, hence bitwise-equal — distinct on the double is
     deterministic."""
-    e = load(spark, sf_dir, "embeddings")
+    e = widen(load(spark, sf_dir, "embeddings"))
     n = e.select(
         "vec_id",
         "embedding",

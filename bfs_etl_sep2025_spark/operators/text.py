@@ -87,7 +87,7 @@ def _sql_marker_count(markers: tuple[str, ...]) -> str:
 def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting two ways: split-based and whitespace-arithmetic (the
     BPE-ish cheap estimator used before real tokenizers run)."""
-    d = load(spark, sf_dir, "documents")
+    d = widen(load(spark, sf_dir, "documents"))
     t = _tokens(F.col("text"))
     return d.select(
         "doc_id",
@@ -138,7 +138,7 @@ def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     argmax (first-in-order wins ties — mirrored by the oracle's CASE order).
     A real pipeline swaps the marker lists for character-n-gram profiles;
     the dataflow (per-row score vector -> argmax) is identical."""
-    d = load(spark, sf_dir, "documents")
+    d = widen(load(spark, sf_dir, "documents"))
     scores = {
         lang: _count_tokens_in(markers) for lang, markers in LANG_MARKERS.items()
     }
@@ -212,7 +212,7 @@ def text_language_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     overlaps included (Java's Matcher bumps by one char on empty matches).
     Replaces the interpreted HOF filter over a materialized gram array
     (hot-path rule), and never builds the array at all."""
-    d = load(spark, sf_dir, "documents")
+    d = widen(load(spark, sf_dir, "documents"))
     padded = F.concat(F.lit(" "), F.col("text"), F.lit(" "))
     scores = {
         lang: F.regexp_count(padded, F.lit("(?=(" + "|".join(profile) + "))"))
@@ -262,7 +262,7 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composite quality score: uniqueness x length-gate x (1 - stopword
     ratio) — the standard cheap pre-filter before expensive model scoring.
     All components are exact integer-ratio doubles."""
-    d = load(spark, sf_dir, "documents")
+    d = widen(load(spark, sf_dir, "documents"))
     t = _tokens(F.col("text"))
     n_tok = F.size(t)
     n_uniq = F.size(F.array_distinct(t))
@@ -362,7 +362,7 @@ def text_term_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """tf x rational-idf term scoring (tf-idf with N/df instead of
     log(N/df): identical ranking, engine-exact arithmetic). df is a global
     second-stage aggregate — the only cross-document shuffle."""
-    d = load(spark, sf_dir, "documents")
+    d = widen(load(spark, sf_dir, "documents"))
     tf = (
         d.select("doc_id", F.explode(_tokens(F.col("text"))).alias("term"))
         .groupBy("doc_id", "term")
@@ -461,7 +461,7 @@ def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     HOF, per the hot-path rule), stopword presence is ``array_intersect`` on
     an 8-element literal. Thresholds compare exact integer-ratio doubles, so
     the pass flag is deterministic cross-engine."""
-    d = load(spark, sf_dir, "documents")
+    d = widen(load(spark, sf_dir, "documents"))
     t = _tokens(F.col("text"))
     n_words = F.size(t)
     n_word_chars = F.length(F.regexp_replace(F.col("text"), " ", ""))
@@ -526,7 +526,7 @@ def text_bpe_pretokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale notes: one JVM regex scan per row, zero shuffles before the
     (removable) orderBy; the pattern avoids every construct RE2 and Java
     regex disagree on, so counts are engine-exact."""
-    d = load(spark, sf_dir, "documents")
+    d = widen(load(spark, sf_dir, "documents"))
     n_bpe = F.regexp_count(F.col("text"), F.lit(_BPE_PRETOKEN))
     n_ws = F.size(_tokens(F.col("text")))
     return d.select(
@@ -584,7 +584,7 @@ def text_repetition_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-doc stats; only count columns cross the wire. Reporting ``top_n``
     (the max count) rather than the top bigram string keeps the result
     deterministic under count ties."""
-    d = load(spark, sf_dir, "documents")
+    d = widen(load(spark, sf_dir, "documents"))
     t = _tokens(F.col("text"))
     bg = (
         d.filter(F.size(t) >= 2)

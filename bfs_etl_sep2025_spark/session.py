@@ -54,6 +54,19 @@ def build_spark(
         # --- determinism / oracle comparability -------------------------
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.ansi.enabled", "true")
+        # --- scan splitting ---------------------------------------------
+        # 8 MiB split target (vs the 128 MiB default): local fixtures are
+        # tens-of-MB single files, and the default hands a whole file (and
+        # its multi-row-group parallelism) to ONE task while 31 cores idle.
+        # On a real cluster reading 100 TB the split target should ride the
+        # row-group size back up — override via SPARK_GRAFT_MAX_PARTITION_BYTES
+        # (this is the standard knob the brief calls out for sizing
+        # partitions to executor memory; smaller splits also bound scan-task
+        # skew, AQE re-coalesces the tiny tails).
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "8m"),
+        )
         # --- adaptive execution: the 100 TB safety net ------------------
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

@@ -116,7 +116,17 @@ def main() -> None:
             parts.append(pa.Table.from_pandas(df, schema=schema,
                                               preserve_index=False))
         out = pa.concat_tables(parts)
-        pq.write_table(out, f"{args.dst}/{t}.parquet")
+        # write ~replica-sized row groups: a production 100 TB layout is
+        # many-split by construction; the driver's single-row-group fixture
+        # files are an artifact of their small size, and reproducing that
+        # artifact at sf1 would serialize every scan on one task (parquet
+        # readers only materialize row groups whose midpoint falls in their
+        # split, so byte-splitting a one-group file yields one busy task).
+        pq.write_table(
+            out,
+            f"{args.dst}/{t}.parquet",
+            row_group_size=max(1024, len(out) // (2 * args.replicas)),
+        )
         print(f"{t}: {len(src)} -> {len(out)} rows")
 
 
