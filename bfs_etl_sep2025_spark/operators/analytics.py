@@ -24,6 +24,7 @@ Scale notes (100 TB):
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from bfs_etl_sep2025_spark.functions.portable import exact_sum, sql_exact_sum
@@ -653,4 +654,148 @@ def q22_dormant_high_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
             exact_sum(F.col("c_acctbal"), 2).alias("total_bal"),
         )
         .orderBy("c_mktsegment")
+    )
+
+
+@query(
+    "events_interval_concurrency",
+    family="analytics",
+    oracle="""
+        WITH e AS (
+            SELECT event_type, ts,
+                   ts + to_minutes(CAST(floor(value * 100.0 + 0.5) AS BIGINT))
+                     AS end_ts
+            FROM events
+        ),
+        b AS (
+            SELECT event_type, ts AS bts, 1 AS delta FROM e
+            UNION ALL
+            SELECT event_type, end_ts AS bts, -1 AS delta FROM e
+        ),
+        g AS (
+            SELECT event_type, bts, CAST(sum(delta) AS BIGINT) AS d
+            FROM b GROUP BY event_type, bts
+        ),
+        r AS (
+            SELECT event_type,
+                   CAST(sum(d) OVER (PARTITION BY event_type ORDER BY bts)
+                        AS BIGINT) AS live
+            FROM g
+        )
+        SELECT event_type,
+               CAST(max(live) AS BIGINT) AS peak_live,
+               count(*) AS n_boundaries
+        FROM r GROUP BY event_type ORDER BY event_type
+    """,
+)
+def events_interval_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak interval concurrency (max simultaneously-open sessions) per
+    event type — the classic sweep-line: each interval contributes a +1 at
+    its start and a -1 at its end, boundaries collapse by timestamp, and a
+    per-key running sum's max is the peak. Session length is derived from
+    ``value`` as whole minutes via ``floor(value*100 + 0.5)`` — an explicit
+    floor, never ``round()``/``CAST`` (the engines disagree on double->int
+    rounding; floor of an integral-plus-ulp double is exact in both).
+
+    Scale (100 TB): one hash aggregate collapses boundaries (map-combined),
+    then ONE shuffle on event_type + an in-partition sort for the prefix
+    sum — the same cost as any windowed aggregate; no interval self-join
+    (the naive overlap-count join is O(n^2) per key). Tie semantics are
+    order-free: deltas at an identical timestamp are summed BEFORE the
+    running sum, so an interval ending exactly when another starts never
+    double-counts regardless of sort stability."""
+    ev = load(spark, sf_dir, "events")
+    e = ev.select(
+        "event_type",
+        "ts",
+        F.expr(
+            "ts + make_dt_interval(0, 0,"
+            " CAST(floor(value * 100.0 + 0.5) AS BIGINT), 0)"
+        ).alias("end_ts"),
+    )
+    b = e.select("event_type", F.col("ts").alias("bts"), F.lit(1).alias("delta")).unionAll(
+        e.select("event_type", F.col("end_ts").alias("bts"), F.lit(-1).alias("delta"))
+    )
+    g = b.groupBy("event_type", "bts").agg(F.sum("delta").alias("d"))
+    w = W.partitionBy("event_type").orderBy("bts")
+    r = g.select("event_type", F.sum("d").over(w).alias("live"))
+    return (
+        r.groupBy("event_type")
+        .agg(
+            F.max("live").cast("bigint").alias("peak_live"),
+            F.count(F.lit(1)).alias("n_boundaries"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "events_timeseries_gapfill",
+    family="analytics",
+    oracle=f"""
+        WITH daily AS (
+            SELECT user_id,
+                   CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                        AS INT) AS day_num,
+                   {sql_exact_sum('value', 2)} AS day_sum
+            FROM events WHERE user_id <= 15
+            GROUP BY user_id,
+                     CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                          AS INT)
+        ),
+        b AS (
+            SELECT user_id, min(day_num) AS mn, max(day_num) AS mx
+            FROM daily GROUP BY user_id
+        ),
+        spine AS (
+            SELECT user_id, CAST(d AS INT) AS day_num
+            FROM (SELECT user_id, unnest(range(mn, mx + 1)) AS d FROM b)
+        )
+        SELECT s.user_id, s.day_num,
+               (d.day_sum IS NULL) AS is_gap,
+               last_value(d.day_sum IGNORE NULLS) OVER (
+                 PARTITION BY s.user_id ORDER BY s.day_num) AS filled_sum
+        FROM spine s
+        LEFT JOIN daily d
+          ON s.user_id = d.user_id AND s.day_num = d.day_num
+        ORDER BY s.user_id, s.day_num
+    """,
+)
+def events_timeseries_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense daily time series per user with forward-filled gaps: build a
+    per-user day spine (sequence from first to last active day), left-join
+    the real daily sums, and carry the last observation forward with
+    ``last(..., ignorenulls)`` over an ordered window. Days are integer
+    day-numbers (epoch days) end to end — date/timestamp rendering never
+    crosses the engine boundary, and the spine is pure integer ``sequence``.
+
+    Scale (100 TB): the spine explodes O(active_span) rows per key from a
+    one-row-per-key aggregate — no driver loop, no cross join against a
+    global calendar (which would be spine x users shuffle). Daily sums are
+    map-combined before their single shuffle; the fill window rides the
+    same user_id partitioning. Gap-filling is the standard pre-step for
+    window features over sparse activity (cf. events_hypertable_rollup)."""
+    ev = load(spark, sf_dir, "events").filter(F.col("user_id") <= 15)
+    day_num = F.datediff(
+        F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")
+    ).cast("int")
+    daily = ev.groupBy("user_id", day_num.alias("day_num")).agg(
+        exact_sum(F.col("value"), 2).alias("day_sum")
+    )
+    b = daily.groupBy("user_id").agg(
+        F.min("day_num").alias("mn"), F.max("day_num").alias("mx")
+    )
+    spine = b.select(
+        "user_id", F.explode(F.sequence("mn", F.col("mx"))).alias("d")
+    ).select("user_id", F.col("d").cast("int").alias("day_num"))
+    w = W.partitionBy("user_id").orderBy("day_num")
+    return (
+        spine.join(daily, ["user_id", "day_num"], "left")
+        .select(
+            "user_id",
+            "day_num",
+            F.col("day_sum").isNull().alias("is_gap"),
+            F.last("day_sum", ignorenulls=True).over(w).alias("filled_sum"),
+        )
+        .orderBy("user_id", "day_num")
     )

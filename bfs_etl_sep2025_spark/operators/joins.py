@@ -368,3 +368,46 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("last_click.click_id").alias("last_click_id"),
         F.col("last_click.ts").alias("last_click_ts"),
     )
+
+
+@query(
+    "join_fuzzy_levenshtein",
+    family="joins",
+    oracle="""
+        WITH n AS (SELECT DISTINCT p_name FROM part),
+        b AS (
+            SELECT p_name, string_split(p_name, ' ')[1] AS blk FROM n
+        )
+        SELECT a.p_name AS name_a, c.p_name AS name_b,
+               CAST(levenshtein(a.p_name, c.p_name) AS BIGINT) AS edit_dist
+        FROM b a JOIN b c ON a.blk = c.blk AND a.p_name < c.p_name
+        WHERE levenshtein(a.p_name, c.p_name) <= 8
+        ORDER BY name_a, name_b
+    """,
+)
+def join_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy string self-join (entity-resolution shape): candidate pairs by
+    BLOCKING on the first token — an equi-join — then exact edit distance
+    only within blocks. The naive formulation is an O(n^2) cross join with
+    a levenshtein predicate; blocking turns it into a shuffle-hash join
+    whose per-block work is bounded, the same blocking discipline as the
+    LSH band joins in dedup.py (hot-path rule: candidate generation must be
+    an equi-join). ``levenshtein`` is an integer metric — no float parity
+    risk; ties in output order are broken by the full name pair."""
+    names = load(spark, sf_dir, "part").select("p_name").distinct()
+    b = names.select(
+        "p_name", F.split(F.col("p_name"), " ").getItem(0).alias("blk")
+    )
+    a, c = b.alias("a"), b.alias("c")
+    dist = F.levenshtein(F.col("a.p_name"), F.col("c.p_name"))
+    return (
+        a.join(c, "blk")
+        .filter(F.col("a.p_name") < F.col("c.p_name"))
+        .filter(dist <= 8)
+        .select(
+            F.col("a.p_name").alias("name_a"),
+            F.col("c.p_name").alias("name_b"),
+            dist.cast("bigint").alias("edit_dist"),
+        )
+        .orderBy("name_a", "name_b")
+    )

@@ -201,13 +201,16 @@ def sink_partitioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     embarrassingly parallel (no shuffle — each task writes its own files
     into per-value directories). The scratch path is deterministic per sf
     so ``mode("overwrite")`` reuses it across driver/bench re-runs instead
-    of leaking a fresh lineitem copy per invocation (ADVICE r02)."""
+    of leaking a fresh lineitem copy per invocation (ADVICE r02); the pid
+    suffix keeps two processes (e.g. pytest + a driver sim) from racing
+    each other's overwrite of the same directory — Spark's file committer
+    is not safe against a concurrent overwrite of the same path."""
     import os
     import tempfile
 
     out = os.path.join(
         tempfile.gettempdir(),
-        "bfs_sink_roundtrip",
+        f"bfs_sink_roundtrip_{os.getpid()}",
         os.path.basename(sf_dir.rstrip("/")),
     )
     li = load(spark, sf_dir, "lineitem").select(

@@ -617,3 +617,58 @@ def text_repetition_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "text_zipf_rank",
+    family="text",
+    oracle="""
+        WITH tok AS (
+            SELECT unnest(string_split(text, ' ')) AS token FROM documents
+        ),
+        c AS (
+            SELECT token, count(*) AS cnt FROM tok
+            WHERE token <> '' GROUP BY token
+        ),
+        t AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM c)
+        SELECT token, cnt,
+               row_number() OVER (ORDER BY cnt DESC, token) AS zipf_rank,
+               CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE) AS share
+        FROM c, t
+        QUALIFY zipf_rank <= 30
+        ORDER BY zipf_rank
+    """,
+)
+def text_zipf_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf frequency curve: the corpus vocabulary ranked by term count
+    (tie-broken by token so the ranking is total and engine-stable), with
+    each term's share of all tokens. The rank-vs-frequency shape is the
+    standard sanity probe on a scraped corpus (a missing Zipf tail flags
+    boilerplate/duplication upstream of training).
+
+    Scale (100 TB): term counts are a map-combined hash aggregate over the
+    exploded tokens (the only row-volume stage); the global rank then runs
+    over O(vocabulary) rows, and top-30 is TakeOrderedAndProject after a
+    broadcast scalar-attach of the total — never a full-corpus sort."""
+    docs = load(spark, sf_dir, "documents")
+    c = (
+        docs.select(F.explode(F.split("text", " ")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    t = c.agg(F.sum("cnt").alias("total"))
+    w = W.orderBy(F.col("cnt").desc(), "token")
+    return (
+        c.join(F.broadcast(t))
+        .select(
+            "token",
+            "cnt",
+            F.row_number().over(w).alias("zipf_rank"),
+            (F.col("cnt").cast("double") / F.col("total").cast("double")).alias(
+                "share"
+            ),
+        )
+        .filter(F.col("zipf_rank") <= 30)
+        .orderBy("zipf_rank")
+    )

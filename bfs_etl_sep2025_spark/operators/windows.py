@@ -348,3 +348,104 @@ def window_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("grp")
         .orderBy("user_id", "streak_start")
     )
+
+
+@query(
+    "window_ratio_to_report",
+    family="windows",
+    oracle=f"""
+        SELECT o_orderstatus, o_orderkey, o_totalprice,
+               o_totalprice / CAST(sum(CAST(o_totalprice AS {_DEC}))
+                 OVER (PARTITION BY o_orderstatus) AS DOUBLE) AS share,
+               CAST(sum(CAST(o_totalprice AS {_DEC})) OVER (
+                 PARTITION BY o_orderstatus
+                 ORDER BY o_totalprice DESC, o_orderkey
+               ) AS DOUBLE)
+                 / CAST(sum(CAST(o_totalprice AS {_DEC}))
+                     OVER (PARTITION BY o_orderstatus) AS DOUBLE)
+                 AS cum_share
+        FROM orders
+        ORDER BY o_orderstatus, o_totalprice DESC, o_orderkey
+    """,
+)
+def window_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snowflake's RATIO_TO_REPORT + the Pareto curve (cumulative share of
+    group total, largest first). Both the partition total and the running
+    numerator accumulate in exact DECIMAL, so each share is one double
+    division of two engine-identical values — no float summation order in
+    sight. Scale: one shuffle on the partition key; the unbounded-frame
+    total and the running frame share the same sort (Spark plans a single
+    Window node per ordering)."""
+    o = load(spark, sf_dir, "orders")
+    dec = F.col("o_totalprice").cast(_DEC)
+    w_all = W.partitionBy("o_orderstatus")
+    w_run = W.partitionBy("o_orderstatus").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    total = F.sum(dec).over(w_all).cast("double")
+    running = F.sum(dec).over(w_run).cast("double")
+    return o.select(
+        "o_orderstatus",
+        "o_orderkey",
+        "o_totalprice",
+        (F.col("o_totalprice") / total).alias("share"),
+        (running / total).alias("cum_share"),
+    ).orderBy("o_orderstatus", F.col("o_totalprice").desc(), "o_orderkey")
+
+
+_EWMA_EXPR = """
+    (value
+     + CASE WHEN l1 IS NULL THEN 0.0 ELSE 0.5 * l1 END
+     + CASE WHEN l2 IS NULL THEN 0.0 ELSE 0.25 * l2 END
+     + CASE WHEN l3 IS NULL THEN 0.0 ELSE 0.125 * l3 END)
+    / (1.0
+       + CASE WHEN l1 IS NULL THEN 0.0 ELSE 0.5 END
+       + CASE WHEN l2 IS NULL THEN 0.0 ELSE 0.25 END
+       + CASE WHEN l3 IS NULL THEN 0.0 ELSE 0.125 END)
+"""
+
+
+@query(
+    "window_ewma",
+    family="windows",
+    oracle=f"""
+        WITH l AS (
+            SELECT user_id, event_id, value,
+                   lag(value, 1) OVER w AS l1,
+                   lag(value, 2) OVER w AS l2,
+                   lag(value, 3) OVER w AS l3
+            FROM events
+            WHERE user_id <= 30
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        )
+        SELECT user_id, event_id, value,
+               {_EWMA_EXPR} AS ewma4
+        FROM l
+        ORDER BY user_id, event_id
+    """,
+)
+def window_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average (alpha = 1/2) over each user's
+    last 4 events, with the weight mass renormalized near partition starts.
+    A truncated-depth EWMA is deliberately chosen over the recursive
+    definition: the recursion is order-serial (unbounded lineage at 100 TB),
+    while fixed-depth lags are ONE window sort with whole-stage-codegen'd
+    arithmetic — and the finite tail (1/16 of the weight) is below the
+    data's own noise floor. The lag chain and the CASE-renormalized blend
+    use the identical expression text on both engines: left-associative
+    double adds in the same order are bitwise reproducible (see
+    functions.portable); powers of two as weights keep every product
+    exact."""
+    ev = load(spark, sf_dir, "events").filter(F.col("user_id") <= 30)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    l = ev.select(
+        "user_id",
+        "event_id",
+        "value",
+        F.lag("value", 1).over(w).alias("l1"),
+        F.lag("value", 2).over(w).alias("l2"),
+        F.lag("value", 3).over(w).alias("l3"),
+    )
+    return l.select(
+        "user_id", "event_id", "value", F.expr(_EWMA_EXPR).alias("ewma4")
+    ).orderBy("user_id", "event_id")

@@ -69,7 +69,21 @@ _PRIORITY: tuple[str, ...] = (
     # the one query with zero external signal (VERDICT r3 item 1)
     "window_gaps_islands",
     # new in round 4 — no external row yet
-    # (register new queries here, before the re-verification tail)
+    "agg_corr_cov",
+    "agg_histogram",
+    "agg_heavy_hitter_tokens",
+    "agg_outliers_iqr",
+    "diag_key_skew",
+    "events_interval_concurrency",
+    "events_timeseries_gapfill",
+    "window_ratio_to_report",
+    "window_ewma",
+    "join_fuzzy_levenshtein",
+    "text_zipf_rank",
+    "dq_expectations",
+    "graph_degree_distribution",
+    "graph_triangle_count",
+    "graph_link_prediction_cn",
     # round-1 greens, oldest signal first: aggregates
     "agg_basic_stats",
     "agg_count_distinct_multi",
@@ -166,6 +180,9 @@ def _ensure_loaded() -> None:
     if _LOADED:
         return
     from bfs_etl_sep2025_spark.operators import (  # noqa: F401
+        graph,
+        quality,
+        stats,
         tpch_full,
         corpus,
         profiling,

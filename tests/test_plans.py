@@ -343,3 +343,91 @@ def test_event_path_single_shuffle_window(spark):
     plan = _plan(spark, "event_path_transitions")
     assert "Window" in plan
     assert plan.count("hashpartitioning(user_id") >= 1
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["agg_corr_cov", "agg_histogram", "diag_key_skew"],
+)
+def test_stats_aggregates_are_map_combined_jvm_plans(spark, name):
+    """The r4 statistical aggregates must stay pure codegen aggregates:
+    partial (map-side) HashAggregate below the exchange, no Python, no
+    interpreted lambdas."""
+    plan = _plan(spark, name)
+    assert plan.count("HashAggregate") >= 2, name
+    assert "EvalPython" not in plan, name
+    assert "lambdafunction" not in plan.lower(), name
+
+
+def test_outlier_fences_broadcast_back(spark):
+    """agg_outliers_iqr joins the tiny per-group fence table back onto the
+    fact scan: must be a broadcast hash join, never a shuffle of orders."""
+    plan = _plan(spark, "agg_outliers_iqr")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_fuzzy_join_candidates_are_equi_join(spark):
+    """join_fuzzy_levenshtein's candidate generation must be the blocked
+    equi-join on the first token — a cross join with a levenshtein
+    predicate is the O(n^2) scale-killer the blocking exists to avoid."""
+    plan = _plan(spark, "join_fuzzy_levenshtein")
+    assert "CartesianProduct" not in plan
+    assert "HashJoin" in plan  # Broadcast- or ShuffledHashJoin both fine
+
+
+@pytest.mark.parametrize("name", ["agg_heavy_hitter_tokens", "text_zipf_rank"])
+def test_scalar_total_attach_is_broadcast(spark, name):
+    """The 1-row corpus total attaches via broadcast (nested-loop over a
+    single build row — the sanctioned scalar-attach pattern); the token
+    count itself must map-side combine."""
+    plan = _plan(spark, name)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("HashAggregate") >= 2
+
+
+@pytest.mark.parametrize(
+    "name", ["events_interval_concurrency", "events_timeseries_gapfill"]
+)
+def test_sweepline_and_gapfill_have_no_cross_join(spark, name):
+    """Sweep-line concurrency and spine gap-fill must never plan an
+    interval/calendar cross join; both ride per-key shuffles + windows."""
+    plan = _plan(spark, name)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_ewma_lag_chain_is_codegen(spark):
+    """window_ewma's blend must be plain codegen'd arithmetic over lag
+    columns — no interpreted lambda, no Python."""
+    plan = _plan(spark, "window_ewma")
+    assert "lambdafunction" not in plan.lower()
+    assert "EvalPython" not in plan
+
+
+def test_dq_referential_check_broadcasts_dimension(spark):
+    """dq_expectations' referential-integrity rule must plan the customer
+    side as a broadcast anti join (never a shuffle of orders), and the
+    whole suite must stay JVM-side."""
+    plan = _plan(spark, "dq_expectations")
+    assert "BroadcastHashJoin" in plan
+    assert "EvalPython" not in plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "graph_degree_distribution",
+        "graph_triangle_count",
+        "graph_link_prediction_cn",
+    ],
+)
+def test_graph_pair_generation_is_blocked_equi_join(spark, name):
+    """Graph edge/wedge generation must be bucket-blocked equi-joins —
+    an all-pairs CartesianProduct is the O(n^2) shape the bucketing rule
+    exists to prevent (same discipline as the LSH band joins)."""
+    plan = _plan(spark, name)
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
