@@ -55,7 +55,16 @@ _EDGES_CTE = f"""
 
 
 def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Engine twin of ``_EDGES_CTE``: bucket-blocked pair generation."""
+    """Engine twin of ``_EDGES_CTE``: bucket-blocked pair generation.
+
+    The result is ``.cache()``d: every consumer below references the edge
+    list two or three times (symmetrized adjacency + closing-edge checks),
+    and without a materialization point Spark re-executes the whole
+    pair-generation subtree once PER reference (measured 2x wall on the
+    triangle query at sf0.1). The cached edge list is tiny (one int pair
+    per edge) while the subtree it replaces is the quadratic part — the
+    same single-execution-probe reasoning as dedup.py's checkpoint-then-
+    probe loop."""
     ev = load(spark, sf_dir, "events")
     occ = ev.select(
         "user_id", "event_type", F.col("ts").cast("date").alias("day")
@@ -75,6 +84,7 @@ def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("shared"))
         .filter(F.col("shared") >= _MIN_SHARED)
         .select("u", "v")
+        .cache()
     )
 
 
