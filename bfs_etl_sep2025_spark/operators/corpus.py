@@ -331,3 +331,78 @@ def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"(cum - n_toks) div {_SEQ_LEN}").alias("first_seq"),
         F.expr(f"(cum - 1) div {_SEQ_LEN}").alias("last_seq"),
     ).orderBy("doc_id")
+
+
+_TOKEN_BUDGET = 1000  # per-source greedy selection budget (tokens)
+
+
+@query(
+    "corpus_budget_select",
+    family="corpus",
+    oracle=f"""
+        WITH d AS (
+            SELECT source, doc_id, n_chars,
+                   len(string_split(text, ' ')) AS n_tok
+            FROM documents
+        ),
+        r AS (
+            SELECT source, n_tok,
+                   CAST(sum(n_tok) OVER (
+                     PARTITION BY source ORDER BY n_chars DESC, doc_id
+                   ) AS BIGINT) AS running
+            FROM d
+        )
+        SELECT source,
+               CAST(sum(CASE WHEN running <= {_TOKEN_BUDGET} THEN 1 ELSE 0
+                        END) AS BIGINT) AS n_docs_kept,
+               CAST(coalesce(max(CASE WHEN running <= {_TOKEN_BUDGET}
+                                 THEN running END), 0) AS BIGINT)
+                 AS tokens_kept,
+               count(*) AS n_docs_total,
+               CAST(sum(n_tok) AS BIGINT) AS tokens_total
+        FROM r GROUP BY source ORDER BY source
+    """,
+)
+def corpus_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy token-budget selection per domain: rank each source's
+    documents by a deterministic priority (longest first, doc_id
+    tie-break), take the running token total, and keep the maximal prefix
+    within the budget — the standard "fill each domain's token quota"
+    step when assembling a training mixture (cf. corpus_mixture_sample,
+    which RATES domains; this one CAPS them).
+
+    Scale (100 TB): one shuffle on source for the prefix-sum window, then
+    a map-combined aggregate; token counts ride the scan projection. The
+    prefix is a window filter, not a loop — greedy selection is
+    order-parallel because the running sum resolves every keep/drop
+    decision independently. Integer end to end."""
+    from pyspark.sql import Window as W
+
+    docs = load(spark, sf_dir, "documents")
+    d = docs.select(
+        "source",
+        "doc_id",
+        "n_chars",
+        F.size(F.split("text", " ")).alias("n_tok"),
+    )
+    w = W.partitionBy("source").orderBy(F.col("n_chars").desc(), "doc_id")
+    r = d.select(
+        "source",
+        "n_tok",
+        F.sum("n_tok").over(w).cast("bigint").alias("running"),
+    )
+    kept = F.when(F.col("running") <= _TOKEN_BUDGET, F.col("running"))
+    return (
+        r.groupBy("source")
+        .agg(
+            F.sum(
+                F.when(F.col("running") <= _TOKEN_BUDGET, 1).otherwise(0)
+            ).cast("bigint").alias("n_docs_kept"),
+            F.coalesce(F.max(kept), F.lit(0)).cast("bigint").alias(
+                "tokens_kept"
+            ),
+            F.count(F.lit(1)).alias("n_docs_total"),
+            F.sum("n_tok").cast("bigint").alias("tokens_total"),
+        )
+        .orderBy("source")
+    )

@@ -171,3 +171,47 @@ def scan_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orc(out)
     )
     return spark.read.orc(out).orderBy("s_suppkey")
+
+
+@query(
+    "scan_text_roundtrip",
+    family="formats",
+    # Oracle aggregates the original table — equality proves the
+    # line-oriented write -> whole-line read round trip lost no rows, no
+    # characters, and no ordering-sensitive content.
+    oracle="""
+        SELECT count(*) AS n_lines,
+               CAST(sum(length(text)) AS BIGINT) AS total_chars,
+               min(length(text)) AS min_len,
+               max(length(text)) AS max_len
+        FROM documents
+    """,
+)
+def scan_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unstructured text-file scan (``spark.read.text``): stage the corpus
+    as raw one-document-per-line text files (the rawest LLM-ingest format:
+    no schema, no delimiter contract), read it back line-oriented, and
+    aggregate invariants the round trip must preserve. The fixture corpus
+    is newline-free by construction, so line = document holds; a corpus
+    with embedded newlines takes the jsonlines path instead
+    (scan_jsonlines). Scale: text scans split by line ranges exactly like
+    CSV — embarrassingly parallel, no shuffle until the aggregate's tiny
+    partials."""
+    out = os.path.join(
+        _SCRATCH, f"documents_text_{os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    (
+        load(spark, sf_dir, "documents")
+        .select("text")
+        .coalesce(2)
+        .write.mode("overwrite")
+        .text(out)
+    )
+    lines = spark.read.text(out)
+    ln = F.length("value")
+    return lines.agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(ln).cast("bigint").alias("total_chars"),
+        F.min(ln).alias("min_len"),
+        F.max(ln).alias("max_len"),
+    )

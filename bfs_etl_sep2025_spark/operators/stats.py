@@ -29,6 +29,7 @@ Scale notes (100 TB):
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from bfs_etl_sep2025_spark.functions.portable import (
@@ -293,4 +294,49 @@ def diag_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("cnt").cast("double")
             / (F.sum("cnt").cast("double") / F.count(F.lit(1)).cast("double"))
         ).alias("skew_ratio"),
+    )
+
+
+@query(
+    "agg_mode_deterministic",
+    family="stats",
+    oracle="""
+        WITH c AS (
+            SELECT o_orderpriority, o_orderstatus, count(*) AS cnt
+            FROM orders GROUP BY o_orderpriority, o_orderstatus
+        )
+        SELECT o_orderpriority, o_orderstatus AS modal_status, cnt
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY o_orderpriority
+                ORDER BY cnt DESC, o_orderstatus
+            ) AS rn
+            FROM c
+        ) WHERE rn = 1
+        ORDER BY o_orderpriority
+    """,
+)
+def agg_mode_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group mode with a TOTAL tie-break order. Built-in ``mode()``
+    returns an arbitrary winner on ties in both engines — unusable under a
+    hash-compare gate and irreproducible between runs at scale; the
+    count + row_number formulation pins ties by value and costs one
+    map-combined aggregate + a window over O(groups x distinct values)
+    rows (WindowGroupLimit prunes below the shuffle)."""
+    o = load(spark, sf_dir, "orders")
+    c = o.groupBy("o_orderpriority", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = W.partitionBy("o_orderpriority").orderBy(
+        F.col("cnt").desc(), "o_orderstatus"
+    )
+    return (
+        c.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_orderpriority",
+            F.col("o_orderstatus").alias("modal_status"),
+            "cnt",
+        )
+        .orderBy("o_orderpriority")
     )

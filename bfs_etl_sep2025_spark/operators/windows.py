@@ -449,3 +449,53 @@ def window_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     return l.select(
         "user_id", "event_id", "value", F.expr(_EWMA_EXPR).alias("ewma4")
     ).orderBy("user_id", "event_id")
+
+
+@query(
+    "window_cumulative_distinct",
+    family="windows",
+    oracle="""
+        WITH firsts AS (
+            SELECT event_type, user_id,
+                   min(CAST(date_diff('day', DATE '1970-01-01',
+                                      CAST(ts AS DATE)) AS INT)) AS day_num
+            FROM events
+            GROUP BY event_type, user_id
+        ),
+        per_day AS (
+            SELECT event_type, day_num, count(*) AS new_users
+            FROM firsts GROUP BY event_type, day_num
+        )
+        SELECT event_type, day_num, new_users,
+               CAST(sum(new_users) OVER (
+                 PARTITION BY event_type ORDER BY day_num
+               ) AS BIGINT) AS cum_distinct_users
+        FROM per_day
+        ORDER BY event_type, day_num
+    """,
+)
+def window_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running COUNT(DISTINCT) over an expanding window — the aggregate
+    Spark (correctly) refuses to window directly, rewritten scalably:
+    distinct-ness is resolved ONCE by taking each (key, member)'s first
+    day (a hash aggregate), then the expanding distinct count is a plain
+    prefix sum of per-day first-appearance counts. Two map-combined
+    aggregates + one per-key window sort — versus the naive
+    O(days x history) re-scan. Integer end to end (day numbers, counts)."""
+    ev = load(spark, sf_dir, "events")
+    day_num = F.datediff(
+        F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")
+    ).cast("int")
+    firsts = ev.groupBy("event_type", "user_id").agg(
+        F.min(day_num).alias("day_num")
+    )
+    per_day = firsts.groupBy("event_type", "day_num").agg(
+        F.count(F.lit(1)).alias("new_users")
+    )
+    w = W.partitionBy("event_type").orderBy("day_num")
+    return per_day.select(
+        "event_type",
+        "day_num",
+        "new_users",
+        F.sum("new_users").over(w).cast("bigint").alias("cum_distinct_users"),
+    ).orderBy("event_type", "day_num")

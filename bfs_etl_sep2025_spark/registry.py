@@ -84,6 +84,10 @@ _PRIORITY: tuple[str, ...] = (
     "graph_degree_distribution",
     "graph_triangle_count",
     "graph_link_prediction_cn",
+    "scan_text_roundtrip",
+    "window_cumulative_distinct",
+    "agg_mode_deterministic",
+    "corpus_budget_select",
     # round-1 greens, oldest signal first: aggregates
     "agg_basic_stats",
     "agg_count_distinct_multi",

@@ -431,3 +431,24 @@ def test_graph_pair_generation_is_blocked_equi_join(spark, name):
     plan = _plan(spark, name)
     assert "CartesianProduct" not in plan
     assert "EvalPython" not in plan
+
+
+def test_mode_tiebreak_uses_window_group_limit(spark):
+    """agg_mode_deterministic's rn=1 filter must push a per-partition
+    group limit below the shuffle (WindowGroupLimit), like topk_per_group."""
+    plan = _plan(spark, "agg_mode_deterministic")
+    assert "WindowGroupLimit" in plan
+
+
+@pytest.mark.parametrize(
+    "name", ["window_cumulative_distinct", "corpus_budget_select"]
+)
+def test_prefix_sum_rewrites_stay_jvm_side(spark, name):
+    """The running-distinct and budget-select prefix-sum rewrites must be
+    map-combined aggregates + a single keyed window — no Python, no
+    lambdas, no cross joins."""
+    plan = _plan(spark, name)
+    assert plan.count("HashAggregate") >= 2
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "lambdafunction" not in plan.lower()
