@@ -1,0 +1,208 @@
+"""Versioned-table layer: atomic commit, time travel, rollback, optimistic
+concurrency, append-without-rewrite, MERGE-shaped mutations."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from bfs_etl_sep2025_spark.plans.versioned import (
+    ConcurrentWriteError,
+    VersionedTable,
+)
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+@pytest.fixture()
+def vt(spark, tmp_path):
+    t = VersionedTable(spark, str(tmp_path / "tbl"))
+    t.create(spark.createDataFrame([(1, "a"), (2, "b")], "id INT, v STRING"))
+    return t
+
+
+def test_create_read_roundtrip(vt):
+    assert vt.current_version() == 1
+    assert _rows(vt.read()) == [(1, "a"), (2, "b")]
+
+
+def test_append_references_old_dirs_without_rewrite(vt, spark):
+    v1_dirs = vt._manifest(1)["dirs"]
+    vt.append(spark.createDataFrame([(3, "c")], "id INT, v STRING"))
+    m2 = vt._manifest(2)
+    assert m2["op"] == "append"
+    assert set(v1_dirs) <= set(m2["dirs"])  # old data referenced, not copied
+    assert len(m2["dirs"]) == len(v1_dirs) + 1
+    assert _rows(vt.read()) == [(1, "a"), (2, "b"), (3, "c")]
+
+
+def test_time_travel_and_history(vt, spark):
+    vt.overwrite(spark.createDataFrame([(9, "z")], "id INT, v STRING"))
+    assert _rows(vt.read()) == [(9, "z")]
+    assert _rows(vt.read(version=1)) == [(1, "a"), (2, "b")]
+    ops = [h["op"] for h in vt.history()]
+    assert ops == ["create", "overwrite"]
+
+
+def test_rollback_restores_snapshot_linearly(vt, spark):
+    vt.overwrite(spark.createDataFrame([(9, "z")], "id INT, v STRING"))
+    v3 = vt.rollback(1)
+    assert v3 == 3
+    assert _rows(vt.read()) == [(1, "a"), (2, "b")]
+    # history stays append-only: rollback is a new version, not an erasure
+    assert [h["version"] for h in vt.history()] == [1, 2, 3]
+
+
+def test_upsert_replaces_and_inserts(vt, spark):
+    vt.upsert(
+        spark.createDataFrame([(2, "B"), (3, "c")], "id INT, v STRING"),
+        keys=["id"],
+    )
+    assert _rows(vt.read()) == [(1, "a"), (2, "B"), (3, "c")]
+    # idempotent re-run of the same batch (the CDC replay case)
+    vt.upsert(
+        spark.createDataFrame([(2, "B"), (3, "c")], "id INT, v STRING"),
+        keys=["id"],
+    )
+    assert _rows(vt.read()) == [(1, "a"), (2, "B"), (3, "c")]
+
+
+def test_upsert_duplicate_source_raises(vt, spark):
+    with pytest.raises(ValueError, match="nondeterministic MERGE"):
+        vt.upsert(
+            spark.createDataFrame(
+                [(2, "x"), (2, "y")], "id INT, v STRING"
+            ),
+            keys=["id"],
+        )
+
+
+def test_delete_and_update_where(vt):
+    vt.update_where("id = 1", {"v": "upper(v)"})
+    vt.delete_where("id = 2")
+    assert _rows(vt.read()) == [(1, "A")]
+    # every mutation time-travels
+    assert _rows(vt.read(version=1)) == [(1, "a"), (2, "b")]
+
+
+def test_uncommitted_data_is_invisible(vt, spark):
+    """A fully-written data directory without a manifest commit must not
+    change what readers see — the atomicity the INSERT OVERWRITE path
+    cannot give."""
+    vt._write_data_dir(
+        spark.createDataFrame([(99, "q")], "id INT, v STRING"), 2
+    )
+    assert vt.current_version() == 1
+    assert _rows(vt.read()) == [(1, "a"), (2, "b")]
+
+
+def test_optimistic_conflict_raises(vt, spark):
+    """Two writers based on the same parent: the second commit of v2 must
+    raise, never clobber."""
+    d1 = vt._write_data_dir(
+        spark.createDataFrame([(10, "x")], "id INT, v STRING"), 2
+    )
+    d2 = vt._write_data_dir(
+        spark.createDataFrame([(11, "y")], "id INT, v STRING"), 2
+    )
+    vt._commit(2, 1, [d1], "overwrite")
+    with pytest.raises(ConcurrentWriteError):
+        vt._commit(2, 1, [d2], "overwrite")
+    assert _rows(vt.read()) == [(10, "x")]  # winner intact
+
+
+def test_vacuum_bounds_history(vt, spark):
+    for i in range(3, 6):
+        vt.overwrite(
+            spark.createDataFrame([(i, "v")], "id INT, v STRING")
+        )
+    removed = vt.vacuum(keep_last=2)
+    assert removed  # something old was reclaimed
+    # head is v4 (create + overwrites for i=3,4,5); kept window is {v3, v4}
+    assert _rows(vt.read()) == [(5, "v")]  # head untouched
+    assert _rows(vt.read(version=3)) == [(4, "v")]  # kept window travels
+    remaining = set(os.listdir(vt._data))
+    assert not (set(vt._manifest(4)["dirs"]) - remaining)
+
+
+def test_streaming_cdc_upsert_into_versioned_table(spark, tmp_path):
+    """foreachBatch + VersionedTable.upsert: the CDC sink with time travel.
+    Each micro-batch commits one atomic version; a replayed batch of the
+    same keys converges (idempotent); every pre-batch state remains
+    readable — the property the plain INSERT OVERWRITE sink cannot give."""
+    from datetime import datetime
+
+    from pyspark.sql import functions as F
+
+    schema = (
+        "event_id bigint, ts timestamp_ntz, user_id bigint, "
+        "event_type string, value double, props string"
+    )
+    src, ckpt = str(tmp_path / "src"), str(tmp_path / "ckpt")
+    vt = VersionedTable(spark, str(tmp_path / "user_latest"))
+    vt.create(
+        spark.createDataFrame([], "user_id BIGINT, ts TIMESTAMP_NTZ, value DOUBLE")
+    )
+
+    def sink(batch_df, epoch_id):
+        latest = (
+            batch_df.groupBy("user_id")
+            .agg(F.max_by(F.struct("ts", "value"), "ts").alias("s"))
+            .select("user_id", "s.ts", "s.value")
+        )
+        if latest.isEmpty():
+            return
+        vt.upsert(latest, keys=["user_id"])
+
+    def drain():
+        q = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    def rows(vals):
+        return [
+            (i, datetime(2024, 1, 1, h, 0), u, "click", v, "{}")
+            for i, (u, h, v) in enumerate(vals)
+        ]
+
+    # batch 1: users 1,2
+    spark.createDataFrame(rows([(1, 10, 1.0), (2, 10, 2.0)]), schema).coalesce(
+        1
+    ).write.mode("append").parquet(src)
+    drain()
+    assert _rows(vt.read().select("user_id", "value")) == [(1, 1.0), (2, 2.0)]
+    v_after_b1 = vt.current_version()
+
+    # batch 2: user 1 updated, user 3 inserted
+    spark.createDataFrame(
+        [
+            (10, datetime(2024, 1, 1, 11, 0), 1, "click", 9.0, "{}"),
+            (11, datetime(2024, 1, 1, 11, 0), 3, "click", 3.0, "{}"),
+        ],
+        schema,
+    ).coalesce(1).write.mode("append").parquet(src)
+    drain()
+    assert _rows(vt.read().select("user_id", "value")) == [
+        (1, 9.0),
+        (2, 2.0),
+        (3, 3.0),
+    ]
+    # checkpoint makes a replayed drain a no-op (no new files, no new version)
+    head = vt.current_version()
+    drain()
+    assert vt.current_version() == head
+    # time travel back to the post-batch-1 state
+    assert _rows(vt.read(version=v_after_b1).select("user_id", "value")) == [
+        (1, 1.0),
+        (2, 2.0),
+    ]
