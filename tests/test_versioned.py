@@ -206,3 +206,46 @@ def test_streaming_cdc_upsert_into_versioned_table(spark, tmp_path):
         (1, 1.0),
         (2, 2.0),
     ]
+
+
+def test_versioned_random_op_sequences_match_model(spark, tmp_path):
+    """Model-based check: random append/upsert/delete/rollback sequences
+    against a pure-Python dict model — every intermediate version must
+    remain time-travel-readable and the head must equal the model."""
+    import random
+
+    rng = random.Random(20260814)
+    vt = VersionedTable(spark, str(tmp_path / "model_tbl"))
+    vt.create(spark.createDataFrame([(0, 0)], "id INT, v INT"))
+    model: dict[int, int] = {0: 0}
+    snapshots = {1: dict(model)}
+
+    def df_of(pairs):
+        return spark.createDataFrame(list(pairs), "id INT, v INT")
+
+    for step in range(14):
+        op = rng.choice(["append", "upsert", "delete", "rollback"])
+        if op == "append":
+            new = [(rng.randrange(100, 200) + step * 1000, step)]
+            vt.append(df_of(new))
+            model.update(dict(new))
+        elif op == "upsert":
+            keys = rng.sample(sorted(model) or [0], k=min(2, len(model)))
+            src = [(k, step) for k in keys] + [(step * 1000 + 999, step)]
+            vt.upsert(df_of(src), keys=["id"])
+            model.update(dict(src))
+        elif op == "delete":
+            if not model:
+                continue
+            victim = rng.choice(sorted(model))
+            vt.delete_where(f"id = {victim}")
+            model.pop(victim, None)
+        else:
+            target = rng.choice(sorted(snapshots))
+            vt.rollback(target)
+            model = dict(snapshots[target])
+        snapshots[vt.current_version()] = dict(model)
+
+    assert _rows(vt.read()) == sorted(model.items())
+    for v, snap in snapshots.items():
+        assert _rows(vt.read(version=v)) == sorted(snap.items()), v
