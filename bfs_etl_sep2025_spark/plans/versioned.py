@@ -99,8 +99,12 @@ class VersionedTable:
     def history(self) -> list[dict]:
         """All committed manifests, oldest first (op, version, parent,
         n_dirs) — the audit trail a warehouse exposes as table history."""
+        import re
+
         out = []
         for name in sorted(os.listdir(self._manifests)):
+            if not re.fullmatch(r"v\d{5}\.json", name):
+                continue  # ignore debris from crashed writers
             with open(os.path.join(self._manifests, name)) as f:
                 m = json.load(f)
             out.append(
@@ -124,23 +128,25 @@ class VersionedTable:
     def _commit(self, version: int, parent: int, dirs: list[str], op: str) -> int:
         os.makedirs(self._manifests, exist_ok=True)
         manifest = os.path.join(self._manifests, f"v{version:05d}.json")
-        tmp = manifest + f".tmp-{uuid.uuid4().hex[:8]}"
-        with open(tmp, "w") as f:
-            json.dump(
-                {"version": version, "parent": parent, "dirs": dirs, "op": op},
-                f,
-            )
-        # optimistic concurrency: vN is claimable exactly once
+        body = json.dumps(
+            {"version": version, "parent": parent, "dirs": dirs, "op": op}
+        )
+        # optimistic concurrency: vN is claimable exactly once. The body is
+        # written through the claiming fd itself (one write + fsync), so the
+        # manifest never exists as an empty file; readers anyway only follow
+        # it after the _CURRENT swap below.
         try:
             fd = os.open(manifest, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
         except FileExistsError:
-            os.remove(tmp)
             raise ConcurrentWriteError(
                 f"version {version} of {self.root} was committed by another "
                 "writer; re-read and retry"
             ) from None
-        os.close(fd)
-        os.replace(tmp, manifest)  # atomic: manifest is whole or absent
+        try:
+            os.write(fd, body.encode())
+            os.fsync(fd)
+        finally:
+            os.close(fd)
         ctmp = self._current + f".tmp-{uuid.uuid4().hex[:8]}"
         with open(ctmp, "w") as f:
             f.write(str(version))
