@@ -6,6 +6,7 @@ from bfs_etl_sep2025_spark.plans.pipeline import Pipeline, chain
 from bfs_etl_sep2025_spark.plans.tasks import (
     BashTask,
     EmptyTask,
+    PythonTask,
     RunContext,
     SqlTask,
     Task,
@@ -15,6 +16,7 @@ __all__ = [
     "BashTask",
     "EmptyTask",
     "Pipeline",
+    "PythonTask",
     "RunContext",
     "SqlTask",
     "Task",

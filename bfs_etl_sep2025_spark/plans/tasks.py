@@ -141,6 +141,34 @@ class BashTask(Task):
             )
 
 
+class PythonTask(Task):
+    """Run a Python callable driver-side (Airflow PythonOperator parity —
+    the standard glue the reference's operator family implies for steps
+    that aren't shell or SQL). The callable receives the live
+    ``SparkSession`` plus the task's logical-date-templated params and may
+    return anything; the return value is kept on ``last_result`` so
+    downstream assertions/tests can inspect it. Engine-native pipeline
+    steps (DataFrame jobs, versioned-table commits) plug into the DAG
+    through this task without round-tripping through SQL strings."""
+
+    def __init__(
+        self,
+        task_id: str,
+        python_callable: Callable[..., Any],
+        pipeline: Pipeline | None = None,
+        **kw: Any,
+    ) -> None:
+        super().__init__(task_id, pipeline=pipeline, **kw)
+        self.python_callable = python_callable
+        self.last_result: Any = None
+
+    def execute(self, ctx: RunContext) -> None:
+        params = {
+            k: ctx.render(v) for k, v in self.merged_params(ctx).items()
+        }
+        self.last_result = self.python_callable(ctx.spark, **params)
+
+
 #: statements whose execution writes a table -> serialized per target
 _WRITE_TARGET = re.compile(
     r"(?i)^\s*(?:INSERT\s+(?:INTO|OVERWRITE)\s+(?:TABLE\s+)?"

@@ -50,3 +50,49 @@ def test_file_format_clause_parses_reference_string():
     reader, sentinels = map_file_format(task.file_format)
     assert reader["sep"] == "," and reader["header"] is True
     assert sentinels == ["null", "", ""]  # NULL_IF tail + empty_field_as_null
+
+
+def test_llm_corpus_pipeline_runs_end_to_end(spark, tmp_path):
+    """The composed LLM-corpus DAG: quality gate -> fused clean ->
+    budget-select -> publish, staging through ONE versioned table whose
+    every intermediate state stays time-travelable."""
+    mod = importlib.import_module("llm_corpus_pipeline")
+    dag, (profile, clean, select, publish) = mod.build(str(tmp_path / "tbl"))
+    assert dag.pipeline_id == "llm_corpus_pipeline"
+    dag.run(spark)
+
+    assert profile.last_result  # quality verdicts collected, none fatal
+    assert clean.last_result["rows"] > 0
+    # budget selection can only shrink the corpus
+    assert 0 < select.last_result["rows"] <= clean.last_result["rows"]
+    ops = [h["op"] for h in publish.last_result["history"]]
+    assert ops == ["create", "budget_select"]
+    assert publish.last_result["per_source"]  # audit counts present
+
+    # the pre-selection corpus is still readable (time travel)
+    from bfs_etl_sep2025_spark.plans.versioned import VersionedTable
+
+    vt = VersionedTable(spark, str(tmp_path / "tbl"))
+    assert vt.read(version=1).count() == clean.last_result["rows"]
+
+
+def test_python_task_renders_params_and_records_result(spark):
+    """PythonTask parity basics: logical-date templating reaches params,
+    the callable sees the live session, the result is retained."""
+    from bfs_etl_sep2025_spark.plans import Pipeline, PythonTask
+
+    with Pipeline(
+        pipeline_id="pt_demo",
+        schedule=None,
+        start_date=__import__("datetime").datetime(2022, 7, 13),
+        catchup=False,
+    ) as dag:
+        t = PythonTask(
+            "probe",
+            lambda sp, stamp: (sp.version, stamp),
+            stamp="file_{{ ds_nodash }}.csv",
+        )
+    dag.run(spark, run_date=__import__("datetime").datetime(2022, 7, 13))
+    version, stamp = t.last_result
+    assert version == spark.version
+    assert stamp == "file_20220713.csv"
