@@ -683,3 +683,68 @@ def fn_higher_order_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             "fold_sum"
         ),
     ).orderBy("vec_id")
+
+
+@query(
+    "fn_variant_json",
+    family="functions",
+    oracle="""
+        SELECT o_orderkey,
+               o_orderkey AS vkey,
+               CAST(o_totalprice AS DOUBLE) AS vprice,
+               o_orderpriority AS vprio,
+               o_orderkey % 11 AS varr,
+               CAST(-1 AS BIGINT) AS vmissing,
+               CAST(-1 AS INT) AS vbadcast
+        FROM orders
+        WHERE o_orderkey < 1000
+        ORDER BY o_orderkey
+    """,
+)
+def fn_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 ``VARIANT`` semi-structured type: ``parse_json`` ingests a
+    JSON document into the binary VARIANT encoding, ``variant_get`` does
+    typed path extraction (object field, array index), ``try_variant_get``
+    degrades to NULL on an impossible cast, and a missing path yields NULL
+    (both surfaced through a -1 coalesce sentinel: an all-NULL column has no
+    stable cross-engine pandas rendering, the NULL semantics are what the
+    sentinel proves).
+    This is the open-format twin of the reference's Snowflake VARIANT
+    columns (the warehouse it scripts is semi-structured-first); the oracle
+    recomputes every extracted value straight from the source columns, so
+    the JSON round-trip (Jackson serialize -> VARIANT parse -> typed get)
+    is what is actually under test — numeric round-trip exactness included.
+
+    Scale: VARIANT is a first-class columnar type — the binary encoding
+    shreds into parquet, pushdown and pruning still apply to the sibling
+    columns, and extraction is codegen'd JVM work (no Python boundary)."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 1000)
+    v = o.select(
+        "o_orderkey",
+        F.parse_json(
+            F.to_json(
+                F.named_struct(
+                    F.lit("k"), F.col("o_orderkey"),
+                    F.lit("price"), F.col("o_totalprice"),
+                    F.lit("prio"), F.col("o_orderpriority"),
+                    F.lit("arr"),
+                    F.array(
+                        F.col("o_orderkey") % 7, F.col("o_orderkey") % 11
+                    ),
+                )
+            )
+        ).alias("v"),
+    )
+    return v.select(
+        "o_orderkey",
+        F.expr("variant_get(v, '$.k', 'bigint')").alias("vkey"),
+        F.expr("variant_get(v, '$.price', 'double')").alias("vprice"),
+        F.expr("variant_get(v, '$.prio', 'string')").alias("vprio"),
+        F.expr("variant_get(v, '$.arr[1]', 'bigint')").alias("varr"),
+        F.expr("coalesce(variant_get(v, '$.nope', 'bigint'), -1)").alias(
+            "vmissing"
+        ),
+        F.expr(
+            "coalesce(CAST(try_variant_get(v, '$.prio', 'boolean') AS INT), -1)"
+        ).alias("vbadcast"),
+    ).orderBy("o_orderkey")

@@ -748,3 +748,178 @@ def similarity_topk_lsh_multitable(spark: SparkSession, sf_dir: str) -> DataFram
         .filter(F.col("rnk") <= 3)
         .orderBy("query_id", "rnk")
     )
+
+
+# -- k-means codebook training ----------------------------------------------
+
+#: codebook size for the training demo (the serving-side IVF codebook above
+#: is CONSUMED pre-trained; this operator is where such a codebook COMES
+#: from)
+KMEANS_K = 8
+
+
+def _sqdist_lit_sql(vec: str, centroid: list[float]) -> str:
+    """Squared L2 distance between an array column and a LITERAL centroid —
+    an unrolled left-associated chain of (x_d - c_d)^2 terms, fully
+    whole-stage-codegen'd (same discipline as :func:`_dot_sql`). Centroid
+    components embed as ``CAST('<repr>' AS DOUBLE)``: Python ``repr`` is the
+    shortest round-trip decimal, and a correctly-rounded parse returns the
+    identical double, so the literal path loses nothing."""
+    terms = []
+    for i, c in enumerate(centroid, start=1):
+        lit = f"CAST('{float(c)!r}' AS DOUBLE)"
+        el = _el_sql(vec, i)
+        terms.append(f"({el} - {lit}) * ({el} - {lit})")
+    return " + ".join(terms)
+
+
+_SQL_SQDIST = (
+    "list_reduce(list_transform(range(1, 65), i -> "
+    "(({a})[i]::DOUBLE - ({b})[i]::DOUBLE) * "
+    "(({a})[i]::DOUBLE - ({b})[i]::DOUBLE)), (x, y) -> x + y)"
+)
+
+
+def _sql_sqdist(a: str, b: str) -> str:
+    return _SQL_SQDIST.format(a=a, b=b)
+
+
+_KMEANS_MEANS = ",\n               ".join(
+    f"CAST(sum(CAST((embedding)[{i}]::DOUBLE AS DECIMAL(30,12))) AS DOUBLE)"
+    f" / count(*) AS m{i}"
+    for i in range(1, DIM + 1)
+)
+_KMEANS_CARR = "[" + ", ".join(f"m{i}" for i in range(1, DIM + 1)) + "]"
+
+
+def _assign(df: DataFrame, centroids: list[list[float]]) -> DataFrame:
+    """One Lloyd assignment pass: argmin over K literal centroids, computed
+    as a single map-only projection — no join, no shuffle. Ties break to the
+    lowest cluster id (``array_position`` returns the FIRST index holding
+    the min), mirroring the oracle's ``ORDER BY dist, cid`` window."""
+    dists = ", ".join(
+        f"({_sqdist_lit_sql('embedding', c)})" for c in centroids
+    )
+    return df.select(
+        "vec_id",
+        "embedding",
+        F.expr(f"array({dists})").alias("dists"),
+    ).select(
+        "vec_id",
+        "embedding",
+        (F.expr("array_position(dists, array_min(dists))") - 1)
+        .cast("int")
+        .alias("cluster_id"),
+        F.expr("array_min(dists)").alias("dist"),
+    )
+
+
+@query(
+    "similarity_kmeans_train",
+    family="similarity",
+    oracle=f"""
+        WITH init AS (
+          SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
+                 embedding AS c
+          FROM (SELECT vec_id, embedding FROM embeddings
+                ORDER BY vec_id LIMIT {KMEANS_K})
+        ),
+        d1 AS (
+          SELECT e.vec_id, e.embedding, i.cid,
+                 {_sql_sqdist('e.embedding', 'i.c')} AS dist
+          FROM embeddings e CROSS JOIN init i
+        ),
+        asg1 AS (
+          SELECT vec_id, embedding, cid FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id
+                                         ORDER BY dist, cid) AS rn
+            FROM d1
+          ) WHERE rn = 1
+        ),
+        c2 AS (
+          SELECT cid,
+               {_KMEANS_MEANS}
+          FROM asg1 GROUP BY cid
+        ),
+        cent2 AS (SELECT cid, {_KMEANS_CARR} AS c FROM c2),
+        d2 AS (
+          SELECT e.vec_id, cc.cid,
+                 {_sql_sqdist('e.embedding', 'cc.c')} AS dist
+          FROM embeddings e CROSS JOIN cent2 cc
+        ),
+        asg2 AS (
+          SELECT vec_id, cid, dist FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id
+                                         ORDER BY dist, cid) AS rn
+            FROM d2
+          ) WHERE rn = 1
+        )
+        SELECT cid AS cluster_id,
+               CAST(count(*) AS BIGINT) AS n_members,
+               min(vec_id) AS min_vec_id,
+               CAST(sum(vec_id) AS BIGINT) AS sum_vec_id,
+               CAST(sum(CAST(dist AS DECIMAL(30,12))) AS DOUBLE) AS inertia
+        FROM asg2 GROUP BY cid ORDER BY cluster_id
+    """,
+)
+def similarity_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Lloyd's k-means (K=8, one refinement round) —
+    the training step that PRODUCES an IVF codebook (the ANN query above
+    consumes one). Spark-first shape is the Spark-MLlib pattern: centroids
+    are a K x DIM driver-side table (bounded, tiny), collected between
+    rounds and re-embedded as LITERALS, so each assignment pass is a
+    map-only codegen'd projection over the corpus — zero joins, zero
+    shuffles; the only shuffle per round is the K-group centroid-update
+    aggregate. At 100 TB that is one map pass + one 8-group HashAggregate
+    per iteration, the optimal plan.
+
+    Cross-engine exactness: seeds are the K lowest-vec_id vectors (no RNG);
+    per-term arithmetic is the same IEEE sequence both sides; centroid
+    means are order-independent DECIMAL(30,12) sums divided as doubles
+    (sum magnitudes stay below 2^53 at scale 12, where decimal->double is
+    exact-then-correctly-rounded in Spark, DuckDB, and Python alike); ties
+    break to the lowest cluster id. The reported inertia (exact decimal sum
+    of within-cluster squared distance) is the convergence metric a real
+    training loop would iterate on."""
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    seeds = e.orderBy("vec_id").limit(KMEANS_K).collect()
+    cents = [[float(x) for x in r.embedding] for r in seeds]
+
+    asg1 = _assign(e, cents)
+    upd = (
+        asg1.groupBy("cluster_id")
+        .agg(
+            F.count("*").alias("n"),
+            *[
+                F.sum(
+                    F.expr(_el_sql("embedding", i)).cast("decimal(30,12)")
+                ).alias(f"s{i}")
+                for i in range(1, DIM + 1)
+            ],
+        )
+        .collect()
+    )
+    if len(upd) != KMEANS_K:
+        raise RuntimeError(
+            f"k-means lost a cluster ({len(upd)}/{KMEANS_K} non-empty after "
+            "round 1); seeds are data points so this indicates duplicate "
+            "seed vectors — pick distinct seeds"
+        )
+    cents = [
+        [float(row[f"s{i}"]) / row["n"] for i in range(1, DIM + 1)]
+        for row in sorted(upd, key=lambda r: r["cluster_id"])
+    ]
+
+    return (
+        _assign(e, cents)
+        .groupBy("cluster_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_members"),
+            F.min("vec_id").alias("min_vec_id"),
+            F.sum("vec_id").cast("bigint").alias("sum_vec_id"),
+            F.sum(F.col("dist").cast("decimal(30,12)"))
+            .cast("double")
+            .alias("inertia"),
+        )
+        .orderBy("cluster_id")
+    )

@@ -1,7 +1,8 @@
-"""UDF surface (SURVEY §2.3 row 'UDF surface'): the four Python extension
+"""UDF surface (SURVEY §2.3 row 'UDF surface'): the Python extension
 points — row-at-a-time UDF, vectorized pandas UDF, grouped-map
-(``applyInPandas``, the UDTF analog) and grouped-agg pandas UDF (the UDAF
-analog).
+(``applyInPandas``), grouped-agg pandas UDF (the UDAF analog), the
+Arrow-optimized scalar UDF, and the Spark-4 Python UDTF (table function
+with LATERAL correlation).
 
 Every UDF here computes something ALSO expressible in SQL, on purpose: the
 oracle then cross-checks the Python/Arrow data path itself (serialization,
@@ -199,3 +200,54 @@ def udf_arrow_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.select(
         "o_orderkey", priority_rank("o_orderpriority").alias("priority_rank")
     ).orderBy("o_orderkey")
+
+
+_CHUNK_WIDTH = 200
+
+
+@query(
+    "udtf_chunk_text",
+    family="udfs",
+    oracle=f"""
+        SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+               substring(text, i * {_CHUNK_WIDTH} + 1, {_CHUNK_WIDTH}) AS chunk
+        FROM documents, (SELECT unnest(range(0, 512)) AS i) AS s
+        WHERE i * {_CHUNK_WIDTH} < length(text)
+        ORDER BY doc_id, chunk_idx
+    """,
+)
+def udtf_chunk_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python user-defined TABLE function (Spark 3.5+/4 ``@udtf``) applied
+    with LATERAL correlation: one input document row expands to N chunk
+    rows — the canonical context-window chunking step of a RAG/training
+    corpus pipeline, and the one Python extension point the surface was
+    still missing (scalar, pandas, grouped-map/agg, Arrow scalar are
+    above). The oracle reproduces the expansion relationally with a static
+    series + substring, cross-checking the UDTF row-expansion path itself
+    (Python slicing counts code points, exactly like ANSI ``substring``).
+
+    Scale: a UDTF streams per-row through a Python worker like any Python
+    UDF — fine here because chunking is run once per corpus ingest, and the
+    expansion is map-only (no shuffle; pushdown still reaches the scan).
+    The 512-chunk oracle cap covers any fixture document (~100 KB); the
+    UDTF itself is unbounded."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="chunk_idx int, chunk string")
+    class ChunkText:
+        def eval(self, text: str):  # noqa: ANN001 - UDTF protocol
+            if text is None:
+                return
+            w = _CHUNK_WIDTH
+            for i in range((len(text) + w - 1) // w):
+                yield i, text[i * w : (i + 1) * w]
+
+    spark.udtf.register("chunk_text_udtf", ChunkText)
+    load(spark, sf_dir, "documents").createOrReplaceTempView("udtf_chunk_docs_v")
+    return spark.sql(
+        """
+        SELECT doc_id, c.chunk_idx, c.chunk
+        FROM udtf_chunk_docs_v, LATERAL chunk_text_udtf(text) AS c
+        ORDER BY doc_id, chunk_idx
+        """
+    )

@@ -69,6 +69,9 @@ _PRIORITY: tuple[str, ...] = (
     # the one query with zero external signal (VERDICT r3 item 1)
     "window_gaps_islands",
     # new in round 4 — no external row yet
+    "similarity_kmeans_train",
+    "udtf_chunk_text",
+    "fn_variant_json",
     "agg_corr_cov",
     "agg_histogram",
     "agg_heavy_hitter_tokens",

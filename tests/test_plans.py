@@ -452,3 +452,38 @@ def test_prefix_sum_rewrites_stay_jvm_side(spark, name):
     assert "EvalPython" not in plan
     assert "CartesianProduct" not in plan
     assert "lambdafunction" not in plan.lower()
+
+
+def test_kmeans_assignment_is_map_only(spark):
+    """similarity_kmeans_train's assignment pass embeds the K centroids as
+    literals (the MLlib collect-and-broadcast pattern), so the plan must
+    contain NO join of any kind and no interpreted array lambdas — one
+    codegen'd projection + the 8-group centroid/statistics aggregate."""
+    plan = _plan(spark, "similarity_kmeans_train")
+    for node in (
+        "Join",          # matches every join flavor incl. BroadcastNestedLoop
+        "CartesianProduct",
+        "EvalPython",
+    ):
+        assert node not in plan, node
+    assert "lambdafunction" not in plan.lower()
+    assert plan.count("HashAggregate") >= 2  # map-side combine on the stats
+
+
+def test_udtf_chunk_is_single_pass_no_shuffle(spark):
+    """The UDTF chunk expansion is map-only: exactly one Python boundary
+    (the UDTF evaluation itself), no join for the LATERAL correlation with
+    a table function, and no shuffle other than the final presentation
+    sort."""
+    plan = _plan(spark, "udtf_chunk_text")
+    assert "PythonUDTF" in plan or "UDTF" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+def test_variant_extraction_stays_jvm_side(spark):
+    """VARIANT parse + typed extraction is codegen'd JVM work — no Python
+    boundary anywhere in the plan."""
+    plan = _plan(spark, "fn_variant_json")
+    assert "EvalPython" not in plan
+    assert "variant_get" in plan.lower()
