@@ -72,6 +72,11 @@ _PRIORITY: tuple[str, ...] = (
     "similarity_kmeans_train",
     "udtf_chunk_text",
     "fn_variant_json",
+    "sql_recursive_cte",
+    "fn_sql_udf",
+    "fn_sql_table_udf",
+    "fn_session_variables",
+    "sql_scripting_block",
     "agg_corr_cov",
     "agg_histogram",
     "agg_heavy_hitter_tokens",
@@ -187,6 +192,7 @@ def _ensure_loaded() -> None:
     if _LOADED:
         return
     from bfs_etl_sep2025_spark.operators import (  # noqa: F401
+        sqlfeatures,
         graph,
         quality,
         stats,

@@ -487,3 +487,22 @@ def test_variant_extraction_stays_jvm_side(spark):
     plan = _plan(spark, "fn_variant_json")
     assert "EvalPython" not in plan
     assert "variant_get" in plan.lower()
+
+
+@pytest.mark.parametrize("name", ["fn_sql_udf", "fn_sql_table_udf"])
+def test_sql_udfs_inline_into_caller(spark, name):
+    """SQL-defined functions must inline at analysis time: no Python
+    boundary, no function-call node — just codegen'd expressions (scalar)
+    or an explode subplan (table function)."""
+    plan = _plan(spark, name)
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_recursive_cte_step_joins_cached_edges(spark):
+    """The recursive step must consume the materialized edge view (an
+    InMemoryTableScan under the loop), not re-derive the quadratic
+    pair-generation subtree each level."""
+    plan = _plan(spark, "sql_recursive_cte")
+    assert "UnionLoop" in plan
+    assert "InMemoryRelation" in plan or "InMemoryTableScan" in plan
