@@ -192,6 +192,87 @@ _IFF = re.compile(r"(?i)\bIFF\s*\(")
 _DATETIME_TYPE = re.compile(r"(?i)(\s)datetime\b")
 _PYFORMAT = re.compile(r"%\((\w+)\)s")
 
+# -- Snowflake SQL UDFs and session variables (Spark 4 native twins) --------
+
+#: CREATE [OR REPLACE] FUNCTION f(args) RETURNS t [LANGUAGE SQL] AS
+#: '<expr>' | $$<expr>$$  -> Spark's CREATE TEMPORARY FUNCTION ... RETURN.
+#: The lazy args group stops at the FIRST ')' followed by RETURNS, so
+#: parenthesized arg types (NUMBER(10,2)) parse correctly.
+_SNOW_CREATE_FUNC = re.compile(
+    r"(?is)^\s*CREATE\s+(?:OR\s+REPLACE\s+)?FUNCTION\s+(?P<name>[\w.]+)\s*"
+    r"\((?P<args>.*?)\)\s*RETURNS\s+(?P<rtype>\w+(?:\s*\(\s*[\d\s,]*\s*\))?)\s*"
+    r"(?:LANGUAGE\s+SQL\s+)?AS\s+(?P<body>'(?:[^']|'')*'|\$\$.*?\$\$)\s*;?\s*$"
+)
+#: Snowflake ``SET name = expr`` (session variable). Negative lookahead
+#: keeps Spark's own SET VAR / SET VARIABLE spelling untouched; requiring a
+#: bare identifier (no dots) keeps ``SET spark.conf.key=...`` untouched.
+_SNOW_SET_VAR = re.compile(
+    r"(?is)^\s*SET\s+(?!VAR\b|VARIABLE\b)(?P<name>[A-Za-z_]\w*)\s*=\s*"
+    r"(?P<expr>.+?)\s*;?\s*$"
+)
+_SNOW_UNSET_VAR = re.compile(r"(?is)^\s*UNSET\s+(?P<name>[A-Za-z_]\w*)\s*;?\s*$")
+#: ``$name`` variable references (Snowflake) -> bare name (Spark).
+_DOLLAR_VAR = re.compile(r"\$([A-Za-z_]\w*)")
+
+
+def _snow_type(t: str) -> str:
+    """Snowflake type spelling -> Spark type, for UDF signatures only (a
+    table DDL's VARCHAR(250) etc. is already valid Spark and untouched).
+    Snowflake FLOAT is a double; NUMBER defaults to (38,0); string types
+    are unbounded in Spark so lengths drop."""
+    m = re.match(r"(?is)^\s*(\w+)\s*(?:\(\s*([\d\s,]*)\s*\))?\s*$", t)
+    if not m:
+        return t.strip()
+    base, args = m.group(1).upper(), m.group(2)
+    if base == "NUMBER":
+        return f"DECIMAL({args})" if args else "DECIMAL(38,0)"
+    if base in ("FLOAT", "FLOAT4", "FLOAT8", "REAL", "DOUBLE"):
+        return "DOUBLE"
+    if base in ("VARCHAR", "CHAR", "TEXT", "STRING"):
+        return "STRING"
+    if base in ("DATETIME", "TIMESTAMP"):
+        return "TIMESTAMP_NTZ"
+    if base in ("INT", "INTEGER"):
+        return "INT"
+    return t.strip()
+
+
+def _translate_create_function(stmt: str) -> str | None:
+    """Rewrite a Snowflake SQL-UDF DDL (string/``$$`` body) into Spark 4's
+    ``CREATE OR REPLACE TEMPORARY FUNCTION ... RETURN <body>`` form, or
+    return None when ``stmt`` is not that shape (Spark's native RETURN form
+    passes through the shim untouched). SQL UDFs inline into calling plans
+    at analysis time, so the translated function costs nothing vs writing
+    the expression inline — the right target for Snowflake's most common
+    CREATE FUNCTION usage. Bodies are assumed SQL (the reference's
+    warehouse defaults LANGUAGE SQL); JavaScript/Java bodies would need a
+    LANGUAGE guard here if they ever appear."""
+    m = _SNOW_CREATE_FUNC.match(stmt)
+    if not m:
+        return None
+    from bfs_etl_sep2025_spark.plans.merge import _split_top_level
+
+    args_sql = []
+    raw_args = m.group("args").strip()
+    if raw_args:
+        for arg in _split_top_level(raw_args):
+            parts = arg.strip().split(None, 1)
+            if len(parts) != 2:
+                raise ValueError(
+                    f"unsupported function argument {arg!r} (want 'name TYPE')"
+                )
+            args_sql.append(f"{parts[0]} {_snow_type(parts[1])}")
+    body = m.group("body")
+    if body.startswith("'"):
+        body = body[1:-1].replace("''", "'")
+    else:  # $$ ... $$
+        body = body[2:-2]
+    return (
+        f"CREATE OR REPLACE TEMPORARY FUNCTION {m.group('name')}"
+        f"({', '.join(args_sql)}) RETURNS {_snow_type(m.group('rtype'))} "
+        f"RETURN {body.strip()}"
+    )
+
 
 def sql_literal(value: Any) -> str:
     if value is None:
@@ -240,6 +321,12 @@ class SqlTask(Task):
     def _translate(self, stmt: str, ctx: RunContext) -> list[str]:
         """Snowflake spelling -> Spark SQL, one input statement -> 1-2
         executable statements."""
+        # Snowflake SQL-UDF DDL first, so the extracted body then flows
+        # through the keyword substitutions below (IFF/sysdate inside a
+        # function body translate like anywhere else).
+        fn_ddl = _translate_create_function(stmt)
+        if fn_ddl is not None:
+            stmt = fn_ddl
         # All keyword substitutions are quote-aware (sub_unquoted): a
         # dialect spelling inside a string literal is data, not syntax.
         out = sub_unquoted(
@@ -259,6 +346,37 @@ class SqlTask(Task):
         # Snowflake IFF(cond, a, b) -> Spark IF (same ternary semantics;
         # listagg/split_part/nvl need no mapping — Spark 4 has them).
         out = sub_unquoted(_IFF, "IF(", out)
+        # Snowflake session variables: $name refs -> bare names (quote-aware
+        # — a '$v' inside a string literal is data); SET name = expr ->
+        # DECLARE OR REPLACE VARIABLE (Spark 4). DECLARE's DEFAULT cannot
+        # hold a subquery, so a query-valued SET fails loudly rather than
+        # silently mis-typing — spell those as native DECLARE + SET VAR.
+        out = sub_unquoted(_DOLLAR_VAR, r"\1", out)
+        m_unset = _SNOW_UNSET_VAR.match(out)
+        if m_unset:
+            return [
+                f"DROP TEMPORARY VARIABLE IF EXISTS {m_unset.group('name')}"
+            ]
+        m_set = _SNOW_SET_VAR.match(out)
+        if m_set:
+            if re.search(r"(?i)\bSELECT\b", m_set.group("expr")):
+                raise ValueError(
+                    f"sql task {self.task_id!r}: SET {m_set.group('name')} "
+                    "from a subquery is unsupported by the shim (Spark "
+                    "DECLARE DEFAULT takes no subquery); use DECLARE "
+                    "VARIABLE <name> <type> plus SET VAR <name> = (SELECT "
+                    "...) instead"
+                )
+            expr = m_set.group("expr").strip()
+            if expr.startswith("("):
+                # 'DEFAULT (expr)' parses the parenthesis as a TYPE clause
+                # ("data type DEFAULT(...)"); a CASE wrapper keeps the value
+                # and inferred type while starting with a keyword.
+                expr = f"CASE WHEN TRUE THEN {expr} END"
+            return [
+                f"DECLARE OR REPLACE VARIABLE {m_set.group('name')} "
+                f"DEFAULT {expr}"
+            ]
         # Snowflake QUALIFY (reachable through the reference's arbitrary-SQL
         # pass-through) -> window+filter rewrite; no-op without QUALIFY.
         out = rewrite_qualify(out)

@@ -1,0 +1,157 @@
+"""Dialect shim: Snowflake SQL-UDF DDL and session variables translate onto
+their native Spark 4 twins (CREATE TEMPORARY FUNCTION ... RETURN, DECLARE /
+SET VAR, $name references) and execute end-to-end through SqlTask."""
+
+from __future__ import annotations
+
+from datetime import date, datetime
+
+import pytest
+
+from bfs_etl_sep2025_spark.plans import Pipeline, SqlTask
+from bfs_etl_sep2025_spark.plans.tasks import (
+    RunContext,
+    _snow_type,
+    _translate_create_function,
+)
+
+FROZEN = datetime(2024, 3, 1, 12, 0, 0)
+
+
+def _run(spark, sql, task_id="t"):
+    with Pipeline(
+        "dialect_funcs",
+        schedule="@daily",
+        start_date=date(2024, 3, 1),
+        clock=lambda: FROZEN,
+    ) as p:
+        task = SqlTask(task_id, sql=sql)
+    p.run(spark, run_date=datetime(2024, 3, 1))
+    return task
+
+
+# -- pure translation ---------------------------------------------------------
+
+
+def test_snowflake_types_map():
+    assert _snow_type("NUMBER") == "DECIMAL(38,0)"
+    assert _snow_type("NUMBER(10,2)") == "DECIMAL(10,2)"
+    assert _snow_type("FLOAT") == "DOUBLE"
+    assert _snow_type("VARCHAR(250)") == "STRING"
+    assert _snow_type("datetime") == "TIMESTAMP_NTZ"
+    assert _snow_type("BOOLEAN") == "BOOLEAN"
+
+
+def test_create_function_string_body_translates():
+    out = _translate_create_function(
+        "CREATE OR REPLACE FUNCTION area(r FLOAT) RETURNS FLOAT AS "
+        "'pi() * r * r'"
+    )
+    assert out == (
+        "CREATE OR REPLACE TEMPORARY FUNCTION area(r DOUBLE) "
+        "RETURNS DOUBLE RETURN pi() * r * r"
+    )
+
+
+def test_create_function_unescapes_quoted_quotes():
+    out = _translate_create_function(
+        "CREATE FUNCTION lbl(x NUMBER) RETURNS VARCHAR AS "
+        "'concat(''id-'', x)'"
+    )
+    assert "RETURN concat('id-', x)" in out
+
+
+def test_create_function_dollar_body_translates():
+    out = _translate_create_function(
+        "CREATE FUNCTION f(a NUMBER(10,2), b NUMBER(10,2)) RETURNS "
+        "NUMBER(10,2) AS $$ a + b $$"
+    )
+    assert out == (
+        "CREATE OR REPLACE TEMPORARY FUNCTION f(a DECIMAL(10,2), "
+        "b DECIMAL(10,2)) RETURNS DECIMAL(10,2) RETURN a + b"
+    )
+
+
+def test_native_spark_return_form_passes_through():
+    assert (
+        _translate_create_function(
+            "CREATE FUNCTION g(x INT) RETURNS INT RETURN x + 1"
+        )
+        is None
+    )
+
+
+# -- end-to-end through SqlTask ----------------------------------------------
+
+
+def test_sql_udf_ddl_executes_and_inlines(spark):
+    t = _run(
+        spark,
+        [
+            "CREATE OR REPLACE FUNCTION sf_area(r FLOAT) RETURNS FLOAT AS "
+            "'3.0 * r * r'",
+            "CREATE OR REPLACE TABLE dialect_udf_out AS "
+            "SELECT sf_area(2.0) AS a",
+        ],
+    )
+    assert any("TEMPORARY FUNCTION sf_area" in s for s in t.executed)
+    assert spark.table("dialect_udf_out").collect()[0].a == 12.0
+
+
+def test_iff_translates_inside_function_body(spark):
+    _run(
+        spark,
+        [
+            "CREATE OR REPLACE FUNCTION sf_sign(x NUMBER) RETURNS VARCHAR "
+            "AS 'IFF(x >= 0, ''pos'', ''neg'')'",
+            "CREATE OR REPLACE TABLE dialect_iff_out AS "
+            "SELECT sf_sign(-3) AS s",
+        ],
+    )
+    assert spark.table("dialect_iff_out").collect()[0].s == "neg"
+
+
+def test_session_variable_set_and_reference(spark):
+    t = _run(
+        spark,
+        [
+            "SET unit_price = 2.5",
+            "CREATE OR REPLACE TABLE dialect_var_out AS "
+            "SELECT $unit_price * 4 AS total",
+        ],
+    )
+    assert any("DECLARE OR REPLACE VARIABLE unit_price" in s for s in t.executed)
+    assert spark.table("dialect_var_out").collect()[0].total == 10.0
+
+
+def test_dollar_ref_inside_string_literal_is_data(spark):
+    _run(
+        spark,
+        [
+            "SET who = 'ops'",
+            "CREATE OR REPLACE TABLE dialect_lit_out AS "
+            "SELECT '$who' AS raw, $who AS resolved",
+        ],
+    )
+    row = spark.table("dialect_lit_out").collect()[0]
+    assert row.raw == "$who"
+    assert row.resolved == "ops"
+
+
+def test_unset_drops_variable(spark):
+    _run(spark, ["SET tmpv = 1", "UNSET tmpv"])
+    with pytest.raises(Exception, match="(?i)variable|resolve|cannot"):
+        spark.sql("SELECT tmpv").collect()
+
+
+def test_subquery_set_refuses_loudly(spark):
+    with pytest.raises(ValueError, match="subquery is unsupported"):
+        _run(spark, "SET cutoff = (SELECT max(id) FROM range(10))")
+
+
+def test_spark_conf_set_untouched():
+    """A dotted conf key must not be mistaken for a session variable."""
+    from bfs_etl_sep2025_spark.plans.tasks import _SNOW_SET_VAR
+
+    assert _SNOW_SET_VAR.match("SET spark.sql.shuffle.partitions=8") is None
+    assert _SNOW_SET_VAR.match("SET VAR x = 1") is None
