@@ -923,3 +923,58 @@ def similarity_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_id")
     )
+
+
+# -- random-projection dimensionality reduction ------------------------------
+
+#: 16 deterministic ±1 hyperplanes (md5-derived, disjoint from the LSH
+#: tables' plane indices) — a signed random projection R^64 -> R^16.
+RP_PLANES = _plane_signs(start=100) + _plane_signs(start=108)
+
+
+@query(
+    "embedding_random_projection",
+    family="similarity",
+    oracle=f"""
+        SELECT vec_id,
+               {_sql_dot('embedding', _sql_plane_literal(RP_PLANES[0]) + '::DOUBLE[]')} AS p1,
+               {_sql_dot('embedding', _sql_plane_literal(RP_PLANES[5]) + '::DOUBLE[]')} AS p6,
+               {_sql_dot('embedding', _sql_plane_literal(RP_PLANES[10]) + '::DOUBLE[]')} AS p11,
+               {_sql_dot('embedding', _sql_plane_literal(RP_PLANES[15]) + '::DOUBLE[]')} AS p16,
+               {" + ".join(
+                   "(" + _sql_dot('embedding', _sql_plane_literal(p) + '::DOUBLE[]') + ")"
+                   + " * "
+                   + "(" + _sql_dot('embedding', _sql_plane_literal(p) + '::DOUBLE[]') + ")"
+                   for p in RP_PLANES
+               )} AS sq_norm
+        FROM embeddings
+        ORDER BY vec_id
+    """,
+)
+def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signed random projection (Achlioptas-style ±1 matrix) reducing the
+    64-dim embeddings to 16 dims — the cheap Johnson-Lindenstrauss step a
+    pipeline runs before clustering or coarse ANN when the stored dimension
+    is higher than the index needs. The projection matrix is derived from
+    md5 at import time (deterministic, identical literals both engines — the
+    same construction as the LSH hyperplanes above, disjoint plane indices).
+
+    Emitted: four representative projected components plus the full
+    16-dim squared norm (the quantity JL preserves in expectation) — scalar
+    columns rather than a 16-wide alias projection (module rule: wide alias
+    fan-outs explode Catalyst constraint propagation) and rather than an
+    array (cross-engine array rendering is not hash-stable).
+
+    Scale: map-only, zero shuffles, one codegen'd projection per row; at
+    100 TB this runs at scan speed with full pushdown intact."""
+    e = widen(load(spark, sf_dir, "embeddings"))
+    dots = [f"({_plane_dot_sql('embedding', p)})" for p in RP_PLANES]
+    sq_norm = " + ".join(f"({d} * {d})" for d in dots)
+    return e.select(
+        "vec_id",
+        F.expr(dots[0]).alias("p1"),
+        F.expr(dots[5]).alias("p6"),
+        F.expr(dots[10]).alias("p11"),
+        F.expr(dots[15]).alias("p16"),
+        F.expr(sq_norm).alias("sq_norm"),
+    ).orderBy("vec_id")

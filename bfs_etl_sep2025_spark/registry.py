@@ -77,6 +77,7 @@ _PRIORITY: tuple[str, ...] = (
     "fn_sql_table_udf",
     "fn_session_variables",
     "sql_scripting_block",
+    "embedding_random_projection",
     "agg_corr_cov",
     "agg_histogram",
     "agg_heavy_hitter_tokens",

@@ -506,3 +506,13 @@ def test_recursive_cte_step_joins_cached_edges(spark):
     plan = _plan(spark, "sql_recursive_cte")
     assert "UnionLoop" in plan
     assert "InMemoryRelation" in plan or "InMemoryTableScan" in plan
+
+
+def test_random_projection_is_map_only_codegen(spark):
+    """embedding_random_projection must be a single codegen'd projection:
+    no joins, no shuffles beyond the presentation sort, no lambdas, no
+    Python."""
+    plan = _plan(spark, "embedding_random_projection")
+    assert "Join" not in plan
+    assert "EvalPython" not in plan
+    assert "lambdafunction" not in plan.lower()
