@@ -78,6 +78,8 @@ _PRIORITY: tuple[str, ...] = (
     "fn_session_variables",
     "sql_scripting_block",
     "embedding_random_projection",
+    "multimodal_decode_image",
+    "multimodal_decode_audio",
     "agg_corr_cov",
     "agg_histogram",
     "agg_heavy_hitter_tokens",

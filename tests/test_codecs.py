@@ -1,0 +1,70 @@
+"""Pure-Python uncompressed codecs (operators/multimodal.py): real P6-PPM
+and RIFF/WAVE parsers — round trips, spec tolerances (comments, extra
+chunks), and loud failures on malformed input."""
+
+from __future__ import annotations
+
+import struct
+
+import pytest
+
+from bfs_etl_sep2025_spark.operators.multimodal import (
+    decode_image,
+    decode_ppm,
+    decode_wav_pcm16,
+    encode_ppm,
+    encode_wav_pcm16,
+)
+
+
+def test_ppm_round_trip():
+    px = bytes((i * 7) % 256 for i in range(192))
+    assert decode_ppm(encode_ppm(px)) == (8, 8, px)
+
+
+def test_ppm_with_comment_line():
+    px = bytes(192)
+    payload = b"P6\n# made by a real tool\n8 8\n255\n" + px
+    assert decode_ppm(payload) == (8, 8, px)
+
+
+def test_ppm_rejects_wrong_magic_and_truncation():
+    with pytest.raises(ValueError, match="not a P6"):
+        decode_ppm(b"P5\n8 8\n255\n" + bytes(64))
+    with pytest.raises(ValueError, match="truncated"):
+        decode_ppm(b"P6\n8 8\n255\n" + bytes(10))
+
+
+def test_decode_image_routes_ppm():
+    px = bytes(range(192))
+    assert decode_image(encode_ppm(px))[2] == px
+
+
+def test_decode_image_stubs_compressed():
+    with pytest.raises(NotImplementedError, match="STUB"):
+        decode_image(b"\x89PNG\r\n\x1a\n")
+
+
+def test_wav_round_trip():
+    s = [(-32768 + 1024 * i) for i in range(64)]
+    assert decode_wav_pcm16(encode_wav_pcm16(s)) == (16000, 1, s)
+
+
+def test_wav_tolerates_extra_chunk():
+    """Real WAV files carry LIST/INFO chunks; the chunk walker must skip
+    them (including the odd-size word-alignment pad)."""
+    s = [100, -100, 0]
+    payload = encode_wav_pcm16(s)
+    extra = b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"  # padded
+    patched = payload[:12] + extra + payload[12:]
+    patched = b"RIFF" + struct.pack("<I", len(patched) - 8) + patched[8:]
+    assert decode_wav_pcm16(patched) == (16000, 1, s)
+
+
+def test_wav_rejects_non_riff_and_non_pcm():
+    with pytest.raises(ValueError, match="not a RIFF"):
+        decode_wav_pcm16(b"OggS" + bytes(40))
+    bad = bytearray(encode_wav_pcm16([1, 2]))
+    bad[20:22] = struct.pack("<H", 3)  # fmt tag 3 = IEEE float
+    with pytest.raises(ValueError, match="not PCM"):
+        decode_wav_pcm16(bytes(bad))
