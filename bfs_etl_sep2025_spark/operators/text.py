@@ -672,3 +672,94 @@ def text_zipf_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("zipf_rank") <= 30)
         .orderBy("zipf_rank")
     )
+
+
+# -- PII scrubbing -----------------------------------------------------------
+
+#: Same regex subset in Java (Spark) and RE2 (DuckDB): character classes,
+#: bounded repetition, \b word boundaries — no lookaround, no backrefs.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE = r"\b\d{3}-\d{3}-\d{4}\b"
+
+#: deterministic PII augmentation (identical SQL on both engines): the
+#: fixture corpus is synthetic word soup with no real PII, so each doc gets
+#: a derived email / IPv4 / phone appended — making the detectors and
+#: redaction actually fire, row-distinctly, while staying oracle-exact.
+_PII_AUG = (
+    "concat(text, ' contact user', CAST(doc_id AS STRING), "
+    "'@mail.example.com or 10.0.', CAST(doc_id % 256 AS STRING), "
+    "'.7 call 555-01', CAST(doc_id % 10 AS STRING), '-', "
+    "CAST(1000 + doc_id % 9000 AS STRING), ' now')"
+)
+
+
+@query(
+    "text_pii_redact",
+    family="text",
+    oracle=f"""
+        WITH aug AS (
+          SELECT doc_id,
+                 concat(text, ' contact user', CAST(doc_id AS VARCHAR),
+                        '@mail.example.com or 10.0.',
+                        CAST(doc_id % 256 AS VARCHAR), '.7 call 555-01',
+                        CAST(doc_id % 10 AS VARCHAR), '-',
+                        CAST(1000 + doc_id % 9000 AS VARCHAR), ' now') AS t
+          FROM documents
+        )
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(t, '{PII_EMAIL}')) AS INT)
+                 AS n_emails,
+               CAST(len(regexp_extract_all(t, '{PII_IPV4}')) AS INT)
+                 AS n_ips,
+               CAST(len(regexp_extract_all(t, '{PII_PHONE}')) AS INT)
+                 AS n_phones,
+               md5(regexp_replace(regexp_replace(regexp_replace(
+                   t, '{PII_EMAIL}', '<EMAIL>', 'g'),
+                      '{PII_IPV4}', '<IP>', 'g'),
+                      '{PII_PHONE}', '<PHONE>', 'g')) AS redacted_md5,
+               length(regexp_replace(regexp_replace(regexp_replace(
+                   t, '{PII_EMAIL}', '<EMAIL>', 'g'),
+                      '{PII_IPV4}', '<IP>', 'g'),
+                      '{PII_PHONE}', '<PHONE>', 'g')) AS redacted_len
+        FROM aug
+        ORDER BY doc_id
+    """,
+)
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction — the scrubbing pass every web-scale
+    training corpus runs (emails, IPv4 addresses, phone numbers replaced
+    with typed placeholders). Detection counts and the redacted text's
+    md5/length are all oracle-checked, so the regex ENGINES themselves are
+    cross-validated: the patterns use only the Java-regex/RE2 common subset
+    (classes, bounded repetition, \\b) — no lookaround, which RE2 lacks.
+
+    The fixture corpus carries no organic PII, so a deterministic derived
+    email/IP/phone is appended per doc (identical concat in both engines)
+    — every row exercises every detector with row-distinct matches.
+
+    Scale: map-only codegen'd regexp work at scan speed; at 100 TB this is
+    one pass fused with whatever other per-doc scoring runs (no shuffle,
+    no Python)."""
+    d = widen(load(spark, sf_dir, "documents"))
+    aug = d.select("doc_id", F.expr(_PII_AUG).alias("t"))
+    # Spark SQL string literals process backslash escapes ('\d' -> 'd'), so
+    # regex backslashes double when embedded in F.expr; DuckDB strings are
+    # standard-SQL raw and take the pattern verbatim.
+    email, ipv4, phone = (
+        p.replace("\\", "\\\\") for p in (PII_EMAIL, PII_IPV4, PII_PHONE)
+    )
+    redacted = F.expr(
+        f"regexp_replace(regexp_replace(regexp_replace("
+        f"t, '{email}', '<EMAIL>'), "
+        f"'{ipv4}', '<IP>'), "
+        f"'{phone}', '<PHONE>')"
+    )
+    return aug.select(
+        "doc_id",
+        F.expr(f"CAST(regexp_count(t, '{email}') AS INT)").alias("n_emails"),
+        F.expr(f"CAST(regexp_count(t, '{ipv4}') AS INT)").alias("n_ips"),
+        F.expr(f"CAST(regexp_count(t, '{phone}') AS INT)").alias("n_phones"),
+        F.md5(redacted).alias("redacted_md5"),
+        F.length(redacted).alias("redacted_len"),
+    ).orderBy("doc_id")

@@ -80,6 +80,7 @@ _PRIORITY: tuple[str, ...] = (
     "embedding_random_projection",
     "multimodal_decode_image",
     "multimodal_decode_audio",
+    "text_pii_redact",
     "agg_corr_cov",
     "agg_histogram",
     "agg_heavy_hitter_tokens",

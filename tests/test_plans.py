@@ -516,3 +516,12 @@ def test_random_projection_is_map_only_codegen(spark):
     assert "Join" not in plan
     assert "EvalPython" not in plan
     assert "lambdafunction" not in plan.lower()
+
+
+def test_pii_redact_is_codegen_single_pass(spark):
+    """PII scrubbing must stay a map-only codegen'd regexp pass — no
+    lambdas, no Python, no join."""
+    plan = _plan(spark, "text_pii_redact")
+    assert "Join" not in plan
+    assert "EvalPython" not in plan
+    assert "lambdafunction" not in plan.lower()
