@@ -213,6 +213,16 @@ _SNOW_SET_VAR = re.compile(
 _SNOW_UNSET_VAR = re.compile(r"(?is)^\s*UNSET\s+(?P<name>[A-Za-z_]\w*)\s*;?\s*$")
 #: ``$name`` variable references (Snowflake) -> bare name (Spark).
 _DOLLAR_VAR = re.compile(r"\$([A-Za-z_]\w*)")
+#: Snowflake colon path extraction on VARIANT columns: ``col:a.b[0].c`` ->
+#: ``variant_get(col, '$.a.b[0].c')`` (2-arg form: stays VARIANT, like
+#: Snowflake's GET_PATH). Guards: the left side is a bare identifier, the
+#: colon is single (``::`` casts untouched), and the path starts with a
+#: letter (so time literals like 12:30 never match — they are also inside
+#: quotes, which sub_unquoted already protects).
+_COLON_PATH = re.compile(
+    r"(?<![:\w.])([A-Za-z_]\w*):(?!:)"
+    r"([A-Za-z_]\w*(?:\[\d+\])?(?:\.[A-Za-z_]\w*(?:\[\d+\])?)*)"
+)
 
 
 def _snow_type(t: str) -> str:
@@ -352,6 +362,8 @@ class SqlTask(Task):
         # hold a subquery, so a query-valued SET fails loudly rather than
         # silently mis-typing — spell those as native DECLARE + SET VAR.
         out = sub_unquoted(_DOLLAR_VAR, r"\1", out)
+        # Snowflake VARIANT colon-path (col:a.b) -> variant_get(col, '$.a.b')
+        out = sub_unquoted(_COLON_PATH, r"variant_get(\1, '$.\2')", out)
         m_unset = _SNOW_UNSET_VAR.match(out)
         if m_unset:
             return [

@@ -155,3 +155,93 @@ def test_spark_conf_set_untouched():
 
     assert _SNOW_SET_VAR.match("SET spark.sql.shuffle.partitions=8") is None
     assert _SNOW_SET_VAR.match("SET VAR x = 1") is None
+
+
+# -- property tests -----------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_IDENT = st.from_regex(r"[A-Za-z_][A-Za-z0-9_]{0,20}", fullmatch=True)
+_SNOW_TYPES = st.sampled_from(
+    ["NUMBER", "NUMBER(10,2)", "FLOAT", "VARCHAR", "VARCHAR(250)", "INT",
+     "BOOLEAN", "datetime"]
+)
+# expression text without quotes/backslashes — quoting is exercised by the
+# dedicated '' test; parens allowed (NUMBER(10,2) args must not split)
+_EXPR = st.from_regex(r"[A-Za-z0-9_+\-*/%(), .]{1,40}", fullmatch=True)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    name=_IDENT,
+    args=st.lists(st.tuples(_IDENT, _SNOW_TYPES), max_size=4),
+    rtype=_SNOW_TYPES,
+    body=_EXPR,
+    dollar=st.booleans(),
+)
+def test_create_function_translation_shape(name, args, rtype, body, dollar):
+    """Any well-formed Snowflake SQL-UDF DDL translates to exactly one
+    Spark CREATE TEMPORARY FUNCTION with every arg type mapped and the body
+    carried verbatim (modulo quote unescaping)."""
+    arg_sql = ", ".join(f"{n} {t}" for n, t in args)
+    wrapped = f"$$ {body} $$" if dollar else "'" + body.replace("'", "''") + "'"
+    stmt = (
+        f"CREATE OR REPLACE FUNCTION {name}({arg_sql}) "
+        f"RETURNS {rtype} AS {wrapped}"
+    )
+    out = _translate_create_function(stmt)
+    assert out is not None
+    assert out.startswith(f"CREATE OR REPLACE TEMPORARY FUNCTION {name}(")
+    assert f"RETURNS {_snow_type(rtype)} RETURN" in out
+    assert body.strip() in out
+    for n, t in args:
+        assert f"{n} {_snow_type(t)}" in out
+    # no Snowflake spellings survive in the signature
+    head = out.split(" RETURN ", 1)[0]
+    assert "NUMBER" not in head and "VARCHAR" not in head
+
+
+@settings(max_examples=100, deadline=None)
+@given(body=st.text(alphabet="abc xy'z+-1", min_size=1, max_size=30))
+def test_create_function_quote_unescape_roundtrip(body):
+    """String-literal bodies with any mix of embedded quotes unescape to
+    exactly the original body."""
+    escaped = body.replace("'", "''")
+    out = _translate_create_function(
+        f"CREATE FUNCTION q(x INT) RETURNS INT AS '{escaped}'"
+    )
+    assert out is not None
+    assert out.endswith(f"RETURN {body.strip()}")
+
+
+# -- VARIANT colon-path -------------------------------------------------------
+
+
+def test_colon_path_regex_translation():
+    from bfs_etl_sep2025_spark.plans.qualify import sub_unquoted
+    from bfs_etl_sep2025_spark.plans.tasks import _COLON_PATH
+
+    sub = lambda s: sub_unquoted(_COLON_PATH, r"variant_get(\1, '$.\2')", s)  # noqa: E731
+    assert sub("SELECT v:a.b FROM t") == "SELECT variant_get(v, '$.a.b') FROM t"
+    assert sub("v:arr[1].x") == "variant_get(v, '$.arr[1].x')"
+    # casts, quoted strings, and times never match
+    assert sub("CAST(x AS INT)::STRING") == "CAST(x AS INT)::STRING"
+    assert sub("v::INT") == "v::INT"
+    assert sub("SELECT '12:30' AS t, 'a:b' AS s") == "SELECT '12:30' AS t, 'a:b' AS s"
+
+
+def test_colon_path_executes_on_variant(spark):
+    _run(
+        spark,
+        [
+            """CREATE OR REPLACE TABLE colon_src AS
+               SELECT parse_json('{"a": {"b": 7}, "arr": [10, 20]}') AS v""",
+            """CREATE OR REPLACE TABLE colon_out AS
+               SELECT CAST(v:a.b AS INT) AS ab, CAST(v:arr[1] AS INT) AS a1
+               FROM colon_src""",
+        ],
+    )
+    row = spark.table("colon_out").collect()[0]
+    assert row.ab == 7
+    assert row.a1 == 20
