@@ -19,6 +19,16 @@ checkpoint (compacted); state stores are per-key and evicted by watermark —
 unbounded keys need the watermark or state grows forever. maxFilesPerTrigger
 bounds micro-batch size; sinks should be ``foreachBatch`` into a
 transactional table for exactly-once.
+
+API-coverage note: custom stateful processing is provided here through
+``applyInPandasWithState`` (:func:`stream_running_user_totals`). Spark 4's
+successor API ``transformWithStateInPandas`` (typed state variables,
+timers, TTL, RocksDB-backed) was probed in this environment and its Python
+driver worker crashes on import: it requires ``google.protobuf``, which is
+not installed in this container (environment-imposed, like the absent
+Delta/Iceberg jars and compressed-media codecs). The migration is
+mechanical when the dependency exists — the per-key handle/state shape
+below maps 1:1 onto a ``StatefulProcessor.handleInputRows``.
 """
 
 from __future__ import annotations
