@@ -147,6 +147,10 @@ def decode_wav_pcm16(payload: bytes) -> tuple[int, int, list[int]]:
         cid = payload[pos : pos + 4]
         (size,) = struct.unpack_from("<I", payload, pos + 4)
         body = payload[pos + 8 : pos + 8 + size]
+        if len(body) < size:
+            raise ValueError(
+                f"truncated {cid!r} chunk: declared {size}, got {len(body)}"
+            )
         if cid == b"fmt ":
             fmt_tag, channels, rate, _, _, bits = struct.unpack_from(
                 "<HHIIHH", body
@@ -304,7 +308,7 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         WITH px AS (
           SELECT doc_id AS asset_id,
                  list_transform(range(0, {IMG_W * IMG_H * 3}),
-                     i -> ascii(substr(text, (i % length(text)) + 1, 1)))
+                     i -> ascii(substr(md5(text), (i % 32) + 1, 1)))
                    AS pixels
           FROM documents
         )
@@ -321,13 +325,16 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def multimodal_decode_image(spark: SparkSession, sf_dir: str) -> DataFrame:
     """END-TO-END image path with a REAL decoder: synthesize an 8x8 RGB
-    binary-PPM asset per document (pixels = cycled payload bytes —
-    deterministic, oracle-recomputable), then DECODE it back with the
-    pure-stdlib P6 parser (:func:`decode_ppm` — magic + header + raster,
-    raises on malformed input) and pool pixel statistics. Both hops run
-    through Arrow ``mapInPandas``, so what the oracle cross-checks is the
-    full encode -> binary column -> parse -> features pipeline; only
-    COMPRESSED codecs remain stubbed (no codec libs in this container).
+    binary-PPM asset per document (pixels = cycled md5-hex bytes of the
+    document — deterministic, oracle-recomputable, and immune to byte-vs-
+    character divergence: md5 hex is pure ASCII in Spark, DuckDB, and
+    Python alike, and is well-defined even for an empty document), then
+    DECODE it back with the pure-stdlib P6 parser (:func:`decode_ppm` —
+    magic + header + raster, raises on malformed input) and pool pixel
+    statistics. Both hops run through Arrow ``mapInPandas``, so what the
+    oracle cross-checks is the full encode -> binary column -> parse ->
+    features pipeline; only COMPRESSED codecs remain stubbed (no codec
+    libs in this container).
 
     Scale: decode is the Arrow-batched Python boundary a real pipeline has;
     everything before it is columnar binary transport (pruned when unused)."""
@@ -337,8 +344,10 @@ def multimodal_decode_image(spark: SparkSession, sf_dir: str) -> DataFrame:
     def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = pdf[["asset_id"]].copy()
-            out["media"] = pdf["payload"].map(
-                lambda b: encode_ppm(bytes(b[i % len(b)] for i in range(n_px)))
+            out["media"] = pdf["digest"].map(
+                lambda h: encode_ppm(
+                    bytes(ord(h[i % 32]) for i in range(n_px))
+                )
             )
             yield out
 
@@ -359,9 +368,9 @@ def multimodal_decode_image(spark: SparkSession, sf_dir: str) -> DataFrame:
                          "max_px", "min_px"],
             )
 
-    encoded = a.select("asset_id", "payload").mapInPandas(
-        encode, "asset_id long, media binary"
-    )
+    encoded = a.select(
+        "asset_id", F.md5("payload").alias("digest")
+    ).mapInPandas(encode, "asset_id long, media binary")
     return encoded.mapInPandas(
         decode,
         "asset_id long, width int, height int, mean_px double, "
@@ -376,7 +385,7 @@ def multimodal_decode_image(spark: SparkSession, sf_dir: str) -> DataFrame:
         WITH s AS (
           SELECT doc_id AS asset_id,
                  list_transform(range(0, {WAV_SAMPLES}),
-                     i -> (ascii(substr(text, (i % length(text)) + 1, 1))
+                     i -> (ascii(substr(md5(text), (i % 32) + 1, 1))
                            - 128) * 256)
                    AS samples
           FROM documents
@@ -394,19 +403,23 @@ def multimodal_decode_image(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def multimodal_decode_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """END-TO-END audio path with a REAL decoder: synthesize a PCM16 mono
-    RIFF/WAVE asset per document (samples derived from cycled payload
-    bytes), then DECODE it with the stdlib chunk-walking WAV parser
-    (:func:`decode_wav_pcm16`) — the reported sample rate, channel count
-    and frame count come from the parsed header, not from assumptions —
-    and compute signal statistics the oracle recomputes relationally."""
+    RIFF/WAVE asset per document (samples derived from cycled md5-hex
+    bytes — ASCII-safe and total, like the image twin above), then DECODE
+    it with the stdlib chunk-walking WAV parser (:func:`decode_wav_pcm16`)
+    — the reported sample rate, channel count and frame count come from
+    the parsed header, not from assumptions — and compute signal
+    statistics the oracle recomputes relationally."""
     a = media_assets(spark, sf_dir)
 
     def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = pdf[["asset_id"]].copy()
-            out["media"] = pdf["payload"].map(
-                lambda b: encode_wav_pcm16(
-                    [(b[i % len(b)] - 128) * 256 for i in range(WAV_SAMPLES)]
+            out["media"] = pdf["digest"].map(
+                lambda h: encode_wav_pcm16(
+                    [
+                        (ord(h[i % 32]) - 128) * 256
+                        for i in range(WAV_SAMPLES)
+                    ]
                 )
             )
             yield out
@@ -428,9 +441,9 @@ def multimodal_decode_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
                          "n_samples", "mean_sample", "peak"],
             )
 
-    encoded = a.select("asset_id", "payload").mapInPandas(
-        encode, "asset_id long, media binary"
-    )
+    encoded = a.select(
+        "asset_id", F.md5("payload").alias("digest")
+    ).mapInPandas(encode, "asset_id long, media binary")
     return encoded.mapInPandas(
         decode,
         "asset_id long, sample_rate int, n_channels int, n_samples int, "

@@ -784,9 +784,21 @@ def _sql_sqdist(a: str, b: str) -> str:
     return _SQL_SQDIST.format(a=a, b=b)
 
 
+#: fixed-point quantum for the centroid update and inertia accumulation.
+#: Why fixed-point and not DECIMAL casts of the raw doubles: float32
+#: elements are COARSE dyadics whose decimal expansions can terminate
+#: exactly one digit past any chosen scale (e.g. 0.1983642578125 has 13
+#: fractional digits), i.e. exact rounding-halfway cases — and Spark
+#: (HALF_UP) and DuckDB (half-even via scaled-double) disagree precisely
+#: there. ``floor(x * 10^k)`` has no halfway case at all: the multiply is
+#: the same correctly-rounded IEEE op in both engines and floor of an
+#: identical double is exact, so the integer sums (order-independent) and
+#: the closing division are bit-identical everywhere.
+_KMEANS_SCALE = 1_000_000
+_INERTIA_SCALE = 1_000_000_000
 _KMEANS_MEANS = ",\n               ".join(
-    f"CAST(sum(CAST((embedding)[{i}]::DOUBLE AS DECIMAL(30,12))) AS DOUBLE)"
-    f" / count(*) AS m{i}"
+    f"CAST(sum(CAST(floor((embedding)[{i}]::DOUBLE * {_KMEANS_SCALE}.0)"
+    f" AS BIGINT)) AS DOUBLE) / (count(*) * {_KMEANS_SCALE}.0) AS m{i}"
     for i in range(1, DIM + 1)
 )
 _KMEANS_CARR = "[" + ", ".join(f"m{i}" for i in range(1, DIM + 1)) + "]"
@@ -858,7 +870,8 @@ def _assign(df: DataFrame, centroids: list[list[float]]) -> DataFrame:
                CAST(count(*) AS BIGINT) AS n_members,
                min(vec_id) AS min_vec_id,
                CAST(sum(vec_id) AS BIGINT) AS sum_vec_id,
-               CAST(sum(CAST(dist AS DECIMAL(30,12))) AS DOUBLE) AS inertia
+               CAST(sum(CAST(floor(dist * {_INERTIA_SCALE}.0) AS BIGINT))
+                    AS DOUBLE) / {_INERTIA_SCALE}.0 AS inertia
         FROM asg2 GROUP BY cid ORDER BY cluster_id
     """,
 )
@@ -874,13 +887,16 @@ def similarity_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     per iteration, the optimal plan.
 
     Cross-engine exactness: seeds are the K lowest-vec_id vectors (no RNG);
-    per-term arithmetic is the same IEEE sequence both sides; centroid
-    means are order-independent DECIMAL(30,12) sums divided as doubles
-    (sum magnitudes stay below 2^53 at scale 12, where decimal->double is
-    exact-then-correctly-rounded in Spark, DuckDB, and Python alike); ties
-    break to the lowest cluster id. The reported inertia (exact decimal sum
-    of within-cluster squared distance) is the convergence metric a real
-    training loop would iterate on."""
+    per-term arithmetic is the same IEEE sequence both sides; the centroid
+    update and the inertia are FIXED-POINT (floor(x*10^k) integer sums —
+    order-independent and, unlike decimal casts of raw float32-derived
+    doubles, free of rounding-halfway cases where Spark's HALF_UP and
+    DuckDB's half-even disagree; see ``_KMEANS_SCALE``); ties break to the
+    lowest cluster id. The integer sums stay far below 2^53 at any tested
+    scale (a 100 TB deployment would widen them to DECIMAL(38,0) — integer
+    decimals convert to double exactly below 2^53 in both engines). The
+    reported inertia (1e-9-quantized within-cluster squared distance) is
+    the convergence metric a real training loop would iterate on."""
     e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     seeds = e.orderBy("vec_id").limit(KMEANS_K).collect()
     cents = [[float(x) for x in r.embedding] for r in seeds]
@@ -892,7 +908,10 @@ def similarity_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n"),
             *[
                 F.sum(
-                    F.expr(_el_sql("embedding", i)).cast("decimal(30,12)")
+                    F.floor(
+                        F.expr(_el_sql("embedding", i))
+                        * F.lit(float(_KMEANS_SCALE))
+                    )
                 ).alias(f"s{i}")
                 for i in range(1, DIM + 1)
             ],
@@ -906,7 +925,10 @@ def similarity_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             "seed vectors — pick distinct seeds"
         )
     cents = [
-        [float(row[f"s{i}"]) / row["n"] for i in range(1, DIM + 1)]
+        [
+            float(row[f"s{i}"]) / (row["n"] * float(_KMEANS_SCALE))
+            for i in range(1, DIM + 1)
+        ]
         for row in sorted(upd, key=lambda r: r["cluster_id"])
     ]
 
@@ -917,9 +939,12 @@ def similarity_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").cast("bigint").alias("n_members"),
             F.min("vec_id").alias("min_vec_id"),
             F.sum("vec_id").cast("bigint").alias("sum_vec_id"),
-            F.sum(F.col("dist").cast("decimal(30,12)"))
-            .cast("double")
-            .alias("inertia"),
+            (
+                F.sum(
+                    F.floor(F.col("dist") * F.lit(float(_INERTIA_SCALE)))
+                ).cast("double")
+                / F.lit(float(_INERTIA_SCALE))
+            ).alias("inertia"),
         )
         .orderBy("cluster_id")
     )

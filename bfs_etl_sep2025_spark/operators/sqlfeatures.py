@@ -36,6 +36,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from bfs_etl_sep2025_spark.operators.graph import _EDGES_CTE, _edges
 from bfs_etl_sep2025_spark.registry import query
+from bfs_etl_sep2025_spark.tables import load
 
 _SYM_AND_REACH = """
 reach(node, depth) AS (
@@ -118,8 +119,6 @@ def fn_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
                        WHEN p >= 20000 THEN 'mid'
                        ELSE 'low' END"""
     )
-    from bfs_etl_sep2025_spark.tables import load
-
     load(spark, sf_dir, "lineitem").createOrReplaceTempView("sqludf_lineitem_v")
     return spark.sql(
         """
@@ -157,8 +156,6 @@ def fn_sql_table_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
            RETURN SELECT i, p / n AS amount
                   FROM (SELECT explode(sequence(1, n)) AS i)"""
     )
-    from bfs_etl_sep2025_spark.tables import load
-
     load(spark, sf_dir, "orders").createOrReplaceTempView("sqltf_orders_v")
     return spark.sql(
         """
@@ -190,8 +187,6 @@ def fn_session_variables(spark: SparkSession, sf_dir: str) -> DataFrame:
     prune-able where a correlated scalar subquery would not be. max()/2 is
     float-exact (one comparison against an exactly-halved double), so the
     oracle's inline subquery form is bitwise the same predicate."""
-    from bfs_etl_sep2025_spark.tables import load
-
     load(spark, sf_dir, "orders").createOrReplaceTempView("sqlvar_orders_v")
     spark.sql("DECLARE OR REPLACE VARIABLE price_cutoff DOUBLE")
     spark.sql(
@@ -229,8 +224,6 @@ def sql_scripting_block(spark: SparkSession, sf_dir: str) -> DataFrame:
     the loop's closed-form value inlined. Control flow iterates over
     SCALARS on the driver; data always moves in whole set-oriented
     statements — the discipline that keeps scripting scale-safe."""
-    from bfs_etl_sep2025_spark.tables import load
-
     spark.conf.set("spark.sql.scripting.enabled", "true")
     load(spark, sf_dir, "orders").createOrReplaceTempView("sqlscript_orders_v")
     return spark.sql(

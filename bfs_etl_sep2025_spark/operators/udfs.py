@@ -229,8 +229,10 @@ def udtf_chunk_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: a UDTF streams per-row through a Python worker like any Python
     UDF — fine here because chunking is run once per corpus ingest, and the
     expansion is map-only (no shuffle; pushdown still reaches the scan).
-    The 512-chunk oracle cap covers any fixture document (~100 KB); the
-    UDTF itself is unbounded."""
+    The oracle's static series is capped at 512 chunks (102,400 chars —
+    ~180x the longest fixture document, which is under 600 chars at every
+    SF); rather than silently diverging past the cap, the UDTF raises on a
+    document that exceeds it, so a fixture-shape change fails loudly."""
     from pyspark.sql.functions import udtf
 
     @udtf(returnType="chunk_idx int, chunk string")
@@ -239,6 +241,12 @@ def udtf_chunk_text(spark: SparkSession, sf_dir: str) -> DataFrame:
             if text is None:
                 return
             w = _CHUNK_WIDTH
+            if len(text) > 512 * w:
+                raise ValueError(
+                    f"document of {len(text)} chars exceeds the 512-chunk "
+                    "oracle cap (raise the range(0, 512) in the oracle "
+                    "alongside this guard)"
+                )
             for i in range((len(text) + w - 1) // w):
                 yield i, text[i * w : (i + 1) * w]
 

@@ -26,7 +26,11 @@ from datetime import datetime
 from pathlib import Path
 from typing import TYPE_CHECKING, Any
 
-from bfs_etl_sep2025_spark.plans.qualify import rewrite_qualify, sub_unquoted
+from bfs_etl_sep2025_spark.plans.qualify import (
+    _unquoted_positions,
+    rewrite_qualify,
+    sub_unquoted,
+)
 from bfs_etl_sep2025_spark.plans.sqlsplit import split_statements
 from bfs_etl_sep2025_spark.plans.templating import build_context, render_any
 
@@ -213,16 +217,47 @@ _SNOW_SET_VAR = re.compile(
 _SNOW_UNSET_VAR = re.compile(r"(?is)^\s*UNSET\s+(?P<name>[A-Za-z_]\w*)\s*;?\s*$")
 #: ``$name`` variable references (Snowflake) -> bare name (Spark).
 _DOLLAR_VAR = re.compile(r"\$([A-Za-z_]\w*)")
-#: Snowflake colon path extraction on VARIANT columns: ``col:a.b[0].c`` ->
-#: ``variant_get(col, '$.a.b[0].c')`` (2-arg form: stays VARIANT, like
-#: Snowflake's GET_PATH). Guards: the left side is a bare identifier, the
-#: colon is single (``::`` casts untouched), and the path starts with a
-#: letter (so time literals like 12:30 never match — they are also inside
-#: quotes, which sub_unquoted already protects).
+#: Snowflake colon path extraction on VARIANT columns: ``col:a.b[0].c`` or
+#: ``alias.col:a.b`` -> ``variant_get(col, '$.a.b[0].c')`` (2-arg form:
+#: stays VARIANT, like Snowflake's GET_PATH). Guards: the left side is a
+#: (possibly qualified) identifier, the colon is single (``::`` casts
+#: untouched), the path starts with a letter (time literals like 12:30
+#: never match — they are also inside quotes, which sub_unquoted already
+#: protects), and matches inside generic TYPE syntax (``STRUCT<a:INT>``,
+#: via :func:`_generic_type_spans`) are skipped.
 _COLON_PATH = re.compile(
-    r"(?<![:\w.])([A-Za-z_]\w*):(?!:)"
+    r"(?<![:\w.])([A-Za-z_]\w*(?:\.[A-Za-z_]\w*)*):(?!:)"
     r"([A-Za-z_]\w*(?:\[\d+\])?(?:\.[A-Za-z_]\w*(?:\[\d+\])?)*)"
 )
+_GENERIC_TYPE_OPEN = re.compile(r"(?i)\b(STRUCT|MAP|ARRAY)\s*<")
+
+
+def _generic_type_spans(text: str) -> list[tuple[int, int]]:
+    """Character spans of generic type syntax (``STRUCT<...>`` etc.,
+    nesting-aware) — colons inside them separate field names from types,
+    not VARIANT paths."""
+    spans = []
+    for m in _GENERIC_TYPE_OPEN.finditer(text):
+        depth, i = 1, m.end()
+        while i < len(text) and depth:
+            if text[i] == "<":
+                depth += 1
+            elif text[i] == ">":
+                depth -= 1
+            i += 1
+        spans.append((m.start(), i))
+    return spans
+
+
+def _sub_colon_paths(text: str) -> str:
+    spans = _generic_type_spans(text)
+
+    def repl(m: re.Match[str]) -> str:
+        if any(a <= m.start() < b for a, b in spans):
+            return m.group(0)
+        return f"variant_get({m.group(1)}, '$.{m.group(2)}')"
+
+    return sub_unquoted(_COLON_PATH, repl, text)
 
 
 def _snow_type(t: str) -> str:
@@ -363,7 +398,7 @@ class SqlTask(Task):
         # silently mis-typing — spell those as native DECLARE + SET VAR.
         out = sub_unquoted(_DOLLAR_VAR, r"\1", out)
         # Snowflake VARIANT colon-path (col:a.b) -> variant_get(col, '$.a.b')
-        out = sub_unquoted(_COLON_PATH, r"variant_get(\1, '$.\2')", out)
+        out = _sub_colon_paths(out)
         m_unset = _SNOW_UNSET_VAR.match(out)
         if m_unset:
             return [
@@ -371,7 +406,15 @@ class SqlTask(Task):
             ]
         m_set = _SNOW_SET_VAR.match(out)
         if m_set:
-            if re.search(r"(?i)\bSELECT\b", m_set.group("expr")):
+            expr_text = m_set.group("expr")
+            # quote-aware: 'select' INSIDE a string value is data, not a
+            # subquery (ADVICE-style rule; plain re.search would trip on
+            # SET msg = 'please select one')
+            has_subquery = any(
+                re.match(r"(?i)SELECT\b", expr_text[i:])
+                for i in _unquoted_positions(expr_text)
+            )
+            if has_subquery:
                 raise ValueError(
                     f"sql task {self.task_id!r}: SET {m_set.group('name')} "
                     "from a subquery is unsupported by the shim (Spark "

@@ -68,3 +68,9 @@ def test_wav_rejects_non_riff_and_non_pcm():
     bad[20:22] = struct.pack("<H", 3)  # fmt tag 3 = IEEE float
     with pytest.raises(ValueError, match="not PCM"):
         decode_wav_pcm16(bytes(bad))
+
+
+def test_wav_rejects_truncated_data_chunk():
+    payload = encode_wav_pcm16([1, 2, 3, 4])
+    with pytest.raises(ValueError, match="truncated"):
+        decode_wav_pcm16(payload[:-3])

@@ -245,3 +245,39 @@ def test_colon_path_executes_on_variant(spark):
     row = spark.table("colon_out").collect()[0]
     assert row.ab == 7
     assert row.a1 == 20
+
+
+def test_struct_type_colons_untouched(spark):
+    """Colons inside generic type syntax (STRUCT<name:type>) are field/type
+    separators, not VARIANT paths — the span guard must skip them."""
+    from bfs_etl_sep2025_spark.plans.tasks import _sub_colon_paths
+
+    ddl = "CREATE TABLE t (c STRUCT<a:INT, b:STRING>, m MAP<STRING,INT>)"
+    assert _sub_colon_paths(ddl) == ddl
+    cast = "SELECT CAST(x AS STRUCT<a:INT>) FROM t"
+    assert _sub_colon_paths(cast) == cast
+    _run(
+        spark,
+        [
+            "CREATE OR REPLACE TABLE struct_colon_out AS "
+            "SELECT named_struct('a', 1) AS c",
+            "CREATE OR REPLACE TABLE struct_colon_out2 AS "
+            "SELECT CAST(c AS STRUCT<a:INT>).a AS a FROM struct_colon_out",
+        ],
+    )
+    assert spark.table("struct_colon_out2").collect()[0].a == 1
+
+
+def test_qualified_colon_path_translates():
+    from bfs_etl_sep2025_spark.plans.tasks import _sub_colon_paths
+
+    assert (
+        _sub_colon_paths("SELECT t.v:payload.id FROM events t")
+        == "SELECT variant_get(t.v, '$.payload.id') FROM events t"
+    )
+
+
+def test_set_with_quoted_select_is_a_plain_value(spark):
+    t = _run(spark, "SET msg = 'please select one'")
+    assert any("DECLARE OR REPLACE VARIABLE msg" in s for s in t.executed)
+    assert spark.sql("SELECT msg AS m").collect()[0].m == "please select one"
