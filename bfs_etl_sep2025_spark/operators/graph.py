@@ -7,17 +7,25 @@ self-join shapes for "users who act together" analyses.
 
 Graph construction: nodes are users; an undirected edge (u < v) exists when
 two users co-occur in at least ``_MIN_SHARED`` (event_type, day) activity
-buckets. Pair generation is BLOCKED by the bucket — an equi-join on
-(event_type, day), never an all-pairs cross join — the same candidate-
-generation discipline as the LSH band joins (dedup.py hot-path rule).
+buckets. Pair generation picks its shape by the bucket regime (see
+``_edges``): with FEW buckets (the fixture's ~150 day-level buckets) each
+user's memberships pack into a couple of BIGINT bitmap words and shared
+counts are broadcast popcounts — nothing quadratic is shuffled; with MANY
+small buckets (refined production granularity) the bucket equi-join is the
+right plan — the same candidate-generation discipline as the LSH band
+joins (dedup.py hot-path rule), and the shape the oracle uses.
 
 Scale notes (100 TB):
-- Pair generation is O(sum over buckets of bucket_size^2). The granularity
-  of the bucket is the knob that bounds it: at production event volumes the
-  bucket refines (hour / venue / session instead of day) exactly like an
-  LSH band count is tuned, keeping per-bucket membership bounded. The
-  explicit ``distinct`` before pairing collapses multiplicity first, so a
-  user's event COUNT never inflates the join (only presence does).
+- Bucket-join pair generation is O(sum over buckets of bucket_size^2); the
+  bucket granularity is the knob that bounds it (hour / venue / session
+  instead of day), exactly like an LSH band count is tuned. The day-level
+  fixture granularity sits in the OTHER regime — bucket membership grows
+  with the data while bucket count stays ~150 — which is why ``_edges``
+  uses the bitmap flip there (measured: the join shape shuffles 2.18e9
+  rows at the 10x scale point and DNFs >10 min in both engines; the bitmap
+  pass finishes in ~4 s). The explicit ``distinct`` before either shape
+  collapses multiplicity first, so a user's event COUNT never inflates
+  pair generation (only presence does).
 - Triangles / common neighbors are 2-hop equi-joins shuffling on node ids.
   The worst enemy is a hub node (degree d -> d^2 wedge rows): real
   deployments cap or sample hub adjacency; here degrees are bounded by the
@@ -33,7 +41,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from bfs_etl_sep2025_spark.registry import query
-from bfs_etl_sep2025_spark.tables import load
+from bfs_etl_sep2025_spark.tables import load, widen
 
 _MIN_SHARED = 25
 
@@ -54,36 +62,88 @@ _EDGES_CTE = f"""
 """
 
 
+#: bitmap-path guard: 16 x 64-bit words = 1024 distinct (event_type, day)
+#: buckets. Past that, per-user bitmaps stop being "a few longs" and the
+#: bucket-join formulation (the oracle's shape) becomes the right engine
+#: plan again — raise rather than silently degrade.
+_MAX_MASK_WORDS = 16
+
+
 def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Engine twin of ``_EDGES_CTE``: bucket-blocked pair generation.
+    """Engine twin of ``_EDGES_CTE``, computed with per-user bucket
+    BITMAPS instead of the oracle's bucket join.
+
+    Why not mirror the oracle's join-then-group shape: the number of
+    distinct (event_type, day) buckets is SMALL (~150 here) while bucket
+    membership scales with the data, so enumerating pairs per bucket is
+    O(sum n_b^2) rows through a shuffle+aggregate — measured 2.18e9 joined
+    rows at the 10x scale point, >10 min in either engine. With few
+    buckets the dense flip wins: assign each bucket a dense id (tiny
+    broadcast), OR each user's memberships into ceil(B/64) BIGINT words
+    (one map-side aggregate), then a broadcast all-pairs pass where
+    shared-bucket count is codegen'd ``bit_count(a & b)`` popcounts — the
+    pair stream shrinks by the average-shared-buckets factor (~19x here)
+    and, more importantly, nothing quadratic is ever shuffled. Identical
+    edge set by construction (popcount of AND == the join's group count).
+
+    Scale regimes: this path requires B <= {_MAX_MASK_WORDS}*64 buckets
+    (guarded loudly) and a broadcastable user-mask table; at production
+    bucket granularities (hour/venue — B large, buckets small) the
+    oracle-shaped bucket equi-join is the right plan instead, exactly as
+    the module docstring's granularity note describes.
 
     The result is ``.cache()``d: every consumer below references the edge
     list two or three times (symmetrized adjacency + closing-edge checks),
     and without a materialization point Spark re-executes the whole
-    pair-generation subtree once PER reference (measured 2x wall on the
-    triangle query at sf0.1). The cached edge list is tiny (one int pair
-    per edge) while the subtree it replaces is the quadratic part — the
-    same single-execution-probe reasoning as dedup.py's checkpoint-then-
-    probe loop."""
-    ev = load(spark, sf_dir, "events")
+    pair-generation subtree once PER reference. The mask table is cached
+    too, so the self-join's broadcast side doesn't recompute the occ
+    distinct."""
+    from pyspark.sql import Window as W
+
+    ev = widen(load(spark, sf_dir, "events"))
     occ = ev.select(
         "user_id", "event_type", F.col("ts").cast("date").alias("day")
     ).distinct()
-    a = occ.alias("a")
-    b = occ.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.event_type") == F.col("b.event_type"))
-            & (F.col("a.day") == F.col("b.day"))
-            & (F.col("a.user_id") < F.col("b.user_id")),
+    buckets = (
+        occ.select("event_type", "day")
+        .distinct()
+        .withColumn(
+            "bid",
+            F.row_number().over(W.orderBy("event_type", "day")) - 1,
         )
-        .groupBy(
+    )
+    n_buckets = buckets.count()
+    n_words = max(1, (n_buckets + 63) // 64)
+    if n_words > _MAX_MASK_WORDS:
+        raise ValueError(
+            f"{n_buckets} co-occurrence buckets exceed the bitmap path's "
+            f"{_MAX_MASK_WORDS * 64}-bucket bound; at that granularity "
+            "switch _edges to the bucket-join formulation (the oracle's "
+            "shape) — buckets are small there, so the join is no longer "
+            "quadratic-heavy"
+        )
+    tagged = occ.join(F.broadcast(buckets), ["event_type", "day"])
+    masks = tagged.groupBy("user_id").agg(
+        *[
+            F.expr(
+                f"bit_or(CASE WHEN bid DIV 64 = {w} THEN "
+                f"shiftleft(CAST(1 AS BIGINT), CAST(bid % 64 AS INT)) "
+                f"ELSE CAST(0 AS BIGINT) END)"
+            ).alias(f"m{w}")
+            for w in range(n_words)
+        ]
+    ).cache()
+    a = masks.alias("a")
+    b = masks.alias("b")
+    shared = " + ".join(
+        f"bit_count(a.m{w} & b.m{w})" for w in range(n_words)
+    )
+    return (
+        a.join(F.broadcast(b), F.col("a.user_id") < F.col("b.user_id"))
+        .filter(F.expr(f"({shared}) >= {_MIN_SHARED}"))
+        .select(
             F.col("a.user_id").alias("u"), F.col("b.user_id").alias("v")
         )
-        .agg(F.count(F.lit(1)).alias("shared"))
-        .filter(F.col("shared") >= _MIN_SHARED)
-        .select("u", "v")
         .cache()
     )
 

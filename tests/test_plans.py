@@ -424,11 +424,14 @@ def test_dq_referential_check_broadcasts_dimension(spark):
         "graph_link_prediction_cn",
     ],
 )
-def test_graph_pair_generation_is_blocked_equi_join(spark, name):
-    """Graph edge/wedge generation must be bucket-blocked equi-joins —
-    an all-pairs CartesianProduct is the O(n^2) shape the bucketing rule
-    exists to prevent (same discipline as the LSH band joins)."""
+def test_graph_pair_generation_is_bitmap_popcount(spark, name):
+    """Graph edge generation must be the dense-bitmap formulation: a
+    broadcast pass over the per-USER mask table with codegen'd bit_count
+    popcounts — never an unbounded CartesianProduct over events and never
+    the bucket join's quadratic shuffle (measured 2.18e9 shuffled rows at
+    sf1; the bitmap path streams ~19x fewer pairs and shuffles none)."""
     plan = _plan(spark, name)
+    assert "bit_count" in plan
     assert "CartesianProduct" not in plan
     assert "EvalPython" not in plan
 
