@@ -38,11 +38,17 @@ from bfs_etl_sep2025_spark.operators.graph import _EDGES_CTE, _edges
 from bfs_etl_sep2025_spark.registry import query
 from bfs_etl_sep2025_spark.tables import load
 
+#: The recursive step SELECTs DISTINCT: without it the UNION ALL frontier
+#: carries one row per PATH, which explodes combinatorially on dense
+#: graphs (tripped Spark's 1M recursion row limit at the 10x scale point);
+#: per-level DISTINCT bounds every level by |V| while leaving the closing
+#: min(depth) untouched. Identical clause in both engines.
 _SYM_AND_REACH = """
 reach(node, depth) AS (
   SELECT src, 0 FROM (SELECT DISTINCT src FROM sym WHERE src < 3) AS seeds
   UNION ALL
-  SELECT s.dst, r.depth + 1 FROM reach r JOIN sym s ON s.src = r.node
+  SELECT DISTINCT s.dst, r.depth + 1
+  FROM reach r JOIN sym s ON s.src = r.node
   WHERE r.depth < 2
 )
 SELECT node AS user_id, CAST(min(depth) AS INT) AS hops
@@ -70,10 +76,13 @@ def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     a temp view so the per-level step is a single frontier equi-join.
 
     Spark 4 does not yet support distinct-``UNION`` recursion, so levels
-    accumulate with ``UNION ALL`` and the closing ``GROUP BY min(depth)``
-    collapses multiplicity — correct for any bounded depth; unbounded
-    transitive closure at scale stays on the label-propagation loop
-    (dedup.py), which dedupes per round."""
+    accumulate with ``UNION ALL``, the recursive step SELECTs DISTINCT
+    (bounding each level by |V| — without it, path multiplicity tripped
+    the engine's 1,000,000-row recursion guard on the dense 10x graph),
+    and the closing ``GROUP BY min(depth)`` collapses cross-level
+    multiplicity — correct for any bounded depth; unbounded transitive
+    closure at scale stays on the label-propagation loop (dedup.py), which
+    dedupes per round."""
     _edges(spark, sf_dir).createOrReplaceTempView("rec_edges_v")
     return spark.sql(
         """
