@@ -63,93 +63,153 @@ _EDGES_CTE = f"""
 
 
 #: bitmap-path guard: 16 x 64-bit words = 1024 distinct (event_type, day)
-#: buckets. Past that, per-user bitmaps stop being "a few longs" and the
-#: bucket-join formulation (the oracle's shape) becomes the right engine
-#: plan again — raise rather than silently degrade.
+#: buckets. Past that, per-user bitmaps stop being "a few longs" and
+#: _edges DISPATCHES to the bucket-join formulation (buckets are small in
+#: that regime, so the join is no longer quadratic-heavy).
 _MAX_MASK_WORDS = 16
 
-#: adjacency-bitmap guard (triangle counting): 256 x 64-bit words = 16384
-#: nodes. Past that the per-node masks stop broadcasting comfortably and
-#: the wedge join (the oracle's shape, with degree-ordered orientation) is
-#: the right plan.
+#: bitmap-path guard on the OTHER axis: the all-pairs popcount pass is
+#: O(U^2) flat work over a broadcast mask table — fine to ~1e10 pairs,
+#: not beyond. Few buckets + more users than this cannot be computed by
+#: either formulation; the data needs a finer bucket granularity, so fail
+#: loudly rather than silently degrade.
+_MAX_BITMAP_USERS = 100_000
+
+#: adjacency-bitmap guard (triangle counting / link prediction): 256 x
+#: 64-bit words = 16384 nodes. Past that the per-node masks stop
+#: broadcasting comfortably and the wedge join (the oracle's shape, with
+#: degree-ordered orientation) is the right plan.
 _MAX_ADJ_WORDS = 256
 
 
-def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Engine twin of ``_EDGES_CTE``, computed with per-user bucket
-    BITMAPS instead of the oracle's bucket join.
-
-    Why not mirror the oracle's join-then-group shape: the number of
-    distinct (event_type, day) buckets is SMALL (~150 here) while bucket
-    membership scales with the data, so enumerating pairs per bucket is
-    O(sum n_b^2) rows through a shuffle+aggregate — measured 2.18e9 joined
-    rows at the 10x scale point, >10 min in either engine. With few
-    buckets the dense flip wins: assign each bucket a dense id (tiny
-    broadcast), OR each user's memberships into ceil(B/64) BIGINT words
-    (one map-side aggregate), then a broadcast all-pairs pass where
-    shared-bucket count is codegen'd ``bit_count(a & b)`` popcounts — the
-    pair stream shrinks by the average-shared-buckets factor (~19x here)
-    and, more importantly, nothing quadratic is ever shuffled. Identical
-    edge set by construction (popcount of AND == the join's group count).
-
-    Scale regimes: this path requires B <= {_MAX_MASK_WORDS}*64 buckets
-    (guarded loudly) and a broadcastable user-mask table; at production
-    bucket granularities (hour/venue — B large, buckets small) the
-    oracle-shaped bucket equi-join is the right plan instead, exactly as
-    the module docstring's granularity note describes.
-
-    The result is ``.cache()``d: every consumer below references the edge
-    list two or three times (symmetrized adjacency + closing-edge checks),
-    and without a materialization point Spark re-executes the whole
-    pair-generation subtree once PER reference. The mask table is cached
-    too, so the self-join's broadcast side doesn't recompute the occ
-    distinct."""
+def _dense_index(df: DataFrame, cols: list[str], out: str) -> DataFrame:
+    """Deterministic dense ids 0..N-1 by ascending ``cols`` — the bit
+    position assignment every bitmap below builds on. The window is global
+    but runs on the tiny DISTINCT key table, never on facts."""
     from pyspark.sql import Window as W
 
+    return df.withColumn(out, F.row_number().over(W.orderBy(*cols)) - 1)
+
+
+def _mask_expr(idx_col: str, n_words: int) -> str:
+    """One ARRAY<BIGINT> aggregate packing a group's dense ids into
+    ``n_words`` bitmap words — a single alias (wide alias fan-outs blow up
+    Catalyst constraint propagation; see operators/similarity.py)."""
+    return "array(" + ", ".join(
+        f"bit_or(CASE WHEN {idx_col} DIV 64 = {w} THEN "
+        f"shiftleft(CAST(1 AS BIGINT), CAST({idx_col} % 64 AS INT)) "
+        f"ELSE CAST(0 AS BIGINT) END)"
+        for w in range(n_words)
+    ) + ")"
+
+
+def _popcount_sum(left: str, right: str, n_words: int) -> str:
+    """Codegen'd shared-bit count between two mask arrays: an unrolled
+    left-associated chain of ``bit_count(x & y)`` terms."""
+    return " + ".join(
+        f"bit_count(element_at({left}, {w + 1}) & "
+        f"element_at({right}, {w + 1}))"
+        for w in range(n_words)
+    )
+
+
+def _barrier_filter(df: DataFrame, pred) -> DataFrame:
+    """Apply ``pred`` WITHOUT letting Catalyst push it into a join below:
+    predicates referencing a nondeterministic column pass through neither
+    projections nor join conditions, so OR-ing a vacuously-false arm on
+    ``monotonically_increasing_id()`` (non-negative by contract) pins the
+    filter above the scoring projection. Without this, a popcount/dot
+    threshold lands in the BroadcastNestedLoopJoin's bound condition,
+    which is NOT whole-stage-codegen'd — the all-pairs cosine query went
+    from a >15 min DNF to minutes at sf1 with the same barrier
+    (operators/similarity.py)."""
+    out = df.withColumn("_mid", F.monotonically_increasing_id())
+    return out.filter(pred | (F.col("_mid") < F.lit(-1))).drop("_mid")
+
+
+def _edges_bucket_join(occ: DataFrame) -> DataFrame:
+    """The oracle-shaped bucket equi-join: right when buckets are MANY and
+    individually small (refined production granularity — hour/venue), the
+    regime where per-bucket pair enumeration is bounded."""
+    a = occ.alias("a")
+    b = occ.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.event_type") == F.col("b.event_type"))
+            & (F.col("a.day") == F.col("b.day"))
+            & (F.col("a.user_id") < F.col("b.user_id")),
+        )
+        .groupBy(
+            F.col("a.user_id").alias("u"), F.col("b.user_id").alias("v")
+        )
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .filter(F.col("shared") >= _MIN_SHARED)
+        .select("u", "v")
+    )
+
+
+def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine twin of ``_EDGES_CTE``, dispatching on the bucket regime.
+
+    FEW buckets (the fixture's ~150 day-level buckets, <= 1024): bucket
+    membership grows with the data, so the oracle's join-then-group shape
+    enumerates O(sum n_b^2) pair rows — measured 2.18e9 at the 10x scale
+    point, >10 min in either engine. The dense flip wins there: assign
+    each bucket a dense id (tiny broadcast), OR each user's memberships
+    into ceil(B/64) BIGINT words (one map-side aggregate), then a
+    broadcast all-pairs pass where shared-bucket count is a codegen'd
+    ``bit_count(a & b)`` popcount chain — the pair stream shrinks by the
+    average-shared-buckets factor (~19x here) and nothing quadratic is
+    ever shuffled. Identical edge set by construction (popcount of AND ==
+    the join's group count; asserted equal at sf0.1 and sf1).
+
+    MANY buckets (> 16*64): buckets are small, the bucket equi-join is
+    the right plan — dispatched to :func:`_edges_bucket_join`. Few buckets
+    AND > ``_MAX_BITMAP_USERS`` users: neither formulation computes, the
+    granularity itself must refine — raised loudly.
+
+    The result is ``.cache()``d: every consumer references the edge list
+    two or three times. The mask table is cached too, so the all-pairs
+    join's broadcast side doesn't recompute the occ distinct."""
     ev = widen(load(spark, sf_dir, "events"))
     occ = ev.select(
         "user_id", "event_type", F.col("ts").cast("date").alias("day")
     ).distinct()
-    buckets = (
-        occ.select("event_type", "day")
-        .distinct()
-        .withColumn(
-            "bid",
-            F.row_number().over(W.orderBy("event_type", "day")) - 1,
-        )
+    buckets = _dense_index(
+        occ.select("event_type", "day").distinct(),
+        ["event_type", "day"],
+        "bid",
     )
     n_buckets = buckets.count()
     n_words = max(1, (n_buckets + 63) // 64)
     if n_words > _MAX_MASK_WORDS:
-        raise ValueError(
-            f"{n_buckets} co-occurrence buckets exceed the bitmap path's "
-            f"{_MAX_MASK_WORDS * 64}-bucket bound; at that granularity "
-            "switch _edges to the bucket-join formulation (the oracle's "
-            "shape) — buckets are small there, so the join is no longer "
-            "quadratic-heavy"
-        )
+        return _edges_bucket_join(occ).cache()
     tagged = occ.join(F.broadcast(buckets), ["event_type", "day"])
-    masks = tagged.groupBy("user_id").agg(
-        *[
-            F.expr(
-                f"bit_or(CASE WHEN bid DIV 64 = {w} THEN "
-                f"shiftleft(CAST(1 AS BIGINT), CAST(bid % 64 AS INT)) "
-                f"ELSE CAST(0 AS BIGINT) END)"
-            ).alias(f"m{w}")
-            for w in range(n_words)
-        ]
-    ).cache()
-    a = masks.alias("a")
-    b = masks.alias("b")
-    shared = " + ".join(
-        f"bit_count(a.m{w} & b.m{w})" for w in range(n_words)
+    masks = (
+        tagged.groupBy("user_id")
+        .agg(F.expr(_mask_expr("bid", n_words)).alias("mask"))
+        .cache()
     )
-    return (
-        a.join(F.broadcast(b), F.col("a.user_id") < F.col("b.user_id"))
-        .filter(F.expr(f"({shared}) >= {_MIN_SHARED}"))
-        .select(
-            F.col("a.user_id").alias("u"), F.col("b.user_id").alias("v")
+    n_users = masks.count()
+    if n_users > _MAX_BITMAP_USERS:
+        raise ValueError(
+            f"{n_users} users with only {n_buckets} co-occurrence buckets: "
+            f"the all-pairs bitmap pass is bounded at {_MAX_BITMAP_USERS} "
+            "users and the bucket join would enumerate even more pair "
+            "rows — refine the bucket granularity (hour/venue/session "
+            "instead of day) so either formulation is tractable"
         )
+    a = masks.select(F.col("user_id").alias("u"), F.col("mask").alias("ma"))
+    b = masks.select(F.col("user_id").alias("v"), F.col("mask").alias("mb"))
+    pairs = a.join(F.broadcast(b), F.col("u") < F.col("v"))
+    shared = F.expr(f"({_popcount_sum('ma', 'mb', n_words)})")
+    return (
+        _barrier_filter(
+            pairs.select("u", "v", shared.alias("shared")),
+            F.col("shared") >= _MIN_SHARED,
+        )
+        .select("u", "v")
         .cache()
     )
 
@@ -217,17 +277,13 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     wedges, and nothing quadratic shuffles. Guarded loudly past
     ``_MAX_ADJ_WORDS * 64`` nodes, where the wedge join (with
     degree-ordered orientation) is the right plan again."""
-    from pyspark.sql import Window as W
-
     e = _edges(spark, sf_dir)
     nodes = (
         e.select(F.col("u").alias("node"))
         .unionAll(e.select(F.col("v").alias("node")))
         .distinct()
     )
-    idx = nodes.withColumn(
-        "nidx", F.row_number().over(W.orderBy("node")) - 1
-    )
+    idx = _dense_index(nodes, ["node"], "nidx")
     n_nodes = idx.count()
     n_words = max(1, (n_nodes + 63) // 64)
     if n_words > _MAX_ADJ_WORDS:
@@ -255,20 +311,15 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("uidx", "vidx")
     )
-    mask_expr = "array(" + ", ".join(
-        f"bit_or(CASE WHEN vidx DIV 64 = {w} THEN "
-        f"shiftleft(CAST(1 AS BIGINT), CAST(vidx % 64 AS INT)) "
-        f"ELSE CAST(0 AS BIGINT) END)"
-        for w in range(n_words)
-    ) + ")"
     # cached: referenced from BOTH sides of the per-edge join below
-    adj_hi = ei.groupBy("uidx").agg(F.expr(mask_expr).alias("mask")).cache()
+    adj_hi = (
+        ei.groupBy("uidx")
+        .agg(F.expr(_mask_expr("vidx", n_words)).alias("mask"))
+        .cache()
+    )
     mu = adj_hi.select(F.col("uidx").alias("ku"), F.col("mask").alias("mu"))
     mv = adj_hi.select(F.col("uidx").alias("kv"), F.col("mask").alias("mv"))
-    cnt = " + ".join(
-        f"bit_count(element_at(mu, {w + 1}) & element_at(mv, {w + 1}))"
-        for w in range(n_words)
-    )
+    cnt = _popcount_sum("mu", "mv", n_words)
     per_edge = (
         ei.join(F.broadcast(mu), F.col("uidx") == F.col("ku"))
         # a node with no higher neighbor has no mask row -> closes nothing
@@ -332,16 +383,12 @@ def graph_link_prediction_cn(spark: SparkSession, sf_dir: str) -> DataFrame:
     TakeOrderedAndProject, never a full sort. Guarded past
     ``_MAX_ADJ_WORDS * 64`` nodes, where the wedge join over a sparser
     refined-bucket graph is the right plan again."""
-    from pyspark.sql import Window as W
-
     e = _edges(spark, sf_dir)
     adj = e.select(F.col("u").alias("s"), F.col("v").alias("t")).unionAll(
         e.select(F.col("v").alias("s"), F.col("u").alias("t"))
     )
     nodes = adj.select(F.col("s").alias("node")).distinct()
-    idx = nodes.withColumn(
-        "nidx", F.row_number().over(W.orderBy("node")) - 1
-    )
+    idx = _dense_index(nodes, ["node"], "nidx")
     n_nodes = idx.count()
     n_words = max(1, (n_nodes + 63) // 64)
     if n_words > _MAX_ADJ_WORDS:
@@ -356,14 +403,12 @@ def graph_link_prediction_cn(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "t",
     )
-    mask_expr = "array(" + ", ".join(
-        f"bit_or(CASE WHEN tidx DIV 64 = {w} THEN "
-        f"shiftleft(CAST(1 AS BIGINT), CAST(tidx % 64 AS INT)) "
-        f"ELSE CAST(0 AS BIGINT) END)"
-        for w in range(n_words)
-    ) + ")"
     # cached: referenced from BOTH sides of the all-pairs join below
-    masks = ai.groupBy("s").agg(F.expr(mask_expr).alias("mask")).cache()
+    masks = (
+        ai.groupBy("s")
+        .agg(F.expr(_mask_expr("tidx", n_words)).alias("mask"))
+        .cache()
+    )
     a = masks.select(F.col("s").alias("u"), F.col("mask").alias("mu"))
     b = masks.select(
         F.col("s").alias("v"),
@@ -375,24 +420,21 @@ def graph_link_prediction_cn(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "_vb",
     ).drop("_vb")
-    cn = " + ".join(
-        f"bit_count(element_at(mu, {w + 1}) & element_at(mv, {w + 1}))"
-        for w in range(n_words)
-    )
+    cn = _popcount_sum("mu", "mv", n_words)
     is_edge = (
         "((element_at(mu, CAST(vidx DIV 64 AS INT) + 1) "
         ">> CAST(vidx % 64 AS INT)) & CAST(1 AS BIGINT)) = 1"
     )
-    cand = (
-        a.join(F.broadcast(b), F.col("u") < F.col("v"))
-        .filter(F.expr(f"NOT ({is_edge})"))
-        .select(
-            "u",
-            "v",
-            F.expr(f"CAST(({cn}) AS BIGINT)").alias("common_neighbors"),
-        )
-        .filter(F.col("common_neighbors") > 0)
+    scored = a.join(F.broadcast(b), F.col("u") < F.col("v")).select(
+        "u",
+        "v",
+        F.expr(f"CAST(({cn}) AS BIGINT)").alias("common_neighbors"),
+        F.expr(f"({is_edge})").alias("_is_edge"),
     )
+    cand = _barrier_filter(
+        scored,
+        (~F.col("_is_edge")) & (F.col("common_neighbors") > 0),
+    ).select("u", "v", "common_neighbors")
     return (
         cand
         .orderBy(F.col("common_neighbors").desc(), "u", "v")
