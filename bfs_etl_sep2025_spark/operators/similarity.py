@@ -48,6 +48,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from bfs_etl_sep2025_spark.operators._barrier import barrier_filter
 from bfs_etl_sep2025_spark.registry import query
 from bfs_etl_sep2025_spark.tables import load, widen
 
@@ -590,26 +591,16 @@ def similarity_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pairs = a.join(b, F.col("vec_a") < F.col("vec_b"))
     cos = _dot_arr("a_emb", "b_emb") / (F.col("nrm_a") * F.col("nrm_b"))
-    # The _mid term is a deliberate pushdown BARRIER: without it Catalyst
+    # barrier_filter is a deliberate pushdown BARRIER: without it Catalyst
     # pushes the cosine threshold INTO the nested-loop join condition,
     # where the 64-term dot runs through the join's bound-condition path
     # instead of whole-stage codegen (and is recomputed in the projection
     # for survivors) — the sf1 all-pairs sweep went from a >15 min DNF to
-    # minutes once the dot stayed in a fused codegen'd projection. A
-    # predicate referencing a NONDETERMINISTIC column can be pushed through
-    # neither the projection nor the join, so `OR _mid < -1` (vacuously
-    # false: monotonically_increasing_id is non-negative) pins the filter
-    # above the projection while the join keeps only vec_a < vec_b.
-    scored = pairs.select(
-        "vec_a",
-        "vec_b",
-        cos.alias("cosine"),
-        F.monotonically_increasing_id().alias("_mid"),
-    )
+    # minutes once the dot stayed in a fused codegen'd projection. See
+    # operators/_barrier.py (incl. the debug-mode runtime plan assertion).
+    scored = pairs.select("vec_a", "vec_b", cos.alias("cosine"))
     return (
-        scored.filter(
-            (F.col("cosine") >= 0.45) | (F.col("_mid") < F.lit(-1))
-        )
+        barrier_filter(scored, F.col("cosine") >= 0.45)
         .select("vec_a", "vec_b", "cosine")
         .orderBy("vec_a", "vec_b")
     )

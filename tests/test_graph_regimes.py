@@ -1,11 +1,20 @@
 """Graph edge-generation regimes: the bitmap path and the bucket-join
-dispatch target must produce the identical edge set, and the all-pairs
-join must keep its heavy predicates OUT of the join condition."""
+dispatch target must produce the identical edge set, the 2-hop queries'
+wedge-join fallbacks must match their bitmap paths exactly, and the
+all-pairs join must keep its heavy predicates OUT of the join condition
+(test-time AND via the debug-mode runtime assertion)."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
+from bfs_etl_sep2025_spark.operators import graph
+from bfs_etl_sep2025_spark.operators._barrier import (
+    PLAN_ASSERT_CONF,
+    assert_no_join_pushdown,
+    barrier_filter,
+)
 from bfs_etl_sep2025_spark.operators.graph import (
     _edges,
     _edges_bucket_join,
@@ -48,3 +57,85 @@ def test_allpairs_join_condition_carries_no_popcount(spark):
     assert join_lines, "expected a broadcast all-pairs join in the plan"
     for line in join_lines:
         assert "bit_count" not in line, "popcount pushed into join condition"
+
+
+def test_triangle_wedge_fallback_matches_bitmap(spark, monkeypatch):
+    """Past the adjacency-bitmap bound, graph_triangle_count dispatches to
+    the degree-ordered wedge join; with the guard lowered to 64 nodes the
+    sf0.01 graph (~145 nodes) takes the fallback, which must return the
+    identical (n_edges, n_triangles) row as the bitmap path."""
+    want = graph.graph_triangle_count(spark, SF).collect()[0]
+    monkeypatch.setattr(graph, "_MAX_ADJ_WORDS", 1)
+    got = graph.graph_triangle_count(spark, SF).collect()[0]
+    assert (got.n_edges, got.n_triangles) == (want.n_edges, want.n_triangles)
+    assert want.n_triangles > 0  # non-degenerate fixture
+
+
+def test_linkpred_wedge_fallback_matches_bitmap(spark, monkeypatch):
+    """Same equivalence for common-neighbors link prediction: the wedge
+    fallback's top-20 (fully tie-broken ordering) must be row-identical to
+    the bitmap path's."""
+    want = [tuple(r) for r in graph.graph_link_prediction_cn(spark, SF).collect()]
+    monkeypatch.setattr(graph, "_MAX_ADJ_WORDS", 1)
+    got = [tuple(r) for r in graph.graph_link_prediction_cn(spark, SF).collect()]
+    assert got == want
+    assert len(want) == 20
+
+
+def test_runtime_plan_assert_catches_pushdown(spark):
+    """assert_no_join_pushdown must raise on a plan where the popcount
+    threshold WAS pushed into the nested-loop join condition (the exact
+    pathology the barrier exists to prevent) — built here by filtering
+    without the barrier."""
+    a = spark.range(4).select(
+        F.col("id").alias("u"),
+        F.array((F.col("id") % 3).cast("bigint")).alias("ma"),
+    )
+    b = spark.range(4).select(
+        F.col("id").alias("v"),
+        F.array((F.col("id") % 5 + 1).cast("bigint")).alias("mb"),
+    )
+    bad = (
+        a.join(F.broadcast(b), F.col("u") < F.col("v"))
+        .select(
+            "u",
+            "v",
+            F.expr(
+                "bit_count(element_at(ma, 1) & element_at(mb, 1))"
+            ).alias("s"),
+        )
+        .filter(F.col("s") > 0)
+    )
+    with pytest.raises(AssertionError, match="pushdown barrier violated"):
+        assert_no_join_pushdown(bad)
+
+
+def test_runtime_plan_assert_flag_passes_barriered_plan(spark):
+    """With spark.bfs.debug.planAssert=true, barrier_filter self-checks its
+    optimized plan at construction time and passes when the barrier held —
+    and the guarded result equals the unbarriered filter's rows."""
+    a = spark.range(4).select(
+        F.col("id").alias("u"),
+        F.array((F.col("id") % 3).cast("bigint")).alias("ma"),
+    )
+    b = spark.range(4).select(
+        F.col("id").alias("v"),
+        F.array((F.col("id") % 5 + 1).cast("bigint")).alias("mb"),
+    )
+    scored = a.join(F.broadcast(b), F.col("u") < F.col("v")).select(
+        "u",
+        "v",
+        F.expr("bit_count(element_at(ma, 1) & element_at(mb, 1))").alias("s"),
+    )
+    spark.conf.set(PLAN_ASSERT_CONF, "true")
+    try:
+        good = barrier_filter(scored, F.col("s") > 0)
+        rows = {(r.u, r.v) for r in good.collect()}
+    finally:
+        spark.conf.set(PLAN_ASSERT_CONF, "false")
+    assert rows == {
+        (u, v)
+        for u in range(4)
+        for v in range(4)
+        if u < v and ((u % 3) & (v % 5 + 1)) != 0
+    }
