@@ -539,21 +539,56 @@ def fn_string_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("p_partkey")
 
 
+#: seed folded into the sampling hash — changing it draws an independent
+#: ~10% subset, same as reseeding an RNG-based TABLESAMPLE.
+SAMPLE_SEED = 42
+
+
 @query(
     "sample_seeded",
     family="relational",
-    # Sampling algorithms are engine-specific -> rows-only; the unit test
-    # bounds size and asserts seed-determinism within Spark.
-    oracle=None,
+    oracle=f"""
+        SELECT l_orderkey, l_linenumber, l_quantity
+        FROM lineitem
+        WHERE ('0x' || substr(md5(concat_ws('#', '{SAMPLE_SEED}',
+                  CAST(l_orderkey AS VARCHAR),
+                  CAST(l_linenumber AS VARCHAR))), 1, 7))::BIGINT
+              % 100 < 10
+    """,
 )
 def sample_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Seeded Bernoulli TABLESAMPLE: the corpus-subsetting primitive
-    (e.g. eval-holdout carving). Deterministic per (seed, data) within
-    Spark; no cross-engine oracle exists by nature."""
+    """Seeded ~10% Bernoulli sample: the corpus-subsetting primitive (e.g.
+    eval-holdout carving), as a PURE HASH FUNCTION of (seed, row key) —
+    keep iff the first 28 bits of md5(seed # key) mod 100 < 10, the
+    ``corpus_split_assign`` construction. Unlike ``df.sample(seed=)``
+    (whose draw depends on the engine's RNG stream and partitioning and so
+    has no cross-engine oracle), this sample is identical on any engine,
+    any partitioning, any rerun — which is exactly what makes 100 TB
+    pipeline re-runs and incremental backfills reproducible: a row's
+    in/out decision never changes as the table grows. Map-only, no
+    shuffle; the md5 prunes to the key columns at the scan."""
     li = load(spark, sf_dir, "lineitem")
-    return li.sample(fraction=0.1, seed=42).select(
-        "l_orderkey", "l_linenumber", "l_quantity"
+    keep = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "#",
+                        F.lit(str(SAMPLE_SEED)),
+                        F.col("l_orderkey").cast("string"),
+                        F.col("l_linenumber").cast("string"),
+                    )
+                ),
+                1,
+                7,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 100
+        < 10
     )
+    return li.filter(keep).select("l_orderkey", "l_linenumber", "l_quantity")
 
 
 @query(

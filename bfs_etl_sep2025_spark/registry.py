@@ -56,105 +56,123 @@ def query(
 
 #: Names promoted to the FRONT of ``queries()``/``oracle_sql()`` iteration
 #: order. The external driver hash-checks queries in iteration order under a
-#: ~50-query/round budget. After round 3 the union covers 147/148 queries
-#: (144 green, 3 rows-only); the round-4 window therefore leads with the
-#: ONLY never-driver-checked query (``window_gaps_islands``, committed after
-#: the r3 run — VERDICT r3 item 1) and any queries new this round, then
-#: RE-verifies the round-1 greens — the oldest driver signal, predating the
-#: r2/r3 reworks of shared helpers — so every green row in the union stays
-#: at most two rounds stale. Names not in the registry are ignored, so this
-#: list is safe across refactors; everything else follows in registration
-#: order.
+#: ~50-query/round budget; the union across rounds covers 179/179, so each
+#: round's job is to keep the OLDEST green signal fresh and to re-verify any
+#: query whose code changed since its last driver row. Round-6 window
+#: (VERDICT r5 "next round" item 1): lead with the queries whose code
+#: changed after their last green (``similarity_cosine_neardup`` — barrier
+#: refactored r5, green from r3; ``sample_seeded`` — md5-threshold rewrite
+#: with its FIRST oracle this round; the two multimodal decodes — NULL-digest
+#: sentinel added r6), then RE-verify the round-2 cohort
+#: (TPC-H/windows/sinks/funnel/setops/corpus/streaming — the oldest greens,
+#: 4 rounds stale), minus ``q9_product_profit`` (re-verified r3). The r3
+#: cohort follows for whatever budget remains and leads round 7. Names not
+#: in the registry are ignored, so this list is safe across refactors;
+#: everything else follows in registration order.
 _PRIORITY: tuple[str, ...] = (
-    # the one query with zero external signal (VERDICT r3 item 1)
-    "window_gaps_islands",
-    # new in round 4 — no external row yet
-    "similarity_kmeans_train",
-    "udtf_chunk_text",
-    "fn_variant_json",
-    "sql_recursive_cte",
-    "fn_sql_udf",
-    "fn_sql_table_udf",
-    "fn_session_variables",
-    "sql_scripting_block",
-    "embedding_random_projection",
+    # code changed since last green / first-ever oracle — highest signal
+    "similarity_cosine_neardup",
+    "sample_seeded",
     "multimodal_decode_image",
     "multimodal_decode_audio",
-    "text_pii_redact",
-    "agg_corr_cov",
-    "agg_histogram",
-    "agg_heavy_hitter_tokens",
-    "agg_outliers_iqr",
-    "diag_key_skew",
-    "events_interval_concurrency",
-    "events_timeseries_gapfill",
-    "window_ratio_to_report",
-    "window_ewma",
-    "join_fuzzy_levenshtein",
-    "text_zipf_rank",
-    "dq_expectations",
-    "graph_degree_distribution",
-    "graph_triangle_count",
-    "graph_link_prediction_cn",
-    "scan_text_roundtrip",
-    "window_cumulative_distinct",
-    "agg_mode_deterministic",
-    "corpus_budget_select",
-    # round-1 greens, oldest signal first: aggregates
-    "agg_basic_stats",
-    "agg_count_distinct_multi",
-    "agg_approx_count_distinct",
-    "agg_rollup",
-    "agg_cube",
-    "agg_grouping_sets",
-    "agg_having",
-    "agg_pivot",
-    "agg_percentiles",
-    "agg_salted_two_stage",
-    "agg_grouping_id",
-    "agg_approx_percentiles",
-    # dedup family
-    "dedup_exact",
-    "dedup_normalized",
-    "dedup_minhash_signature",
-    "dedup_minhash_lsh_pairs",
-    "llm_corpus_clean",
-    "dedup_minhash_clusters",
-    "dedup_simhash",
-    "dedup_simhash_pairs",
-    "dedup_ngram_jaccard",
-    # formats
-    "scan_jsonlines",
-    "scan_csv_roundtrip",
-    "unpivot_stack",
-    # scalar-function suites
-    "fn_string_suite",
-    "fn_date_suite",
-    "fn_math_suite",
-    "fn_json_extraction",
-    "fn_array_suite",
-    "fn_array_advanced",
-    "fn_regex_extended",
-    "fn_struct_collect",
-    "fn_explode_posexplode",
-    "fn_conditional_agg",
-    "fn_null_suite",
-    "fn_string_agg",
-    "fn_date_extended",
-    "fn_string_extended",
-    "sample_seeded",
-    "fn_bitwise",
-    "fn_map_suite",
-    # joins
-    "join_inner",
-    "join_left_outer",
-    "join_right_outer",
-    "join_full_outer",
-    "join_left_semi",
-    "join_left_anti",
-    "join_cross",
-    "join_broadcast_dim",
-    "join_range",
+    # round-2 cohort: oldest driver greens (4 rounds stale)
+    "q1_pricing_summary",
+    "q2_min_cost_supplier",
+    "q3_shipping_priority",
+    "q4_order_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q10_returned_items",
+    "q11_important_stock",
+    "q12_priority_by_linestatus",
+    "q13_customer_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_supplier_part_count",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_customer",
+    "q19_disjunctive_predicates",
+    "q20_potential_promotion",
+    "q21_suppliers_kept_waiting",
+    "q22_dormant_high_balance",
+    "corpus_split_assign",
+    "corpus_chunk_overlap",
+    "corpus_decontaminate",
+    "corpus_mixture_sample",
+    "funnel_ordered_steps",
+    "retention_cohorts",
+    "event_path_transitions",
+    "stream_stream_interval_join",
+    "layout_zorder_clustering",
+    "incremental_agg_merge",
+    "events_hypertable_rollup",
+    "window_ranking",
+    "window_analytic",
+    "window_row_frames",
+    "window_range_frame",
+    "window_distribution",
+    "topk_per_group",
+    "window_sessionize",
+    "scan_projection_pushdown",
+    "filter_predicates",
+    "project_computed_columns",
+    "null_safe_equality",
+    "sink_partitioned_roundtrip",
+    "cdc_latest_per_key",
+    "scd2_intervals",
+    "setop_union_all",
+    "setop_union_distinct",
+    "setop_intersect",
+    # round-3 cohort spills into round 7's lead
+    "subquery_scalar",
+    "subquery_in",
+    "subquery_exists_correlated",
+    "subquery_correlated_scalar",
+    "lateral_view_explode",
+    "similarity_topk_bruteforce",
+    "similarity_topk_lsh",
+    "similarity_ann_ivf",
+    "embedding_quantize_int8",
+    "text_token_stats",
+    "text_language_id",
+    "text_language_id_ngram",
+    "text_quality_score",
+    "text_fingerprint",
+    "text_term_scores",
+    "text_top_bigrams",
+    "text_gopher_rules",
+    "text_bpe_pretokenize",
+    "udf_python_scalar",
+    "udf_pandas_scalar",
+    "udf_grouped_map",
+    "udf_grouped_agg",
+    "stream_tumbling_window",
+    "stream_sliding_window",
+    "stream_session_window",
+    "stream_ingest_availablenow",
+    "stream_static_join",
+    "stream_dedup_stateful",
+    "multimodal_binary_meta",
+    "multimodal_feature_extract",
+    "multimodal_frame_sample",
+    "setop_except",
+    "setop_except_all",
+    "setop_intersect_all",
+    "distinct_pairs",
+    "sort_limit_topn",
+    "join_salted_skew",
+    "join_asof",
+    "scan_orc_roundtrip",
+    "corpus_pack_sequences",
+    "text_repetition_ngrams",
+    "similarity_topk_lsh_multitable",
+    "diag_table_stats",
+    "events_anomaly_burst",
+    "udf_arrow_scalar",
+    "fn_higher_order_suite",
+    "q9_product_profit",
 )
 
 

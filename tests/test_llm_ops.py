@@ -165,6 +165,15 @@ def test_sample_seeded_deterministic_and_bounded(spark):
     assert 0.05 * 60000 < len(a) < 0.15 * 60000
 
 
+def test_sample_seeded_oracle_parity(spark, duck):
+    """The md5-threshold sample is engine-exact (VERDICT r5 item 2): the
+    DuckDB oracle draws the IDENTICAL subset, not just a similar-sized one."""
+    from bfs_etl_sep2025_spark.registry import all_specs
+    from tests.conftest import assert_parity
+
+    assert_parity(spark, duck, all_specs()["sample_seeded"])
+
+
 def test_language_id_scores_populated(spark):
     rows = _q("text_language_id")(spark, SF).collect()
     assert len(rows) == 500
