@@ -21,12 +21,15 @@ promotes the check to a cheap debug-mode RUNTIME assertion: with
 every :func:`barrier_filter` call scans the optimized plan's explain string
 and raises if any nested-loop join condition carries one of the heavy
 tokens — so a Spark upgrade that re-enables pushdown fails loudly in any
-deployment that runs with the flag (CI sets it), not only in this repo's
-test suite. Zero overhead when the flag is off: one session-conf read.
+deployment that runs with the flag, not only in the two dedicated tests.
+The repo's own pytest session fixture (``tests/conftest.py``) sets the
+flag, so EVERY suite run asserts every barrier call site. Zero overhead
+when the flag is off: one session-conf read.
 """
 
 from __future__ import annotations
 
+import re
 from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame
@@ -47,22 +50,41 @@ def _explain_simple(df: DataFrame) -> str:
     return df._jdf.queryExecution().explainString(mode)
 
 
+#: the condition segment of a physical nested-loop join line:
+#: ``...NestedLoopJoin BuildRight, Inner, (u#1 < v#2)``. The build side and
+#: join type are stripped so heavy tokens are matched ONLY against the
+#: join's bound condition — not against output-column lists some Spark
+#: versions print on the same line (ADVICE r5).
+_NLJ_CONDITION = re.compile(
+    r"NestedLoopJoin\s+Build(?:Left|Right)"  # build side
+    r"(?:,\s*\w+)?"  # join type (Inner, Cross, LeftSemi, ...)
+    r",\s*(?P<cond>.*)$"
+)
+
+
 def assert_no_join_pushdown(
     df: DataFrame, heavy_tokens: Sequence[str] = DEFAULT_HEAVY_TOKENS
 ) -> None:
-    """Raise AssertionError if any (broadcast) nested-loop join line in the
-    optimized physical plan carries a heavy expression token — i.e. a
-    barrier-guarded predicate was pushed into the join's bound condition."""
+    """Raise AssertionError if any (broadcast) nested-loop join CONDITION in
+    the optimized physical plan carries a heavy expression token — i.e. a
+    barrier-guarded predicate was pushed into the join's bound condition.
+    A condition-less nested-loop join (pure cross product) never raises,
+    and heavy tokens elsewhere in the plan (projections, other operators'
+    printed columns) are out of scope by construction."""
     plan = _explain_simple(df)
     for line in plan.splitlines():
         if "NestedLoopJoin" not in line:
             continue
+        m = _NLJ_CONDITION.search(line)
+        if m is None:  # no bound condition printed -> nothing pushed
+            continue
+        cond = m.group("cond")
         for tok in heavy_tokens:
-            if tok in line:
+            if tok in cond:
                 raise AssertionError(
                     f"pushdown barrier violated: {tok!r} appears in a "
                     f"nested-loop join condition — Catalyst pushed a heavy "
-                    f"predicate below the barrier (join line: {line.strip()!r})"
+                    f"predicate below the barrier (condition: {cond.strip()!r})"
                 )
 
 
@@ -75,8 +97,12 @@ def barrier_filter(
     (see module docstring). When ``spark.bfs.debug.planAssert`` is true,
     additionally asserts at plan time that no nested-loop join condition
     carries a heavy token."""
-    out = df.withColumn("_mid", F.monotonically_increasing_id())
-    res = out.filter(pred | (F.col("_mid") < F.lit(-1))).drop("_mid")
+    # collision-free barrier column: never clobber a caller's own _mid
+    mid = "_mid"
+    while mid in df.columns:
+        mid += "_"
+    out = df.withColumn(mid, F.monotonically_increasing_id())
+    res = out.filter(pred | (F.col(mid) < F.lit(-1))).drop(mid)
     spark = df.sparkSession
     if spark.conf.get(PLAN_ASSERT_CONF, "false").lower() == "true":
         assert_no_join_pushdown(res, heavy_tokens)

@@ -37,6 +37,8 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -148,18 +150,46 @@ def _edges_bucket_join(occ: DataFrame) -> DataFrame:
 #: and the edge list, accumulating unbounded cache entries over a long
 #: driver session (ADVICE r4). The memo holds only the small materialized
 #: edge list; intermediates (mask tables) are unpersisted after the one
-#: eager build.
+#: eager build. Entries from PREVIOUS sessions (stale applicationId) are
+#: evicted on access, concurrent first callers are races resolved by
+#: ``setdefault`` (the loser unpersists its build), and
+#: :func:`clear_edge_memo` lets a long-lived driver drop everything between
+#: fixture-dir generations (ADVICE r5).
 _EDGE_MEMO: dict[tuple[str, str], DataFrame] = {}
+_EDGE_LOCK = threading.Lock()
+
+
+def clear_edge_memo() -> None:
+    """Unpersist and forget every memoized edge list — call after a fixture
+    dir is regenerated in-process, or between sweeps over many sf_dirs."""
+    with _EDGE_LOCK:
+        entries = list(_EDGE_MEMO.values())
+        _EDGE_MEMO.clear()
+    for df in entries:
+        try:
+            df.unpersist()
+        except Exception:  # session may already be stopped
+            pass
 
 
 def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    key = (spark.sparkContext.applicationId, sf_dir)
-    memo = _EDGE_MEMO.get(key)
+    app = spark.sparkContext.applicationId
+    key = (app, sf_dir)
+    with _EDGE_LOCK:
+        # entries keyed by a dead session's applicationId reference plans
+        # that can never run again — drop them instead of pinning them for
+        # the process lifetime
+        for stale in [k for k in _EDGE_MEMO if k[0] != app]:
+            del _EDGE_MEMO[stale]
+        memo = _EDGE_MEMO.get(key)
     if memo is not None:
         return memo
     e = _edges_build(spark, sf_dir)
-    _EDGE_MEMO[key] = e
-    return e
+    with _EDGE_LOCK:
+        winner = _EDGE_MEMO.setdefault(key, e)
+    if winner is not e:  # lost a concurrent build race: discard ours
+        e.unpersist()
+    return winner
 
 
 def _edges_build(spark: SparkSession, sf_dir: str) -> DataFrame:

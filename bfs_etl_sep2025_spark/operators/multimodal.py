@@ -308,7 +308,8 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         WITH px AS (
           SELECT doc_id AS asset_id,
                  list_transform(range(0, {IMG_W * IMG_H * 3}),
-                     i -> ascii(substr(md5(text), (i % 32) + 1, 1)))
+                     i -> ascii(substr(coalesce(md5(text), repeat('0', 32)),
+                                       (i % 32) + 1, 1)))
                    AS pixels
           FROM documents
         )
@@ -338,7 +339,15 @@ def multimodal_decode_image(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: decode is the Arrow-batched Python boundary a real pipeline has;
     everything before it is columnar binary transport (pruned when unused)."""
-    a = media_assets(spark, sf_dir)
+    return image_stats(media_assets(spark, sf_dir))
+
+
+def image_stats(a: DataFrame) -> DataFrame:
+    """Encode->decode->pool pipeline over an assets frame (see
+    :func:`multimodal_decode_image`). A NULL payload hashes to the
+    all-'0' sentinel digest (``coalesce``, mirrored in the oracle) so both
+    engines emit the same deterministic stats row instead of the encode UDF
+    dying on ``ord(None)`` (ADVICE r4)."""
     n_px = IMG_W * IMG_H * 3
 
     def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -369,7 +378,8 @@ def multimodal_decode_image(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     encoded = a.select(
-        "asset_id", F.md5("payload").alias("digest")
+        "asset_id",
+        F.coalesce(F.md5("payload"), F.lit("0" * 32)).alias("digest"),
     ).mapInPandas(encode, "asset_id long, media binary")
     return encoded.mapInPandas(
         decode,
@@ -385,7 +395,8 @@ def multimodal_decode_image(spark: SparkSession, sf_dir: str) -> DataFrame:
         WITH s AS (
           SELECT doc_id AS asset_id,
                  list_transform(range(0, {WAV_SAMPLES}),
-                     i -> (ascii(substr(md5(text), (i % 32) + 1, 1))
+                     i -> (ascii(substr(coalesce(md5(text), repeat('0', 32)),
+                                        (i % 32) + 1, 1))
                            - 128) * 256)
                    AS samples
           FROM documents
@@ -409,7 +420,13 @@ def multimodal_decode_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     — the reported sample rate, channel count and frame count come from
     the parsed header, not from assumptions — and compute signal
     statistics the oracle recomputes relationally."""
-    a = media_assets(spark, sf_dir)
+    return audio_stats(media_assets(spark, sf_dir))
+
+
+def audio_stats(a: DataFrame) -> DataFrame:
+    """Encode->decode->stats pipeline over an assets frame (see
+    :func:`multimodal_decode_audio`); NULL payloads take the all-'0'
+    sentinel digest like :func:`image_stats` (ADVICE r4)."""
 
     def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -442,7 +459,8 @@ def multimodal_decode_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     encoded = a.select(
-        "asset_id", F.md5("payload").alias("digest")
+        "asset_id",
+        F.coalesce(F.md5("payload"), F.lit("0" * 32)).alias("digest"),
     ).mapInPandas(encode, "asset_id long, media binary")
     return encoded.mapInPandas(
         decode,

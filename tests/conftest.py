@@ -30,7 +30,15 @@ def spark(tmp_path_factory):
     spark = build_spark(
         app_name="bfs-etl-tests",
         shuffle_partitions=8,
-        extra_conf={"spark.sql.warehouse.dir": str(warehouse)},
+        extra_conf={
+            "spark.sql.warehouse.dir": str(warehouse),
+            # every barrier_filter call site (graph bitmaps, similarity
+            # sweeps) runtime-asserts on EVERY suite run that Catalyst did
+            # not push the heavy predicate into a nested-loop join
+            # condition — the Spark-upgrade tripwire is always live in CI,
+            # not only in the two dedicated barrier tests (ADVICE r5).
+            "spark.bfs.debug.planAssert": "true",
+        },
     )
     yield spark
 

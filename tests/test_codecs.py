@@ -74,3 +74,26 @@ def test_wav_rejects_truncated_data_chunk():
     payload = encode_wav_pcm16([1, 2, 3, 4])
     with pytest.raises(ValueError, match="truncated"):
         decode_wav_pcm16(payload[:-3])
+
+
+def test_null_payload_takes_sentinel_digest(spark):
+    """A NULL media payload must not kill the encode UDF with ord(None):
+    both decode pipelines coalesce the digest to the all-'0' sentinel
+    (mirrored in the DuckDB oracles), so a NULL asset yields the
+    deterministic constant-pixel/-sample stats row (ADVICE r4)."""
+    from bfs_etl_sep2025_spark.operators.multimodal import (
+        audio_stats,
+        image_stats,
+    )
+
+    assets = spark.createDataFrame(
+        [(1, bytearray(b"hello")), (2, None)], "asset_id long, payload binary"
+    )
+    img = {r.asset_id: r for r in image_stats(assets).collect()}
+    # digest '0'*32 -> every pixel byte is ord('0') = 48
+    assert (img[2].mean_px, img[2].max_px, img[2].min_px) == (48.0, 48, 48)
+    assert img[1].max_px > img[1].min_px  # real digest varies
+    aud = {r.asset_id: r for r in audio_stats(assets).collect()}
+    assert aud[2].mean_sample == (48 - 128) * 256
+    assert aud[2].peak == (48 - 128) * 256
+    assert aud[2].n_samples == 64
