@@ -14,19 +14,34 @@ over the snapshot:
 - matched + DELETE  -> target LEFT ANTI JOIN source (keep non-matches)
 - not matched + INSERT -> source LEFT ANTI JOIN target, projected to the
   target schema (missing columns become typed NULLs)
+- not matched BY SOURCE + UPDATE/DELETE -> the SAME left join: a target
+  row whose join marker is NULL has no source match, so the branch CASE
+  dispatches on ``marker IS NULL`` — no extra join or shuffle
 
 branches UNION ALL'd, materialized to a staging table (a CTAS cannot read
 and overwrite the same table in one statement), then swapped in with
 ``INSERT OVERWRITE``. The rewrite keeps the statement's own aliases so
 ``ON``/``SET``/``VALUES`` expressions run verbatim.
 
-Supported grammar (the common Snowflake shapes)::
+Supported grammar (the common warehouse shapes — Snowflake's MERGE plus
+the SQL-Server/Databricks ``BY SOURCE`` extension)::
 
     MERGE INTO <tgt> [[AS] t] USING <src | (subquery)> [[AS] s]
     ON <cond>
     [WHEN MATCHED [AND <guard>] THEN UPDATE SET col = expr [, ...]] ...
     [WHEN MATCHED [AND <guard>] THEN DELETE] ...
-    [WHEN NOT MATCHED [AND <guard>] THEN INSERT [(cols)] VALUES (exprs)] ...
+    [WHEN NOT MATCHED [BY TARGET] [AND <guard>]
+         THEN INSERT [(cols)] VALUES (exprs)] ...
+    [WHEN NOT MATCHED BY SOURCE [AND <guard>] THEN UPDATE SET ...] ...
+    [WHEN NOT MATCHED BY SOURCE [AND <guard>] THEN DELETE] ...
+
+``NOT MATCHED BY TARGET`` is the standard synonym for plain ``NOT
+MATCHED``; ``NOT MATCHED BY SOURCE`` selects target rows with no source
+match — the full-sync clause (delete/retire rows that vanished upstream)
+a warehouse user migrating through the reference's arbitrary-SQL
+chokepoint (``/root/reference/dags/dev_db_test.py:41-70``) reaches next.
+Its SET expressions may reference only target columns (source columns are
+all NULL on that side by construction).
 
 Multiple guarded branches per match side are evaluated in statement order —
 the first branch whose guard is true applies (Snowflake's rule); a branch
@@ -55,7 +70,10 @@ _MERGE_HEAD = re.compile(r"(?i)^\s*MERGE\s+INTO\s+")
 _USING = re.compile(r"(?i)^USING\b")
 _ON = re.compile(r"(?i)^ON\b")
 _WHEN = re.compile(r"(?i)^WHEN\b")
-_WHEN_HEAD = re.compile(r"(?is)^WHEN\s+(?P<not>NOT\s+)?MATCHED\b")
+_WHEN_HEAD = re.compile(
+    r"(?is)^WHEN\s+(?P<not>NOT\s+)?MATCHED"
+    r"(?:\s+BY\s+(?P<by>SOURCE|TARGET)\b)?"
+)
 _THEN = re.compile(r"(?i)^THEN\b")
 _AND_HEAD = re.compile(r"(?is)^AND\b")
 _UPDATE_ACT = re.compile(r"(?is)^UPDATE\s+SET\s+(?P<sets>.+)$")
@@ -97,6 +115,9 @@ class MergeSpec:
     on: str
     matched: list[MatchedBranch] = field(default_factory=list)
     not_matched: list[InsertBranch] = field(default_factory=list)
+    #: WHEN NOT MATCHED BY SOURCE branches (UPDATE/DELETE on target rows
+    #: with no source match) — same dataclass as matched: identical actions
+    nm_by_source: list[MatchedBranch] = field(default_factory=list)
 
     # -- first-branch convenience views (the pre-guard API shape) ----------
     @property
@@ -188,6 +209,13 @@ def parse_merge(stmt: str) -> MergeSpec:
         if not head:
             raise ValueError(f"unsupported MERGE clause: {clause[:60]!r}")
         is_not = bool(head.group("not"))
+        by = (head.group("by") or "").upper()
+        if by and not is_not:
+            raise ValueError(
+                f"unsupported MERGE clause: WHEN MATCHED BY {by} "
+                "(BY SOURCE/TARGET qualify only NOT MATCHED)"
+            )
+        by_source = by == "SOURCE"  # BY TARGET == plain NOT MATCHED
         rest = clause[head.end() :].strip()
         # optional AND <guard> runs to the first top-level THEN
         guard: str | None = None
@@ -209,23 +237,31 @@ def parse_merge(stmt: str) -> MergeSpec:
             if not guard:
                 raise ValueError(f"empty MERGE guard: {clause[:60]!r}")
         action = rest[then_at + len("THEN") :].strip()
-        prior = spec.not_matched if is_not else spec.matched
+        if by_source:
+            prior: list = spec.nm_by_source
+            side = "NOT MATCHED BY SOURCE"
+        elif is_not:
+            prior = spec.not_matched
+            side = "NOT MATCHED"
+        else:
+            prior = spec.matched
+            side = "MATCHED"
         if prior and prior[-1].guard is None:
             raise ValueError(
-                "MERGE: branch after an unguarded WHEN "
-                f"{'NOT ' if is_not else ''}MATCHED is unreachable"
+                f"MERGE: branch after an unguarded WHEN {side} is unreachable"
             )
-        if not is_not and _DELETE_ACT.match(action):
-            spec.matched.append(MatchedBranch(guard=guard, delete=True))
-        elif not is_not and (mm := _UPDATE_ACT.match(action)):
+        update_side = by_source or not is_not  # sides taking UPDATE/DELETE
+        if update_side and _DELETE_ACT.match(action):
+            prior.append(MatchedBranch(guard=guard, delete=True))
+        elif update_side and (mm := _UPDATE_ACT.match(action)):
             sets: dict[str, str] = {}
             for assign in _split_top_level(mm.group("sets")):
                 col, _, expr = assign.partition("=")
                 if not expr:
                     raise ValueError(f"bad SET assignment: {assign!r}")
                 sets[col.strip().split(".")[-1].strip('`"')] = expr.strip()
-            spec.matched.append(MatchedBranch(guard=guard, sets=sets))
-        elif is_not and (mm := _INSERT_ACT.match(action)):
+            prior.append(MatchedBranch(guard=guard, sets=sets))
+        elif is_not and not by_source and (mm := _INSERT_ACT.match(action)):
             cols = mm.group("cols")
             spec.not_matched.append(
                 InsertBranch(
@@ -261,6 +297,7 @@ def _rewrite(spec: MergeSpec, tgt_fields: list[tuple[str, str]]) -> str:
         len(spec.matched) == 1
         and spec.matched[0].delete
         and spec.matched[0].guard is None
+        and not spec.nm_by_source
     )
     if only_unguarded_delete:
         cols = ", ".join(f"{t}.{c} AS {c}" for c, _ in tgt_fields)
@@ -269,30 +306,35 @@ def _rewrite(spec: MergeSpec, tgt_fields: list[tuple[str, str]]) -> str:
             f"LEFT ANTI JOIN {src} ON {spec.on}"
         )
     else:
-        # first-true-wins branch ordinal; 0 = untouched target row
+        # first-true-wins branch ordinal over BOTH target-side clause
+        # lists; 0 = untouched target row. The two sides' conditions are
+        # mutually exclusive (__merge_m is true iff a source row matched),
+        # so one CASE — and the single existing LEFT JOIN — serves both:
+        # BY SOURCE costs no extra join or shuffle.
+        sided: list[tuple[str, MatchedBranch]] = [
+            (f"{s}.__merge_m", b) for b in spec.matched
+        ] + [(f"{s}.__merge_m IS NULL", b) for b in spec.nm_by_source]
         arms = "".join(
-            f" WHEN {s}.__merge_m"
+            f" WHEN {cond}"
             + (f" AND ({b.guard})" if b.guard is not None else "")
             + f" THEN {i}"
-            for i, b in enumerate(spec.matched, start=1)
+            for i, (cond, b) in enumerate(sided, start=1)
         )
         act = f"CASE{arms} ELSE 0 END" if arms else "0"
         del_ids = [
-            str(i) for i, b in enumerate(spec.matched, start=1) if b.delete
+            str(i) for i, (_, b) in enumerate(sided, start=1) if b.delete
         ]
         cols = ", ".join(
             (
                 f"CASE ({act})"
                 + "".join(
                     f" WHEN {i} THEN ({b.sets[c]})"
-                    for i, b in enumerate(spec.matched, start=1)
+                    for i, (_, b) in enumerate(sided, start=1)
                     if not b.delete and c in b.sets
                 )
                 + f" ELSE {t}.{c} END AS {c}"
             )
-            if any(
-                not b.delete and c in b.sets for b in spec.matched
-            )
+            if any(not b.delete and c in b.sets for _, b in sided)
             else f"{t}.{c} AS {c}"
             for c, _ in tgt_fields
         )
@@ -357,8 +399,9 @@ def _check_deterministic(spark, spec: MergeSpec) -> None:
     ``ERROR_ON_NONDETERMINISTIC_MERGE=true``), which the LEFT-JOIN rewrite
     would otherwise silently fan out. One extra join+aggregate over the
     snapshot, the same pre-check Delta's MERGE runs; only needed (and only
-    run) when a MATCHED branch exists — insert-only merges are unaffected
-    by duplicate matches (the anti join collapses them)."""
+    run) when the rewrite takes the LEFT JOIN path (any MATCHED or NOT
+    MATCHED BY SOURCE branch) — insert-only merges are unaffected by
+    duplicate matches (the anti join collapses them)."""
     t, s = spec.target_alias, spec.source_alias
     view = "__merge_rid_" + re.sub(r"\W", "_", spec.target)
     from pyspark.sql import functions as F
@@ -385,7 +428,7 @@ def _check_deterministic(spark, spec: MergeSpec) -> None:
 def run_merge(spark, stmt: str) -> None:
     """Parse + execute one MERGE INTO against the session catalog."""
     spec = parse_merge(stmt)
-    if spec.matched:
+    if spec.matched or spec.nm_by_source:
         _check_deterministic(spark, spec)
     schema = spark.table(spec.target).schema
     tgt_fields = [(f.name, f.dataType.simpleString()) for f in schema.fields]
@@ -397,3 +440,7 @@ def run_merge(spark, stmt: str) -> None:
         spark.sql(f"INSERT OVERWRITE TABLE {spec.target} SELECT * FROM {stage}")
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {stage}")
+    # drop cached file listings for the overwritten target: a reader that
+    # scanned the table before this MERGE would otherwise chase deleted
+    # part files (FAILED_READ_FILE on the second upsert of a stream sink)
+    spark.sql(f"REFRESH TABLE {spec.target}")

@@ -286,3 +286,7 @@ def run_stream_merge_upsert(
         .start()
     )
     q.awaitTermination()
+    # the MERGEs ran (and refreshed) on foreachBatch's CLONED session; the
+    # caller's session still caches the pre-stream file listing for the
+    # target and would chase deleted part files on its next read
+    df.sparkSession.catalog.refreshTable(target)

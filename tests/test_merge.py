@@ -400,3 +400,164 @@ def test_parse_merge_guarded_roundtrip(tgt, salias, key, cols, gval):
     assert spec.matched[1].guard is None
     assert spec.matched[1].sets == {c: f"{salias}.{c}" for c in cols}
     assert spec.not_matched[0].guard == f"{salias}.{key} <= {gval}"
+
+
+# -- WHEN NOT MATCHED BY SOURCE (full-sync clause, VERDICT r5 item 3) -------
+
+
+def test_parse_by_source_branches():
+    spec = parse_merge(
+        "MERGE INTO t USING s ON t.id = s.id "
+        "WHEN MATCHED THEN UPDATE SET v = s.v "
+        "WHEN NOT MATCHED BY TARGET THEN INSERT (id, v) VALUES (s.id, s.v) "
+        "WHEN NOT MATCHED BY SOURCE AND t.v > 0 THEN UPDATE SET v = -t.v "
+        "WHEN NOT MATCHED BY SOURCE THEN DELETE"
+    )
+    # BY TARGET is a synonym for plain NOT MATCHED
+    assert spec.insert_cols == ["id", "v"]
+    assert len(spec.nm_by_source) == 2
+    assert spec.nm_by_source[0].guard == "t.v > 0"
+    assert spec.nm_by_source[0].sets == {"v": "-t.v"}
+    assert spec.nm_by_source[1].delete and spec.nm_by_source[1].guard is None
+
+
+def test_parse_by_source_rejections():
+    # BY SOURCE/TARGET qualify only NOT MATCHED
+    with pytest.raises(ValueError):
+        parse_merge(
+            "MERGE INTO t USING s ON t.id = s.id "
+            "WHEN MATCHED BY SOURCE THEN DELETE"
+        )
+    # INSERT is not a BY SOURCE action (there is no source row to insert)
+    with pytest.raises(ValueError):
+        parse_merge(
+            "MERGE INTO t USING s ON t.id = s.id "
+            "WHEN NOT MATCHED BY SOURCE THEN INSERT (id) VALUES (1)"
+        )
+    # unreachable-branch rule applies per side
+    with pytest.raises(ValueError):
+        parse_merge(
+            "MERGE INTO t USING s ON t.id = s.id "
+            "WHEN NOT MATCHED BY SOURCE THEN DELETE "
+            "WHEN NOT MATCHED BY SOURCE THEN UPDATE SET v = 0"
+        )
+
+
+def test_parse_by_source_does_not_shadow_other_sides():
+    """An unguarded BY SOURCE branch must not make MATCHED / NOT MATCHED
+    branches unreachable — the three sides are disjoint row sets."""
+    spec = parse_merge(
+        "MERGE INTO t USING s ON t.id = s.id "
+        "WHEN NOT MATCHED BY SOURCE THEN DELETE "
+        "WHEN MATCHED THEN UPDATE SET v = s.v "
+        "WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.id, s.v)"
+    )
+    assert spec.nm_by_source[0].delete
+    assert spec.update_sets == {"v": "s.v"}
+    assert spec.insert_cols == ["id", "v"]
+
+
+def test_merge_full_sync_executes(spark):
+    """The canonical full-sync: upsert everything the source has, delete
+    what it no longer has. Target {1,2} + source {2,3} -> {2 updated,
+    3 inserted}, row 1 deleted by the BY SOURCE branch."""
+    p = Pipeline("merge_sync", clock=lambda: FROZEN)
+    _seed(spark, p)
+    p.run(spark)
+    p2 = Pipeline("merge_sync2", clock=lambda: FROZEN)
+    SqlTask(
+        "merge",
+        sql=(
+            "MERGE INTO m_tgt t USING m_src s ON t.id = s.id "
+            "WHEN MATCHED THEN UPDATE SET val = s.val "
+            "WHEN NOT MATCHED THEN INSERT (id, val, n) "
+            "VALUES (s.id, s.val, 0) "
+            "WHEN NOT MATCHED BY SOURCE THEN DELETE"
+        ),
+        schema="dev_db",
+        pipeline=p2,
+    )
+    p2.run(spark)
+    rows = {(r.id, r.val, r.n) for r in spark.table("dev_db.m_tgt").collect()}
+    assert rows == {(2, "B", 20), (3, "C", 0)}
+
+
+def test_merge_by_source_guarded_update_executes(spark):
+    """Soft-retire variant: rows gone upstream are flagged, not deleted;
+    guards evaluated first-true-wins on the BY SOURCE side. SET
+    expressions see only target columns (source side is all-NULL)."""
+    p = Pipeline("merge_ret", clock=lambda: FROZEN)
+    _seed(spark, p)
+    p.run(spark)
+    p2 = Pipeline("merge_ret2", clock=lambda: FROZEN)
+    SqlTask(
+        "merge",
+        sql=(
+            "MERGE INTO m_tgt t USING m_src s ON t.id = s.id "
+            "WHEN NOT MATCHED BY SOURCE AND t.n >= 100 THEN DELETE "
+            "WHEN NOT MATCHED BY SOURCE THEN UPDATE SET val = 'gone', "
+            "n = t.n + 1"
+        ),
+        schema="dev_db",
+        pipeline=p2,
+    )
+    p2.run(spark)
+    rows = {(r.id, r.val, r.n) for r in spark.table("dev_db.m_tgt").collect()}
+    # row 1 (n=10 < 100) soft-retired; row 2 matched -> untouched
+    assert rows == {(1, "gone", 11), (2, "b", 20)}
+
+
+def test_merge_by_source_only_duplicate_source_raises(spark):
+    """Even with no MATCHED branch, a BY SOURCE merge takes the LEFT JOIN
+    path, so duplicate source matches would fan matched rows out — the
+    nondeterminism pre-check must fire."""
+    p = Pipeline("merge_dupbs", clock=lambda: FROZEN)
+    _seed(spark, p)
+    p.run(spark)
+    p2 = Pipeline("merge_dupbs2", clock=lambda: FROZEN)
+    SqlTask(
+        "dup",
+        sql="INSERT INTO m_src VALUES (2, 'B2')",
+        schema="dev_db",
+        pipeline=p2,
+    )
+    SqlTask(
+        "merge",
+        sql=(
+            "MERGE INTO m_tgt t USING m_src s ON t.id = s.id "
+            "WHEN NOT MATCHED BY SOURCE THEN DELETE"
+        ),
+        schema="dev_db",
+        pipeline=p2,
+    )
+    p2.tasks["dup"] >> p2.tasks["merge"]
+    with pytest.raises(Exception, match="nondeterministic"):
+        p2.run(spark)
+
+
+@given(
+    tgt=_ident, salias=_ident, key=_ident,
+    cols=st.lists(_ident, min_size=1, max_size=3, unique=True),
+    gval=st.integers(min_value=0, max_value=99),
+)
+@settings(max_examples=40, deadline=None)
+def test_parse_merge_by_source_roundtrip(tgt, salias, key, cols, gval):
+    """Generated three-sided merges parse into their exact branch lists,
+    BY SOURCE guards and SET maps verbatim, order preserved per side."""
+    sets = ", ".join(f"{c} = {salias}.{c}" for c in cols)
+    bs_sets = ", ".join(f"{c} = NULL" for c in cols)
+    spec = parse_merge(
+        f"MERGE INTO {tgt} USING src AS {salias} "
+        f"ON {tgt}.{key} = {salias}.{key} "
+        f"WHEN MATCHED THEN UPDATE SET {sets} "
+        f"WHEN NOT MATCHED BY SOURCE AND {tgt}.{key} > {gval} "
+        f"THEN UPDATE SET {bs_sets} "
+        f"WHEN NOT MATCHED BY SOURCE THEN DELETE "
+        f"WHEN NOT MATCHED BY TARGET THEN "
+        f"INSERT ({key}) VALUES ({salias}.{key})"
+    )
+    assert spec.update_sets == {c: f"{salias}.{c}" for c in cols}
+    assert spec.nm_by_source[0].guard == f"{tgt}.{key} > {gval}"
+    assert spec.nm_by_source[0].sets == {c: "NULL" for c in cols}
+    assert spec.nm_by_source[1].delete
+    assert spec.insert_cols == [key]

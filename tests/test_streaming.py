@@ -279,3 +279,74 @@ def test_foreachbatch_merge_upsert_sink(stream_env):
         for r in spark.table("dev_db.user_latest").collect()
     }
     assert rows == {(1, 13, 5.0), (2, 12, 9.0)}
+
+
+def test_stream_merge_full_sync_mirror(stream_env):
+    """run_stream_merge_upsert with a WHEN NOT MATCHED BY SOURCE DELETE
+    branch: each micro-batch is treated as the full upstream truth, so the
+    target table MIRRORS the latest batch — rows that vanished upstream are
+    deleted by the BY SOURCE branch, not left behind (VERDICT r5 item 3)."""
+    from datetime import datetime
+
+    from pyspark.sql import functions as F
+
+    from bfs_etl_sep2025_spark.streaming.jobs import run_stream_merge_upsert
+
+    spark, src, ckpt = stream_env
+    spark.sql("CREATE DATABASE IF NOT EXISTS dev_db")
+    spark.sql("DROP TABLE IF EXISTS dev_db.user_mirror")
+    spark.sql(
+        "CREATE TABLE dev_db.user_mirror (user_id BIGINT, value DOUBLE)"
+    )
+
+    def one_per_user(batch_df):
+        return (
+            batch_df.groupBy("user_id")
+            .agg(F.max_by("value", "ts").alias("value"))
+        )
+
+    def go():
+        run_stream_merge_upsert(
+            _read_stream(spark, src),
+            target="dev_db.user_mirror",
+            merge_sql=(
+                "MERGE INTO dev_db.user_mirror t USING batch_users s "
+                "ON t.user_id = s.user_id "
+                "WHEN MATCHED THEN UPDATE SET value = s.value "
+                "WHEN NOT MATCHED THEN INSERT (user_id, value) "
+                "VALUES (s.user_id, s.value) "
+                "WHEN NOT MATCHED BY SOURCE THEN DELETE"
+            ),
+            checkpoint_dir=ckpt,
+            source_view="batch_users",
+            prepare=one_per_user,
+        )
+
+    # snapshot 1: users 1 and 2
+    spark.createDataFrame(
+        [
+            (1, datetime(2024, 1, 1, 10, 0), 1, "click", 1.0, "{}"),
+            (2, datetime(2024, 1, 1, 10, 0), 2, "click", 2.0, "{}"),
+        ],
+        SCHEMA,
+    ).coalesce(1).write.mode("append").parquet(src)
+    go()
+    rows = {
+        (r.user_id, r.value)
+        for r in spark.table("dev_db.user_mirror").collect()
+    }
+    assert rows == {(1, 1.0), (2, 2.0)}
+    # snapshot 2: user 1 gone upstream, user 2 updated, user 3 new
+    spark.createDataFrame(
+        [
+            (3, datetime(2024, 1, 1, 11, 0), 2, "click", 20.0, "{}"),
+            (4, datetime(2024, 1, 1, 11, 0), 3, "click", 3.0, "{}"),
+        ],
+        SCHEMA,
+    ).coalesce(1).write.mode("append").parquet(src)
+    go()
+    rows = {
+        (r.user_id, r.value)
+        for r in spark.table("dev_db.user_mirror").collect()
+    }
+    assert rows == {(2, 20.0), (3, 3.0)}
