@@ -249,3 +249,88 @@ def test_versioned_random_op_sequences_match_model(spark, tmp_path):
     assert _rows(vt.read()) == sorted(model.items())
     for v, snap in snapshots.items():
         assert _rows(vt.read(version=v)) == sorted(snap.items()), v
+
+
+# -- multi-process contention (VERDICT r5 item 4) ---------------------------
+#
+# The in-process table_write_lock serializes threads; ACROSS processes the
+# only protection is the commit protocol itself (O_CREAT|O_EXCL manifest
+# claim + atomic _CURRENT replace). Worker processes race real append
+# commits against each other — no coordination beyond the protocol — and
+# module-level so multiprocessing's spawn start method can pickle it
+# (spawn, not fork: the parent holds a live JVM).
+
+
+def _contend_appends(root: str, seed_dir: str, n_wins: int, out_q) -> None:
+    import shutil
+    import uuid
+
+    from bfs_etl_sep2025_spark.plans.versioned import (
+        ConcurrentWriteError,
+        VersionedTable,
+    )
+
+    vt = VersionedTable(None, root)  # filesystem protocol only, no Spark
+    won: list[str] = []
+    conflicts = 0
+    try:
+        for _ in range(n_wins):
+            while True:
+                parent = vt.current_version()
+                dirname = f"v{parent + 1:05d}-{uuid.uuid4().hex[:8]}"
+                # real immutable data dir: copy of the seed snapshot's files
+                shutil.copytree(
+                    seed_dir, os.path.join(root, "data", dirname)
+                )
+                dirs = vt._manifest(parent)["dirs"] + [dirname]
+                try:
+                    vt._commit(parent + 1, parent, dirs, "append")
+                    won.append(dirname)
+                    break
+                except ConcurrentWriteError:
+                    conflicts += 1  # lost the race: re-read head, retry
+        out_q.put(("ok", won, conflicts))
+    except Exception as exc:  # pragma: no cover - failure reporting
+        out_q.put(("err", repr(exc), conflicts))
+
+
+def test_multiprocess_commit_contention(spark, tmp_path):
+    """Two independent PROCESSES each drive N append commits through the
+    optimistic protocol: exactly one writer wins each version, losers see
+    ConcurrentWriteError and retry cleanly, and the final snapshot contains
+    every winner's data — no lost updates, linear history."""
+    import multiprocessing as mp
+
+    root = str(tmp_path / "contend")
+    vt = VersionedTable(spark, root)
+    vt.create(spark.createDataFrame([(0, "seed")], "id INT, v STRING"))
+    seed_dir = os.path.join(root, "data", vt._manifest(1)["dirs"][0])
+
+    n_wins = 4
+    ctx = mp.get_context("spawn")
+    q = ctx.Queue()
+    procs = [
+        ctx.Process(target=_contend_appends, args=(root, seed_dir, n_wins, q))
+        for _ in range(2)
+    ]
+    for p in procs:
+        p.start()
+    results = [q.get(timeout=120) for _ in procs]
+    for p in procs:
+        p.join(timeout=120)
+    assert all(r[0] == "ok" for r in results), results
+
+    all_won = [d for r in results for d in r[1]]
+    assert len(all_won) == 2 * n_wins
+    assert len(set(all_won)) == 2 * n_wins  # no version double-claimed
+    # linear history: v1..v(1+2N), every parent pointer = version - 1
+    hist = vt.history()
+    assert [h["version"] for h in hist] == list(range(1, 2 * n_wins + 2))
+    assert all(h["parent"] == h["version"] - 1 for h in hist)
+    assert vt.current_version() == 2 * n_wins + 1
+    # no lost snapshot: the head manifest references every winner's dir,
+    # and a real Spark read sees one seed row per committed append + create
+    head_dirs = vt._manifest(vt.current_version())["dirs"]
+    assert set(all_won) <= set(head_dirs)
+    assert len(head_dirs) == 2 * n_wins + 1
+    assert vt.read().count() == 2 * n_wins + 1
