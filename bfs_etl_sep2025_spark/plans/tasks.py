@@ -235,7 +235,10 @@ _GENERIC_TYPE_OPEN = re.compile(r"(?i)\b(STRUCT|MAP|ARRAY)\s*<")
 def _generic_type_spans(text: str) -> list[tuple[int, int]]:
     """Character spans of generic type syntax (``STRUCT<...>`` etc.,
     nesting-aware) — colons inside them separate field names from types,
-    not VARIANT paths."""
+    not VARIANT paths. A ``<`` that never closes in-statement is NOT type
+    syntax (``WHERE struct < 5 AND v:a = 1`` is a comparison against a
+    column named struct) — an unclosed scan must not swallow the rest of
+    the statement and suppress VARIANT translation there (ADVICE r4)."""
     spans = []
     for m in _GENERIC_TYPE_OPEN.finditer(text):
         depth, i = 1, m.end()
@@ -245,7 +248,8 @@ def _generic_type_spans(text: str) -> list[tuple[int, int]]:
             elif text[i] == ">":
                 depth -= 1
             i += 1
-        spans.append((m.start(), i))
+        if depth == 0:  # require the closing '>' to call it a type
+            spans.append((m.start(), i))
     return spans
 
 
@@ -396,6 +400,20 @@ class SqlTask(Task):
         # DECLARE OR REPLACE VARIABLE (Spark 4). DECLARE's DEFAULT cannot
         # hold a subquery, so a query-valued SET fails loudly rather than
         # silently mis-typing — spell those as native DECLARE + SET VAR.
+        # A residual unquoted $$-delimited body at this point means a
+        # Snowflake statement shape the CREATE FUNCTION translator did not
+        # recognize (e.g. a JavaScript stored procedure): refuse NOW, with
+        # the real cause, instead of letting the $name pass mangle the body
+        # into an unrelated parse error downstream (ADVICE r4).
+        if any(
+            out[i : i + 2] == "$$" for i in _unquoted_positions(out)
+        ):
+            raise ValueError(
+                f"sql task {self.task_id!r}: statement carries a "
+                "$$-delimited body the shim does not recognize (only "
+                "CREATE FUNCTION ... AS $$<sql>$$ translates); rewrite it "
+                "as Spark SQL or quote the '$$' if it is data"
+            )
         out = sub_unquoted(_DOLLAR_VAR, r"\1", out)
         # Snowflake VARIANT colon-path (col:a.b) -> variant_get(col, '$.a.b')
         out = _sub_colon_paths(out)

@@ -281,3 +281,88 @@ def test_set_with_quoted_select_is_a_plain_value(spark):
     t = _run(spark, "SET msg = 'please select one'")
     assert any("DECLARE OR REPLACE VARIABLE msg" in s for s in t.executed)
     assert spark.sql("SELECT msg AS m").collect()[0].m == "please select one"
+
+
+def test_unclosed_angle_is_comparison_not_type_span():
+    """`struct < 5` is a comparison against a column named struct, not an
+    unclosed generic type — the span scan must not swallow the rest of the
+    statement and suppress VARIANT translation after it (ADVICE r4)."""
+    from bfs_etl_sep2025_spark.plans.tasks import (
+        _generic_type_spans,
+        _sub_colon_paths,
+    )
+
+    stmt = "SELECT * FROM t WHERE struct < 5 AND v:a.b = 1"
+    assert _generic_type_spans(stmt) == []
+    assert (
+        _sub_colon_paths(stmt)
+        == "SELECT * FROM t WHERE struct < 5 AND variant_get(v, '$.a.b') = 1"
+    )
+    # a CLOSED generic span after the comparison still shields its colons
+    mixed = "SELECT CAST(x AS STRUCT<a:INT>) FROM t WHERE map < 3 AND v:k = 1"
+    assert (
+        _sub_colon_paths(mixed)
+        == "SELECT CAST(x AS STRUCT<a:INT>) FROM t WHERE map < 3 "
+        "AND variant_get(v, '$.k') = 1"
+    )
+
+
+def test_unrecognized_dollar_body_refuses_loudly(spark):
+    """A $$ body the CREATE FUNCTION translator does not recognize (e.g. a
+    JavaScript stored procedure) must fail with the real cause, not be
+    mangled by the $name pass into an unrelated parse error (ADVICE r4)."""
+    with pytest.raises(ValueError, match=r"\$\$-delimited body"):
+        _run(
+            spark,
+            "CREATE OR REPLACE PROCEDURE p() RETURNS STRING "
+            "LANGUAGE JAVASCRIPT AS $$ return V1 + $x; $$",
+        )
+
+
+def test_quoted_dollar_dollar_is_data(spark):
+    t = _run(spark, "CREATE OR REPLACE TABLE dd_out AS SELECT '$$' AS s")
+    assert spark.table("dd_out").collect()[0].s == "$$"
+
+
+# -- property-based: quote-aware dialect substitution (VERDICT r5 item 8) ---
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+#: segment constructors: (code_form, translated_form) — literal/comment
+#: segments must ride through _translate byte-identical, code segments must
+#: always be rewritten.
+_IFF_CODE = ("IFF(c > 1, 1, 0)", "IF(c > 1, 1, 0)")
+_SYS_CODE = ("sysdate()", "TIMESTAMP '2024-03-01 12:00:00'")
+_DOLLAR_CODE = ("$myvar", "myvar")
+_PROTECTED = [
+    "'IFF(a,b,c) and sysdate() and $v'",  # single-quoted literal
+    "'it''s IFF(x) o''clock sysdate()'",  # escaped quotes inside literal
+    '"IFF"',  # quoted identifier
+    "/* IFF(1,2,3) sysdate() $v */",  # block comment
+    "-- IFF(9) sysdate() $v\n",  # line comment (newline-terminated)
+]
+_seg = st.one_of(
+    st.sampled_from([_IFF_CODE, _SYS_CODE, _DOLLAR_CODE]),
+    st.sampled_from([(p, p) for p in _PROTECTED]),
+    st.just(("col_a", "col_a")),
+)
+
+
+@given(segs=st.lists(_seg, min_size=1, max_size=8))
+@settings(max_examples=80, deadline=None)
+def test_translate_rewrites_only_unquoted_spans(segs):
+    """Random interleavings of dialect keywords inside and outside string
+    literals, quoted identifiers, and comments: _translate rewrites every
+    CODE occurrence and never touches a protected span."""
+    from bfs_etl_sep2025_spark.plans.tasks import RunContext, SqlTask
+
+    stmt = "SELECT " + " , ".join(code for code, _ in segs)
+    want = "SELECT " + " , ".join(xlated for _, xlated in segs)
+    task = SqlTask.__new__(SqlTask)  # translation needs no pipeline wiring
+    task.task_id = "prop"
+    ctx = RunContext(
+        spark=None, pipeline=None, logical_date=FROZEN, clock=lambda: FROZEN
+    )
+    out = task._translate(stmt, ctx)
+    assert out == [want]
