@@ -334,3 +334,50 @@ def test_multiprocess_commit_contention(spark, tmp_path):
     assert set(all_won) <= set(head_dirs)
     assert len(head_dirs) == 2 * n_wins + 1
     assert vt.read().count() == 2 * n_wins + 1
+
+
+def test_upsert_prunes_disjoint_dirs(spark, tmp_path):
+    """Delta-style MERGE file pruning at dir granularity: a data dir whose
+    footer-stats key range cannot overlap the source is referenced
+    unchanged in the new manifest — never read, never rewritten."""
+    vt = VersionedTable(spark, str(tmp_path / "pruned"))
+    vt.create(
+        spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "c")], "id INT, v STRING"
+        )
+    )
+    vt.append(
+        spark.createDataFrame(
+            [(1000, "k"), (1001, "l"), (1002, "m")], "id INT, v STRING"
+        )
+    )
+    before = vt._manifest(vt.current_version())["dirs"]
+    vt.upsert(
+        spark.createDataFrame([(1001, "L"), (2000, "n")], "id INT, v STRING"),
+        ["id"],
+    )
+    after = vt._manifest(vt.current_version())["dirs"]
+    # the low-range dir (ids 1-3, disjoint from source 1001-2000) survives
+    # BY REFERENCE; the overlapping dir was rewritten out
+    assert before[0] in after
+    assert before[1] not in after
+    assert len(after) == 2
+    rows = _rows(vt.read())
+    assert rows == [
+        (1, "a"), (2, "b"), (3, "c"),
+        (1000, "k"), (1001, "L"), (1002, "m"), (2000, "n"),
+    ]
+    # time travel to the pre-upsert snapshot still sees the old row
+    assert (1001, "l") in _rows(vt.read(version=2))
+
+
+def test_upsert_empty_source_touches_nothing(spark, tmp_path):
+    vt = VersionedTable(spark, str(tmp_path / "emptyup"))
+    vt.create(spark.createDataFrame([(1, "a")], "id INT, v STRING"))
+    before = vt._manifest(vt.current_version())["dirs"]
+    vt.upsert(
+        spark.createDataFrame([], "id INT, v STRING"), ["id"]
+    )
+    after = vt._manifest(vt.current_version())["dirs"]
+    assert set(before) <= set(after)  # nothing rewritten
+    assert _rows(vt.read()) == [(1, "a")]
