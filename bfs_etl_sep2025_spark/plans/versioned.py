@@ -301,20 +301,77 @@ class VersionedTable:
                 parent + 1, parent, untouched + [d], "upsert"
             )
 
-    def delete_where(self, condition: str) -> int:
+    def _touched_dirs(self, dirs: list[str], condition: str) -> set[str]:
+        """Which data dirs contain at least one row matching ``condition``
+        — ONE column-pruned, predicate-pushed Spark scan over the snapshot
+        (parquet row-group stats skip non-matching groups), grouped by
+        ``input_file_name``. The collect is bounded by the number of dirs,
+        never by rows. This is the data-skipping probe that lets
+        delete/update rewrite only the files they touch, like Delta's
+        MERGE/DELETE file pruning."""
         from pyspark.sql import functions as F
 
-        return self.overwrite(
-            self.read().filter(~F.expr(condition)), op="delete"
+        df = self.spark.read.parquet(
+            *[os.path.join(self._data, d) for d in dirs]
         )
+        hit = (
+            df.filter(F.expr(condition))
+            .select(F.input_file_name().alias("_f"))
+            .select(
+                F.regexp_extract(
+                    "_f", r"(v\d{5}-[0-9a-f]{8})/[^/]+$", 1
+                ).alias("_d")
+            )
+            .distinct()
+        )
+        return {r["_d"] for r in hit.collect()}
+
+    def delete_where(self, condition: str) -> int:
+        """SQL DELETE semantics: rows where ``condition`` is TRUE are
+        removed; FALSE and NULL rows are kept (``filter(~cond)`` would
+        silently drop NULL-condition rows — the classic three-valued-logic
+        trap). Dirs with no matching row are referenced unchanged in the
+        new manifest, never read twice nor rewritten."""
+        from pyspark.sql import functions as F
+
+        keep = ~F.coalesce(F.expr(condition), F.lit(False))
+        with table_write_lock(self.root):
+            parent = self.current_version()
+            dirs = self._manifest(parent)["dirs"]
+            touched = self._touched_dirs(dirs, condition)
+            untouched = [d for d in dirs if d not in touched]
+            new_dirs = untouched
+            if touched:
+                sub = self.spark.read.parquet(
+                    *[os.path.join(self._data, d) for d in sorted(touched)]
+                )
+                d = self._write_data_dir(sub.filter(keep), parent + 1)
+                new_dirs = untouched + [d]
+            return self._commit(parent + 1, parent, new_dirs, "delete")
 
     def update_where(self, condition: str, sets: dict[str, str]) -> int:
+        """UPDATE ... SET ... WHERE: only dirs containing a matching row
+        are rewritten (NULL/FALSE-condition rows keep their values via the
+        ``otherwise`` branch, so untouched dirs are byte-identical by
+        construction and safe to reference unchanged)."""
         from pyspark.sql import functions as F
 
         cond = F.expr(condition)
-        df = self.read()
-        for col, expr in sets.items():
-            df = df.withColumn(
-                col, F.when(cond, F.expr(expr)).otherwise(F.col(col))
-            )
-        return self.overwrite(df, op="update")
+        with table_write_lock(self.root):
+            parent = self.current_version()
+            dirs = self._manifest(parent)["dirs"]
+            cols = self.read().columns
+            touched = self._touched_dirs(dirs, condition)
+            untouched = [d for d in dirs if d not in touched]
+            new_dirs = untouched
+            if touched:
+                df = self.spark.read.parquet(
+                    *[os.path.join(self._data, d) for d in sorted(touched)]
+                )
+                for col, expr in sets.items():
+                    df = df.withColumn(
+                        col, F.when(cond, F.expr(expr)).otherwise(F.col(col))
+                    )
+                d = self._write_data_dir(df.select(*cols), parent + 1)
+                new_dirs = untouched + [d]
+            return self._commit(parent + 1, parent, new_dirs, "update")

@@ -381,3 +381,57 @@ def test_upsert_empty_source_touches_nothing(spark, tmp_path):
     after = vt._manifest(vt.current_version())["dirs"]
     assert set(before) <= set(after)  # nothing rewritten
     assert _rows(vt.read()) == [(1, "a")]
+
+
+def test_delete_update_prune_untouched_dirs(spark, tmp_path):
+    """delete_where / update_where rewrite ONLY dirs containing a matching
+    row (one pushdown probe scan finds them); every other dir is referenced
+    unchanged in the new manifest — the Delta data-skipping behavior."""
+    vt = VersionedTable(spark, str(tmp_path / "dml_prune"))
+    vt.create(
+        spark.createDataFrame([(1, "a"), (2, "b")], "id INT, v STRING")
+    )
+    vt.append(
+        spark.createDataFrame([(100, "x"), (101, "y")], "id INT, v STRING")
+    )
+    dirs_v2 = vt._manifest(vt.current_version())["dirs"]
+
+    vt.delete_where("id = 100")
+    dirs_v3 = vt._manifest(vt.current_version())["dirs"]
+    assert dirs_v2[0] in dirs_v3  # low dir untouched, by reference
+    assert dirs_v2[1] not in dirs_v3  # hit dir rewritten out
+    assert _rows(vt.read()) == [(1, "a"), (2, "b"), (101, "y")]
+
+    vt.update_where("id = 1", {"v": "upper(v)"})
+    dirs_v4 = vt._manifest(vt.current_version())["dirs"]
+    assert all(d in dirs_v4 for d in dirs_v3 if d != dirs_v2[0])
+    assert dirs_v2[0] not in dirs_v4
+    assert _rows(vt.read()) == [(1, "A"), (2, "b"), (101, "y")]
+    # time travel still sees every pre-mutation snapshot
+    assert _rows(vt.read(version=2)) == [
+        (1, "a"), (2, "b"), (100, "x"), (101, "y")
+    ]
+
+
+def test_delete_where_null_condition_keeps_rows(spark, tmp_path):
+    """SQL three-valued logic: DELETE WHERE c removes only c=TRUE rows;
+    NULL-condition rows survive (filter(~c) would silently drop them)."""
+    vt = VersionedTable(spark, str(tmp_path / "dml_null"))
+    vt.create(
+        spark.createDataFrame(
+            [(1, 10), (2, None), (3, 30)], "id INT, x INT"
+        )
+    )
+    vt.delete_where("x > 20")
+    assert _rows(vt.read()) == [(1, 10), (2, None)]
+
+
+def test_delete_where_no_match_is_metadata_only(spark, tmp_path):
+    vt = VersionedTable(spark, str(tmp_path / "dml_nomatch"))
+    vt.create(spark.createDataFrame([(1, "a")], "id INT, v STRING"))
+    before = vt._manifest(vt.current_version())["dirs"]
+    vt.delete_where("id = 999")
+    after = vt._manifest(vt.current_version())["dirs"]
+    assert after == before  # same dirs, new version: audit-only commit
+    assert vt.history()[-1]["op"] == "delete"
+    assert _rows(vt.read()) == [(1, "a")]
