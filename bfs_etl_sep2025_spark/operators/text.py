@@ -763,3 +763,168 @@ def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(redacted).alias("redacted_md5"),
         F.length(redacted).alias("redacted_len"),
     ).orderBy("doc_id")
+
+
+# -- BPE tokenizer training (corpus-wide vocabulary learning) ---------------
+
+#: symbol separator inside a word's working representation during BPE
+#: training — U+001F never occurs in text columns, so literal ``replace``
+#: on the padded form is boundary-exact without any regex escaping.
+_BPE_SEP = "\x1f"
+
+#: merges learned by text_bpe_train / expected by the pure-Python test
+#: reference — small enough that the training loop's K driver actions stay
+#: negligible next to the single corpus-sized aggregation.
+BPE_N_MERGES = 12
+
+
+@query(
+    "text_bpe_pair_stats",
+    family="text",
+    oracle="""
+        WITH words AS (
+          SELECT t.w
+          FROM documents, UNNEST(string_split(text, ' ')) AS t(w)
+          WHERE length(t.w) >= 2
+        ), pairs AS (
+          SELECT w, substr(w, i, 2) AS pair
+          FROM words, UNNEST(range(1, length(w))) AS r(i)
+        )
+        SELECT pair,
+               CAST(count(*) AS BIGINT) AS n_occurrences,
+               CAST(count(DISTINCT w) AS BIGINT) AS n_words
+        FROM pairs
+        GROUP BY pair
+        ORDER BY n_occurrences DESC, pair
+        LIMIT 20
+    """,
+)
+def text_bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide adjacent character-pair frequencies — the statistic the
+    first iteration of BPE tokenizer training maximizes (Sennrich et al.
+    2016, public paper). Top 20 pairs by total occurrence count
+    (ties broken by pair text, so the result is a total order).
+
+    Scale notes (100 TB): explode to (word, position) is map-side; the one
+    shuffle is the groupBy on the 2-char pair key (bounded cardinality:
+    alphabet²) with map-side partial aggregation, then a 20-row
+    TakeOrderedAndProject — no sort of the full aggregate. substring() on a
+    column index is codegen'd (only lambda HOFs are interpreted)."""
+    d = widen(load(spark, sf_dir, "documents"))
+    words = d.select(
+        F.explode(_tokens(F.col("text"))).alias("w")
+    ).filter(F.length("w") >= 2)
+    pairs = words.select(
+        "w",
+        F.explode(F.sequence(F.lit(1), F.length("w") - 1)).alias("i"),
+    ).select("w", F.expr("substring(w, i, 2)").alias("pair"))
+    return (
+        pairs.groupBy("pair")
+        .agg(
+            F.count("*").alias("n_occurrences"),
+            F.countDistinct("w").alias("n_words"),
+        )
+        .orderBy(F.desc("n_occurrences"), F.asc("pair"))
+        .limit(20)
+    )
+
+
+def bpe_train_merges(
+    spark: SparkSession, sf_dir: str, n_merges: int = BPE_N_MERGES
+) -> list[tuple[int, str, str, str, int]]:
+    """Learn ``n_merges`` BPE merges over the corpus and return
+    ``[(rank, left, right, merged, pair_count), ...]``.
+
+    The real tokenizer-training dataflow at scale: ONE corpus-sized
+    aggregation reduces 100 TB of text to the word-frequency table (vocab
+    cardinality — millions of rows, not billions), and the whole training
+    loop runs on that table: per merge, one vocab-sized pair aggregation,
+    a 1-row argmax collect, and a literal ``replace`` over the padded
+    symbol string (U+001F-separated, so boundaries are exact and the
+    greedy left-to-right replace is precisely BPE's merge application).
+    Nothing corpus-sized is ever touched again, and only K rows plus K
+    1-row argmaxes ever reach the driver. Ties break deterministically:
+    highest count, then lexicographically smallest (left, right)."""
+    d = widen(load(spark, sf_dir, "documents"))
+    wf = (
+        d.select(F.explode(_tokens(F.col("text"))).alias("w"))
+        .filter(F.length("w") >= 1)
+        .groupBy("w")
+        .agg(F.count("*").alias("cnt"))
+    )
+    sep = _BPE_SEP
+    # padded symbol form: SEP c1 SEP c2 ... SEP cn SEP
+    cur = wf.select(
+        F.concat(
+            F.lit(sep),
+            F.regexp_replace(F.col("w"), "(?<=.)(?=.)", sep),
+            F.lit(sep),
+        ).alias("p"),
+        "cnt",
+    ).cache()
+    cur.count()
+    merges: list[tuple[int, str, str, str, int]] = []
+    try:
+        for rank in range(1, n_merges + 1):
+            arr = F.split(F.col("p"), sep)  # ["", c1, ..., cn, ""]
+            pairs = (
+                cur.filter(F.size(arr) >= 4)  # words with >= 2 symbols
+                .select(
+                    F.col("cnt"),
+                    F.split(F.col("p"), sep).alias("a"),
+                )
+                .select(
+                    "cnt",
+                    "a",
+                    F.explode(
+                        F.sequence(F.lit(2), F.size(F.col("a")) - 2)
+                    ).alias("i"),
+                )
+                .select(
+                    F.element_at(F.col("a"), F.col("i")).alias("l"),
+                    F.element_at(F.col("a"), F.col("i") + 1).alias("r"),
+                    "cnt",
+                )
+            )
+            top = (
+                pairs.groupBy("l", "r")
+                .agg(F.sum("cnt").alias("n"))
+                .orderBy(F.desc("n"), F.asc("l"), F.asc("r"))
+                .limit(1)
+                .collect()
+            )
+            if not top:
+                break
+            l, r, n = top[0]["l"], top[0]["r"], int(top[0]["n"])
+            merges.append((rank, l, r, l + r, n))
+            nxt = cur.select(
+                F.replace(
+                    F.col("p"),
+                    F.lit(sep + l + sep + r + sep),
+                    F.lit(sep + l + r + sep),
+                ).alias("p"),
+                "cnt",
+            ).cache()
+            nxt.count()
+            cur.unpersist()
+            cur = nxt
+    finally:
+        cur.unpersist()
+    return merges
+
+
+@query("text_bpe_train", oracle=None, family="text")
+def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training (Sennrich et al. 2016): the learned merge
+    table itself — rank, constituent pair, merged symbol, and the pair's
+    corpus count at merge time. Iterative argmax-and-rewrite is not
+    expressible in one ANSI query, so this registers rows-only for the
+    driver; exact parity with a pure-Python reference implementation is
+    pytest-verified (tests/test_text.py). See :func:`bpe_train_merges`
+    for the scale design."""
+    merges = bpe_train_merges(spark, sf_dir)
+    return spark.createDataFrame(
+        merges,
+        "merge_rank INT, left STRING, right STRING, merged STRING, "
+        "pair_count BIGINT",
+    ).orderBy("merge_rank")

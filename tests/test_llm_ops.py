@@ -261,3 +261,58 @@ def test_ivf_two_level_assignment_matches_numpy_oracle(spark):
     assert len(got) == len(ids)  # every vector assigned exactly once
     mismatches = {v: (got[v], want[v]) for v in want if got[v] != want[v]}
     assert not mismatches, f"{len(mismatches)} mismatches: {mismatches}"
+
+
+def _bpe_ref_merge(sym, l, r):
+    """Greedy left-to-right non-overlapping pair merge — the same semantics
+    as the padded-string literal replace in bpe_train_merges."""
+    out, i = [], 0
+    while i < len(sym):
+        if i + 1 < len(sym) and sym[i] == l and sym[i + 1] == r:
+            out.append(l + r)
+            i += 2
+        else:
+            out.append(sym[i])
+            i += 1
+    return tuple(out)
+
+
+def test_bpe_train_matches_python_reference(spark):
+    """Exact-sequence parity of the distributed BPE trainer with a pure
+    in-memory reference (Sennrich 2016 algorithm, same deterministic
+    tie-break: max count, then lexicographically smallest pair)."""
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    from bfs_etl_sep2025_spark.operators.text import (
+        BPE_N_MERGES,
+        bpe_train_merges,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    texts = (
+        pq.read_table(sf + "/documents.parquet", columns=["text"])
+        .column("text")
+        .to_pylist()
+    )
+    vocab: Counter = Counter()
+    for t in texts:
+        for w in (t or "").split(" "):
+            if w:
+                vocab[tuple(w)] += 1
+    expected = []
+    for rank in range(1, BPE_N_MERGES + 1):
+        pairs: Counter = Counter()
+        for sym, c in vocab.items():
+            for a, b in zip(sym, sym[1:]):
+                pairs[(a, b)] += c
+        if not pairs:
+            break
+        (l, r), n = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        expected.append((rank, l, r, l + r, n))
+        nv: Counter = Counter()
+        for sym, c in vocab.items():
+            nv[_bpe_ref_merge(sym, l, r)] += c
+        vocab = nv
+    assert bpe_train_merges(spark, sf) == expected
