@@ -196,12 +196,83 @@ class VersionedTable:
             live: set[str] = set()
             for v in keep_versions:
                 live.update(self._manifest(v)["dirs"])
+            # manifest dirs may be nested (optimize() range buckets):
+            # a top-level dir is live if ANY live entry lives under it
+            live_top = {d.split("/", 1)[0] for d in live}
             removed = []
             for d in sorted(os.listdir(self._data)):
-                if d not in live:
+                if d not in live_top:
                     shutil.rmtree(os.path.join(self._data, d))
                     removed.append(d)
             return removed
+
+    def optimize(
+        self,
+        sort_by: list[str] | None = None,
+        n_buckets: int = 8,
+    ) -> int:
+        """Delta-``OPTIMIZE``-style table maintenance, as a new snapshot
+        (data identical, layout rewritten; time travel unaffected).
+
+        Without ``sort_by``: pure compaction — every live dir is rewritten
+        into one dir, collapsing the many small files CDC upserts/appends
+        accumulate (the classic lakehouse small-file problem).
+
+        With ``sort_by``: range-CLUSTER on the leading (numeric) key —
+        approxQuantile picks ``n_buckets-1`` cut points, rows are bucketed
+        by a codegen'd indicator sum, and ONE write job emits one subdir
+        per bucket (``partitionBy`` on the synthetic bucket column, which
+        therefore never appears in the files). Each bucket subdir becomes
+        its own manifest dir with a DISJOINT key range, so the
+        footer-stats pruning in :meth:`upsert` / the probe in
+        :meth:`delete_where` skips all but the buckets a CDC batch
+        actually touches — the reason OPTIMIZE+cluster exists at 100 TB.
+        (Interleaved multi-column z-order layout is the same idea — see
+        ``operators/analytics.py`` layout_zorder_clustering.)"""
+        from pyspark.sql import functions as F
+
+        with table_write_lock(self.root):
+            parent = self.current_version()
+            df = self.spark.read.parquet(
+                *[
+                    os.path.join(self._data, d)
+                    for d in self._manifest(parent)["dirs"]
+                ]
+            )
+            if not sort_by:
+                d = self._write_data_dir(df, parent + 1)
+                return self._commit(parent + 1, parent, [d], "optimize")
+            key = sort_by[0]
+            cuts = sorted(
+                set(
+                    df.stat.approxQuantile(
+                        key,
+                        [i / n_buckets for i in range(1, n_buckets)],
+                        0.01,
+                    )
+                )
+            )
+            bucket = F.lit(0)
+            for c in cuts:
+                bucket = bucket + F.when(F.col(key) > F.lit(c), 1).otherwise(0)
+            tag = uuid.uuid4().hex[:8]
+            dirname = f"v{parent + 1:05d}-{tag}"
+            (
+                df.withColumn("_obkt", bucket)
+                .repartition(len(cuts) + 1, F.col("_obkt"))
+                .sortWithinPartitions(*sort_by)
+                .write.mode("error")
+                .partitionBy("_obkt")
+                .parquet(os.path.join(self._data, dirname))
+            )
+            dirs = sorted(
+                f"{dirname}/{sub}"
+                for sub in os.listdir(os.path.join(self._data, dirname))
+                if sub.startswith("_obkt=")
+            )
+            if not dirs:  # empty table: partitionBy wrote no subdirs
+                dirs = [self._write_data_dir(df, parent + 1)]
+            return self._commit(parent + 1, parent, dirs, "optimize")
 
     # -------- relational mutations (snapshot -> snapshot) --------
 
@@ -314,12 +385,18 @@ class VersionedTable:
         df = self.spark.read.parquet(
             *[os.path.join(self._data, d) for d in dirs]
         )
+        # manifest dirs may be nested (optimize() writes one subdir per
+        # range bucket), so recover the dir as the file's path RELATIVE to
+        # the data root (literal split — scheme- and regex-safe), not by
+        # pattern-matching one path component.
         hit = (
             df.filter(F.expr(condition))
             .select(F.input_file_name().alias("_f"))
             .select(
                 F.regexp_extract(
-                    "_f", r"(v\d{5}-[0-9a-f]{8})/[^/]+$", 1
+                    F.substring_index(F.col("_f"), self._data + "/", -1),
+                    r"^(.*)/[^/]+$",
+                    1,
                 ).alias("_d")
             )
             .distinct()

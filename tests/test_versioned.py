@@ -435,3 +435,77 @@ def test_delete_where_no_match_is_metadata_only(spark, tmp_path):
     assert after == before  # same dirs, new version: audit-only commit
     assert vt.history()[-1]["op"] == "delete"
     assert _rows(vt.read()) == [(1, "a")]
+
+
+def test_optimize_compacts_and_preserves_data(spark, tmp_path):
+    vt = VersionedTable(spark, str(tmp_path / "opt"))
+    vt.create(spark.createDataFrame([(1, "a")], "id INT, v STRING"))
+    for i in range(2, 5):
+        vt.append(
+            spark.createDataFrame([(i, chr(96 + i))], "id INT, v STRING")
+        )
+    assert len(vt._manifest(vt.current_version())["dirs"]) == 4
+    vt.optimize()
+    assert len(vt._manifest(vt.current_version())["dirs"]) == 1
+    assert vt.history()[-1]["op"] == "optimize"
+    assert _rows(vt.read()) == [(1, "a"), (2, "b"), (3, "c"), (4, "d")]
+    # pre-optimize snapshot still time-travels
+    assert _rows(vt.read(version=2)) == [(1, "a"), (2, "b")]
+
+
+def test_optimize_cluster_makes_pruning_bite(spark, tmp_path):
+    """Range clustering rewrites the table into one dir per key bucket
+    with DISJOINT footer-stats ranges — after which a narrow CDC upsert
+    rewrites exactly one bucket and references the rest unchanged."""
+    vt = VersionedTable(spark, str(tmp_path / "optc"))
+    # interleaved key ranges: every dir overlaps every key before optimize
+    vt.create(
+        spark.createDataFrame(
+            [(i, f"r{i}") for i in range(0, 100, 2)], "id INT, v STRING"
+        )
+    )
+    vt.append(
+        spark.createDataFrame(
+            [(i, f"r{i}") for i in range(1, 100, 2)], "id INT, v STRING"
+        )
+    )
+    vt.optimize(sort_by=["id"], n_buckets=4)
+    dirs = vt._manifest(vt.current_version())["dirs"]
+    assert len(dirs) >= 2 and all("/_obkt=" in d for d in dirs)
+    ranges = [vt._key_range(d, "id") for d in dirs]
+    assert all(lo is not None for lo, _ in ranges)
+    ordered = sorted(ranges)
+    assert all(
+        ordered[i][1] < ordered[i + 1][0] for i in range(len(ordered) - 1)
+    ), f"bucket ranges overlap: {ordered}"
+    assert vt.read().count() == 100
+
+    before = set(dirs)
+    vt.upsert(
+        spark.createDataFrame([(3, "UP")], "id INT, v STRING"), ["id"]
+    )
+    after = vt._manifest(vt.current_version())["dirs"]
+    # every bucket except the one containing id=3 survives by reference
+    assert len(before & set(after)) == len(before) - 1
+    got = dict((r["id"], r["v"]) for r in vt.read().collect())
+    assert got[3] == "UP" and len(got) == 100
+
+    # delete probe also resolves nested dirs correctly
+    vt.delete_where("id = 98")
+    after2 = vt._manifest(vt.current_version())["dirs"]
+    assert len(set(after) & set(after2)) == len(after) - 1
+    assert vt.read().count() == 99
+
+
+def test_vacuum_keeps_live_nested_dirs(spark, tmp_path):
+    vt = VersionedTable(spark, str(tmp_path / "optv"))
+    vt.create(
+        spark.createDataFrame(
+            [(i, "x") for i in range(20)], "id INT, v STRING"
+        )
+    )
+    vt.optimize(sort_by=["id"], n_buckets=2)
+    vt.append(spark.createDataFrame([(100, "y")], "id INT, v STRING"))
+    removed = vt.vacuum(keep_last=2)  # head + optimize snapshot stay live
+    assert all("_obkt" not in d for d in removed)
+    assert vt.read().count() == 21
