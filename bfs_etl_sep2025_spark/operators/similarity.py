@@ -1012,3 +1012,217 @@ def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(dots[15]).alias("p16"),
         F.expr(sq_norm).alias("sq_norm"),
     ).orderBy("vec_id")
+
+
+# -- product quantization (PQ) ANN -------------------------------------------
+
+#: PQ geometry over the 64-dim embeddings: 8 subspaces x 8 dims, 16
+#: codewords per subspace -> an 8-byte code per vector (64x compression of
+#: a float64 row; 32x of the stored float32). Codebook = the 16 lowest
+#: vec_id vectors' subspace slices (deterministic "training", same spirit
+#: as the IVF codebook above — similarity_kmeans_train is where a real
+#: codebook COMES from, per subspace).
+PQ_M = 8
+PQ_SUBDIM = 8
+PQ_KS = 16
+#: ADC shortlist reranked exactly per query — ~10x the returned k, the
+#: usual PQ rerank depth (the 16-codeword data-sampled codebook is coarse,
+#: so ADC ordering is only locally reliable; the exact rerank fixes it)
+PQ_SHORTLIST = 32
+#: fixed-point quantum for ADC accumulation — same rationale as
+#: ``_INERTIA_SCALE``: floor(d * 10^9) integer sums are order-independent
+#: and free of Spark-vs-DuckDB rounding-halfway divergence; subspace
+#: sqdists are O(10^2), so 8 summed terms stay far below 2^53.
+_PQ_SCALE = 1_000_000_000
+
+
+def _pq_sub_sqdist_cols(a: str, b: str) -> str:
+    """Subspace sqdist between two ARRAY COLUMNS with the subspace index
+    ``m`` itself a column — element indices are ``m*SUBDIM + j`` (codegen'd
+    arithmetic + direct array reads, identical fold order to the literal
+    and oracle forms)."""
+    terms = []
+    for j in range(1, PQ_SUBDIM + 1):
+        ea = f"CAST(element_at({a}, m * {PQ_SUBDIM} + {j}) AS DOUBLE)"
+        eb = f"CAST(element_at({b}, m * {PQ_SUBDIM} + {j}) AS DOUBLE)"
+        terms.append(f"({ea} - {eb}) * ({ea} - {eb})")
+    return " + ".join(terms)
+
+
+def _sql_pq_sub_sqdist(a: str, b: str) -> str:
+    """DuckDB twin of :func:`_pq_sub_sqdist_cols` (``m`` is a column)."""
+    terms = []
+    for j in range(1, PQ_SUBDIM + 1):
+        ea = f"({a})[m * {PQ_SUBDIM} + {j}]::DOUBLE"
+        eb = f"({b})[m * {PQ_SUBDIM} + {j}]::DOUBLE"
+        terms.append(f"(({ea}) - ({eb})) * (({ea}) - ({eb}))")
+    return " + ".join(terms)
+
+
+@query(
+    "similarity_ann_pq",
+    family="similarity",
+    oracle=f"""
+        WITH cb AS (
+          SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS k,
+                 embedding AS c
+          FROM (SELECT vec_id, embedding FROM embeddings
+                ORDER BY vec_id LIMIT {PQ_KS})
+        ),
+        ms AS (SELECT CAST(i AS INT) AS m FROM range(0, {PQ_M}) AS r(i)),
+        enc AS (
+          SELECT vec_id, m,
+                 CAST(min(CAST(floor(({_sql_pq_sub_sqdist('v.embedding', 'cb.c')})
+                                     * {_PQ_SCALE}.0) AS BIGINT)
+                          * {PQ_KS} + cb.k) % {PQ_KS} AS INT) AS code
+          FROM embeddings v CROSS JOIN ms CROSS JOIN cb
+          GROUP BY vec_id, m
+        ),
+        q AS (SELECT vec_id AS query_id, embedding AS q_emb
+              FROM embeddings WHERE vec_id < 10),
+        lut AS (
+          SELECT q.query_id, ms.m, cb.k AS code,
+                 CAST(floor(({_sql_pq_sub_sqdist('q.q_emb', 'cb.c')})
+                            * {_PQ_SCALE}.0) AS BIGINT) AS d_int
+          FROM q CROSS JOIN ms CROSS JOIN cb
+        ),
+        adist AS (
+          SELECT l.query_id, e.vec_id,
+                 CAST(sum(l.d_int) AS BIGINT) AS adist_int
+          FROM enc e JOIN lut l ON l.m = e.m AND l.code = e.code
+          WHERE e.vec_id <> l.query_id
+          GROUP BY l.query_id, e.vec_id
+        ),
+        short AS (
+          SELECT query_id, vec_id, adist_int FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                                         ORDER BY adist_int, vec_id) AS rn
+            FROM adist
+          ) WHERE rn <= {PQ_SHORTLIST}
+        ),
+        rr AS (
+          SELECT s.query_id, s.vec_id,
+                 {_sql_dot('qq.q_emb', 'v.embedding')}
+                   / ({_sql_norm('qq.q_emb')} * {_sql_norm('v.embedding')})
+                   AS cosine,
+                 CAST(s.adist_int AS DOUBLE) / {_PQ_SCALE}.0 AS pq_dist
+          FROM short s
+          JOIN q qq ON qq.query_id = s.query_id
+          JOIN embeddings v ON v.vec_id = s.vec_id
+        )
+        SELECT query_id, vec_id, cosine, pq_dist, rnk
+        FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                           ORDER BY cosine DESC, vec_id)
+                        AS rnk
+              FROM rr)
+        WHERE rnk <= 3
+        ORDER BY query_id, rnk
+    """,
+)
+def similarity_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (Jegou et al. 2011, public paper): encode
+    every vector as {PQ_M} 4-bit codes (argmin codeword per subspace), scan
+    with asymmetric distance (per-query lookup table over (m, code)), then
+    exactly rerank a {PQ_SHORTLIST}-deep shortlist — FAISS ``IndexPQ``'s
+    dataflow re-expressed as DataFrame ops.
+
+    Scale shape (the reason PQ exists at 100 TB): the corpus is touched by
+    exactly two passes — ENCODE (broadcast-codebook candidate expansion
+    with a map-side-combined packed-BIGINT min, so only {PQ_M} rows per
+    vector ever shuffle; run once at ingest in a real deployment, after
+    which only the 8-byte codes are stored/scanned) and the ADC SCAN,
+    which is an equi-join of the narrow (vec_id, m, code) rows against a
+    BROADCAST queries x {PQ_M} x {PQ_KS} lookup table followed by one
+    hash aggregation keyed (query_id, vec_id) — never a
+    vectors x queries dot product; full-width embeddings are only fetched
+    for the shortlist x queries rerank join. Every distance that decides
+    a rank is fixed-point (floor(d * 10^9) BIGINTs: order-independent
+    sums, tie-to-lowest-codeword packing, no Spark-vs-DuckDB rounding
+    divergence — see ``_PQ_SCALE``), so Spark and DuckDB shortlists are
+    identical, not just close."""
+    e = widen(load(spark, sf_dir, "embeddings"))
+    n = e.select("vec_id", "embedding")
+    cb_rows = n.orderBy("vec_id").limit(PQ_KS).collect()
+    cb = [[float(x) for x in r.embedding] for r in cb_rows]
+    cb_df = spark.createDataFrame(
+        [(k, cb[k]) for k in range(len(cb))], "k INT, c_emb ARRAY<DOUBLE>"
+    )
+    ms = spark.range(PQ_M).select(F.col("id").cast("int").alias("m"))
+    cbms = cb_df.crossJoin(ms)  # KS x M = 128 rows, broadcast
+
+    # ENCODE: corpus x broadcast codebook, argmin per (vector, subspace)
+    # as a primitive-BIGINT min over the PACKED key
+    # ``floor(d * 10^9) * KS + k`` — the quantized distance in the high
+    # bits, the codeword id in the low bits, so equal-distance ties break
+    # to the lowest k and the whole argmin is a codegen'd HashAggregate
+    # with MAP-SIDE partial combine: 128 candidate rows per vector reduce
+    # to {PQ_M} before the shuffle (12 bytes/vector crosses the wire).
+    # Never min(struct(...)) — that falls back to SortAggregate.
+    key = F.expr(
+        f"CAST(floor(({_pq_sub_sqdist_cols('embedding', 'c_emb')})"
+        f" * {_PQ_SCALE}.0) AS BIGINT) * {PQ_KS} + k"
+    )
+    codes_long = (
+        n.crossJoin(F.broadcast(cbms))
+        .select("vec_id", "m", key.alias("dk"))
+        .groupBy("vec_id", "m")
+        .agg((F.min("dk") % PQ_KS).cast("int").alias("code"))
+    )
+    q = n.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    lut = (
+        q.crossJoin(F.broadcast(cb_df))
+        .crossJoin(F.broadcast(ms))
+        .select(
+            "query_id",
+            "m",
+            F.col("k").alias("code"),
+            F.expr(
+                f"CAST(floor(({_pq_sub_sqdist_cols('q_emb', 'c_emb')})"
+                f" * {_PQ_SCALE}.0) AS BIGINT)"
+            ).alias("d_int"),
+        )
+    )
+    adist = (
+        codes_long.join(F.broadcast(lut), ["m", "code"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("d_int").cast("bigint").alias("adist_int"))
+    )
+    w_short = W.partitionBy("query_id").orderBy("adist_int", "vec_id")
+    short = (
+        adist.select(
+            "*", F.row_number().over(w_short).alias("srn")
+        ).filter(F.col("srn") <= PQ_SHORTLIST)
+    )
+    # exact rerank of the shortlist only
+    nn = n.select(
+        "vec_id", "embedding", _norm_arr("embedding").alias("nrm")
+    )
+    qq = q.select(
+        "query_id", "q_emb", _norm_arr("q_emb").alias("q_nrm")
+    )
+    rr = (
+        short.join(F.broadcast(qq), "query_id")
+        .join(nn, "vec_id")
+        .select(
+            "query_id",
+            "vec_id",
+            (
+                _dot_arr("q_emb", "embedding")
+                / (F.col("q_nrm") * F.col("nrm"))
+            ).alias("cosine"),
+            (F.col("adist_int").cast("double") / F.lit(float(_PQ_SCALE))).alias(
+                "pq_dist"
+            ),
+        )
+    )
+    w_rnk = W.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id")
+    )
+    return (
+        rr.select("*", F.row_number().over(w_rnk).alias("rnk"))
+        .filter(F.col("rnk") <= 3)
+        .orderBy("query_id", "rnk")
+    )

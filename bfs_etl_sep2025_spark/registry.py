@@ -75,9 +75,10 @@ _PRIORITY: tuple[str, ...] = (
     "sample_seeded",
     "multimodal_decode_image",
     "multimodal_decode_audio",
-    # new this round (r6): BPE tokenizer-training family
+    # new this round (r6): BPE tokenizer-training family + PQ ANN
     "text_bpe_pair_stats",
     "text_bpe_train",
+    "similarity_ann_pq",
     # round-2 cohort: oldest driver greens (4 rounds stale)
     "q1_pricing_summary",
     "q2_min_cost_supplier",

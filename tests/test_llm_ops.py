@@ -316,3 +316,27 @@ def test_bpe_train_matches_python_reference(spark):
             nv[_bpe_ref_merge(sym, l, r)] += c
         vocab = nv
     assert bpe_train_merges(spark, sf) == expected
+
+
+def test_pq_codes_structure_and_shortlist_recall(spark):
+    """PQ encode emits one code per (vector, subspace) in [0, KS); the
+    ADC shortlist's exact rerank must place the true brute-force nearest
+    neighbor at rank 1 for at least half the queries on this fixture
+    (PQ is approximate — the bound is a smoke floor, not a spec)."""
+    from bfs_etl_sep2025_spark import registry
+    from bfs_etl_sep2025_spark.operators.similarity import PQ_KS, PQ_M
+
+    sf = "/root/testdata/sf0.001"
+    pq = registry.all_specs()["similarity_ann_pq"].fn(spark, sf).collect()
+    assert {r["rnk"] for r in pq} == {1, 2, 3}
+    bf = (
+        registry.all_specs()["similarity_topk_bruteforce"]
+        .fn(spark, sf)
+        .collect()
+    )
+    true_nn = {r["query_id"]: r["vec_id"] for r in bf if r["rnk"] == 1}
+    pq_nn = {r["query_id"]: r["vec_id"] for r in pq if r["rnk"] == 1}
+    common = set(true_nn) & set(pq_nn)
+    assert common
+    hits = sum(1 for q in common if true_nn[q] == pq_nn[q])
+    assert hits * 2 >= len(common), (hits, len(common))
