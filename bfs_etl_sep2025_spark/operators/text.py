@@ -928,3 +928,57 @@ def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         "merge_rank INT, left STRING, right STRING, merged STRING, "
         "pair_count BIGINT",
     ).orderBy("merge_rank")
+
+
+@query("text_bpe_apply", oracle=None, family="text")
+def text_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize with the LEARNED vocabulary: apply the
+    :func:`bpe_train_merges` merge table to every document and report true
+    BPE token counts — train(+)apply is the full tokenizer lifecycle, and
+    the compression ratio (chars per token) it yields is the number a
+    data pipeline budgets against (vs. the pretokenizer ESTIMATE in
+    text_bpe_pretokenize).
+
+    Scale: the merge table is K driver-side literals; application is K
+    chained literal ``replace`` calls over the padded symbol string — one
+    map-only codegen'd projection over the corpus at scan speed, zero
+    shuffles before the per-doc stats projection. Greedy left-to-right
+    replace == BPE merge application (tested against the pure-Python
+    tokenizer in tests/test_llm_ops.py). Rows-only for the driver: the
+    merges are corpus-trained, so no static ANSI oracle can exist."""
+    merges = bpe_train_merges(spark, sf_dir)
+    d = widen(load(spark, sf_dir, "documents"))
+    sep = _BPE_SEP
+    words = d.select(
+        "doc_id", F.explode(_tokens(F.col("text"))).alias("w")
+    ).filter(F.length("w") >= 1)
+    # word -> padded symbol string, then the K learned merges in order
+    sym = F.concat(
+        F.lit(sep),
+        F.regexp_replace(F.col("w"), "(?<=.)(?=.)", sep),
+        F.lit(sep),
+    )
+    for _, l, r, _, _ in merges:
+        sym = F.replace(
+            sym, F.lit(sep + l + sep + r + sep), F.lit(sep + l + r + sep)
+        )
+    per_word = words.select(
+        "doc_id", (F.size(F.split(sym, sep)) - 2).alias("nt")
+    )
+    agg = per_word.groupBy("doc_id").agg(
+        F.sum("nt").cast("bigint").alias("n_bpe_tokens")
+    )
+    return (
+        d.select("doc_id", F.length("text").alias("n_chars"))
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_bpe_tokens", F.lit(0)).alias("n_bpe_tokens"),
+            "n_chars",
+            (
+                F.col("n_chars").cast("double")
+                / F.coalesce("n_bpe_tokens", F.lit(0))
+            ).alias("chars_per_token"),
+        )
+        .orderBy("doc_id")
+    )

@@ -79,6 +79,7 @@ _PRIORITY: tuple[str, ...] = (
     "text_bpe_pair_stats",
     "text_bpe_train",
     "similarity_ann_pq",
+    "text_bpe_apply",
     # round-2 cohort: oldest driver greens (4 rounds stale)
     "q1_pricing_summary",
     "q2_min_cost_supplier",

@@ -340,3 +340,44 @@ def test_pq_codes_structure_and_shortlist_recall(spark):
     assert common
     hits = sum(1 for q in common if true_nn[q] == pq_nn[q])
     assert hits * 2 >= len(common), (hits, len(common))
+
+
+def test_bpe_apply_matches_python_tokenizer(spark):
+    """Applying the learned merges distributedly yields the same per-doc
+    token counts as the pure-Python tokenizer (train + greedy apply)."""
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    from bfs_etl_sep2025_spark import registry
+    from bfs_etl_sep2025_spark.operators.text import bpe_train_merges
+
+    sf = "/root/testdata/sf0.001"
+    merges = bpe_train_merges(spark, sf)
+    tbl = pq.read_table(
+        sf + "/documents.parquet", columns=["doc_id", "text"]
+    ).to_pylist()
+
+    def tokenize(word):
+        sym = tuple(word)
+        for _, l, r, _, _ in merges:
+            sym = _bpe_ref_merge(sym, l, r)
+        return len(sym)
+
+    cache: dict = {}
+    expected = {}
+    for row in tbl:
+        n = 0
+        for w in (row["text"] or "").split(" "):
+            if w:
+                if w not in cache:
+                    cache[w] = tokenize(w)
+                n += cache[w]
+        expected[row["doc_id"]] = n
+    got = (
+        registry.all_specs()["text_bpe_apply"].fn(spark, sf).collect()
+    )
+    assert {r["doc_id"]: r["n_bpe_tokens"] for r in got} == expected
+    for r in got:
+        assert r["n_chars"] > 0
+        assert abs(r["chars_per_token"] - r["n_chars"] / r["n_bpe_tokens"]) == 0.0
