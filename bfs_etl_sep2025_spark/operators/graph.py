@@ -569,3 +569,108 @@ def _linkpred_bitmap(adj: DataFrame, idx: DataFrame, n_words: int) -> DataFrame:
         .orderBy(F.col("common_neighbors").desc(), "u", "v")
         .limit(20)
     )
+
+
+# -- PageRank (power iteration, fixed-point exact) ---------------------------
+
+#: power-iteration rounds for graph_pagerank — enough to differentiate hub
+#: structure on the fixture graph while keeping the oracle's unrolled CTE
+#: chain readable; a production run iterates to an epsilon instead.
+_PR_ITERS = 3
+#: fixed-point quantum for neighbor contributions: BIGINT sums are
+#: order-independent (float addition is not commutative-associative across
+#: partitionings), so Spark's and DuckDB's per-node totals are identical
+#: bit for bit. Ranks are O(1) and degrees >= 1, so floor((r/d) * 1e12)
+#: sums stay far below 2^53 on any graph the guards admit.
+_PR_SCALE = 1_000_000_000_000
+
+
+def _pr_iter_sql(prev: str) -> str:
+    """One unrolled PageRank round over the symmetric edge list (DuckDB)."""
+    return f"""
+          SELECT s.dst AS node,
+                 0.15::DOUBLE + 0.85::DOUBLE *
+                   (CAST(sum(CAST(floor((p.r / deg.d) * {_PR_SCALE}.0)
+                                  AS BIGINT)) AS BIGINT)::DOUBLE
+                    / {_PR_SCALE}.0) AS r
+          FROM sym s
+          JOIN {prev} p ON p.node = s.src
+          JOIN deg ON deg.node = s.src
+          GROUP BY s.dst
+    """
+
+
+@query(
+    "graph_pagerank",
+    family="graph",
+    oracle=f"""
+        WITH {_EDGES_CTE},
+        sym AS (
+          SELECT u AS src, v AS dst FROM edges
+          UNION ALL
+          SELECT v AS src, u AS dst FROM edges
+        ),
+        deg AS (SELECT src AS node, count(*) AS d FROM sym GROUP BY src),
+        r0 AS (SELECT node, 1.0::DOUBLE AS r FROM deg),
+        it1 AS ({_pr_iter_sql('r0')}),
+        it2 AS ({_pr_iter_sql('it1')}),
+        it3 AS ({_pr_iter_sql('it2')})
+        SELECT node AS user_id, r AS pagerank, rnk
+        FROM (SELECT *, row_number() OVER (ORDER BY r DESC, node) AS rnk
+              FROM it3)
+        WHERE rnk <= 20
+        ORDER BY rnk
+    """,
+)
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (damping 0.85, {_PR_ITERS} power-iteration rounds) over the
+    undirected co-occurrence graph — the influence ranking a pipeline uses
+    to weight users/documents by graph centrality. Degree >= 1 for every
+    node of an undirected edge list, so there is no dangling-mass term.
+
+    Scale shape: each round is one equi-join of the symmetric edge list
+    against the current rank vector plus one sum aggregation keyed on the
+    destination — the Pregel message-passing pattern as plain DataFrame
+    ops, shuffling only (node, contribution) pairs, never adjacency.
+    Cross-engine exactness: contributions are fixed-point BIGINTs
+    (``_PR_SCALE``), so the per-node sums are order-independent and the
+    closing ``0.15 + 0.85 * (sum / scale)`` is the same IEEE sequence both
+    engines — ranks match hash-exactly, not approximately."""
+    from pyspark.sql import Window as W
+
+    e = _edges(spark, sf_dir)
+    sym = e.select(
+        F.col("u").alias("src"), F.col("v").alias("dst")
+    ).unionAll(e.select(F.col("v").alias("src"), F.col("u").alias("dst")))
+    deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    r = deg.select(F.col("src").alias("node"), F.lit(1.0).alias("r"))
+    for _ in range(_PR_ITERS):
+        rd = r.join(deg.withColumnRenamed("src", "node"), "node")
+        contrib = sym.join(
+            rd.withColumnRenamed("node", "src"), "src"
+        ).select(
+            "dst",
+            F.expr(
+                f"CAST(floor((r / d) * {_PR_SCALE}.0) AS BIGINT)"
+            ).alias("q"),
+        )
+        r = contrib.groupBy("dst").agg(
+            (
+                F.lit(0.15)
+                + F.lit(0.85)
+                * (
+                    F.sum("q").cast("bigint").cast("double")
+                    / F.lit(float(_PR_SCALE))
+                )
+            ).alias("r")
+        ).withColumnRenamed("dst", "node")
+    w = W.orderBy(F.col("r").desc(), F.col("node"))
+    return (
+        r.select(
+            F.col("node").alias("user_id"),
+            F.col("r").alias("pagerank"),
+            F.row_number().over(w).alias("rnk"),
+        )
+        .filter(F.col("rnk") <= 20)
+        .orderBy("rnk")
+    )

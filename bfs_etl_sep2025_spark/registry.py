@@ -80,6 +80,7 @@ _PRIORITY: tuple[str, ...] = (
     "text_bpe_train",
     "similarity_ann_pq",
     "text_bpe_apply",
+    "graph_pagerank",
     # round-2 cohort: oldest driver greens (4 rounds stale)
     "q1_pricing_summary",
     "q2_min_cost_supplier",
