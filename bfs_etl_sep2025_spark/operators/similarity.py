@@ -1226,3 +1226,116 @@ def similarity_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 3)
         .orderBy("query_id", "rnk")
     )
+
+
+# -- semantic deduplication (SemDeDup) ---------------------------------------
+
+#: cosine threshold for the semantic-dedup demo — meaningful on the
+#: fixture's random vectors (max pairwise cosine ~0.51); a production
+#: corpus with true semantic duplicates runs ~0.95+
+SEMDEDUP_TAU = 0.40
+
+
+@query(
+    "dedup_semantic_embedding",
+    family="dedup",
+    oracle=f"""
+        WITH init AS (
+          SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
+                 embedding AS c
+          FROM (SELECT vec_id, embedding FROM embeddings
+                ORDER BY vec_id LIMIT {KMEANS_K})
+        ),
+        d1 AS (
+          SELECT e.vec_id, e.embedding, i.cid,
+                 {_sql_sqdist('e.embedding', 'i.c')} AS dist
+          FROM embeddings e CROSS JOIN init i
+        ),
+        asg AS (
+          SELECT vec_id, embedding, cid FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id
+                                         ORDER BY dist, cid) AS rn
+            FROM d1
+          ) WHERE rn = 1
+        ),
+        n AS (
+          SELECT vec_id, embedding, cid, {_sql_norm('embedding')} AS nrm
+          FROM asg
+        ),
+        pairs AS (
+          SELECT a.cid, a.vec_id AS u, b.vec_id AS v,
+                 {_sql_dot('a.embedding', 'b.embedding')} / (a.nrm * b.nrm)
+                   AS cosine
+          FROM n a JOIN n b ON b.cid = a.cid AND a.vec_id < b.vec_id
+          WHERE {_sql_dot('a.embedding', 'b.embedding')} / (a.nrm * b.nrm)
+                  >= {SEMDEDUP_TAU}
+        )
+        SELECT cid AS cluster_id, v AS vec_id_removed,
+               CAST(min(u) AS BIGINT) AS kept_exemplar,
+               max(cosine) AS max_cosine
+        FROM pairs
+        GROUP BY cid, v
+        ORDER BY vec_id_removed
+    """,
+)
+def dedup_semantic_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic deduplication in embedding space (SemDeDup — Abbas et al.
+    2023, public paper): k-means-cluster the corpus, compare pairs ONLY
+    within a cluster, and remove every vector that has a sufficiently
+    similar lower-id exemplar in its cell. Emits the removal list with
+    each removed vector's kept exemplar and best cosine.
+
+    Scale shape — the point of SemDeDup at 100 TB: assignment is the
+    map-only literal-centroid argmin (zero joins, scan speed;
+    similarity_kmeans_train is where the codebook comes from), and the
+    quadratic pair comparison is confined to one EQUI-JOIN on the cluster
+    id — cells stay bounded when K scales with the corpus, AQE splits
+    skewed cells, and nothing all-pairs ever crosses cells. The cosine
+    threshold sits above an equi-join (codegen'd extra-condition path),
+    so no BroadcastNestedLoopJoin barrier is involved. Exactness: the
+    argmin ties to the lowest cluster id exactly like the oracle's
+    ``ORDER BY dist, cid`` window; min/max aggregates carry no float
+    accumulation, so results hash-match."""
+    e = widen(load(spark, sf_dir, "embeddings"))
+    seeds = (
+        e.select("vec_id", "embedding").orderBy("vec_id").limit(KMEANS_K).collect()
+    )
+    cents = [[float(x) for x in r.embedding] for r in seeds]
+    asg = _assign(e.select("vec_id", "embedding"), cents).select(
+        "vec_id", "embedding", F.col("cluster_id").alias("cid")
+    )
+    n = asg.select(
+        "vec_id", "embedding", "cid", _norm_arr("embedding").alias("nrm")
+    )
+    a = n.select(
+        F.col("cid"),
+        F.col("vec_id").alias("u"),
+        F.col("embedding").alias("a_emb"),
+        F.col("nrm").alias("nrm_a"),
+    )
+    b = n.select(
+        F.col("cid").alias("cid_b"),
+        F.col("vec_id").alias("v"),
+        F.col("embedding").alias("b_emb"),
+        F.col("nrm").alias("nrm_b"),
+    )
+    cos = _dot_arr("a_emb", "b_emb") / (F.col("nrm_a") * F.col("nrm_b"))
+    pairs = (
+        a.join(b, (F.col("cid_b") == F.col("cid")) & (F.col("u") < F.col("v")))
+        .select("cid", "u", "v", cos.alias("cosine"))
+        .filter(F.col("cosine") >= SEMDEDUP_TAU)
+    )
+    return (
+        pairs.groupBy("cid", "v")
+        .agg(
+            F.min("u").cast("bigint").alias("kept_exemplar"),
+            F.max("cosine").alias("max_cosine"),
+        )
+        .select(
+            F.col("cid").alias("cluster_id"),
+            F.col("v").alias("vec_id_removed"),
+            "kept_exemplar",
+            "max_cosine",
+        )
+        .orderBy("vec_id_removed")
+    )

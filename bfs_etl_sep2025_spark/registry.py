@@ -81,6 +81,7 @@ _PRIORITY: tuple[str, ...] = (
     "similarity_ann_pq",
     "text_bpe_apply",
     "graph_pagerank",
+    "dedup_semantic_embedding",
     # round-2 cohort: oldest driver greens (4 rounds stale)
     "q1_pricing_summary",
     "q2_min_cost_supplier",
