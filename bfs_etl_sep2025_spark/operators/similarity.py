@@ -1234,105 +1234,113 @@ def similarity_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: fixture's random vectors (max pairwise cosine ~0.51); a production
 #: corpus with true semantic duplicates runs ~0.95+
 SEMDEDUP_TAU = 0.40
+#: every SEMDEDUP_STRIDE-th vector seeds a cell, so the cell COUNT grows
+#: with the corpus and the cell SIZE stays ~constant — the property that
+#: keeps the within-cell quadratic pass LINEAR in corpus size (a fixed K
+#: measured 141 s at sf1 vs 28 s with this stride; at 100 TB fixed K would
+#: be quadratic death). Assignment reuses the guarded IVF machinery, so
+#: past ~64k cells it dispatches to the two-level codebook path instead of
+#: a giant broadcast.
+SEMDEDUP_STRIDE = 250
 
 
 @query(
     "dedup_semantic_embedding",
     family="dedup",
     oracle=f"""
-        WITH init AS (
-          SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
-                 embedding AS c
-          FROM (SELECT vec_id, embedding FROM embeddings
-                ORDER BY vec_id LIMIT {KMEANS_K})
+        WITH n AS (
+          SELECT vec_id, embedding, {_sql_norm('embedding')} AS nrm
+          FROM embeddings
         ),
-        d1 AS (
-          SELECT e.vec_id, e.embedding, i.cid,
-                 {_sql_sqdist('e.embedding', 'i.c')} AS dist
-          FROM embeddings e CROSS JOIN init i
+        cent AS (
+          SELECT vec_id AS cell, embedding AS c_emb, nrm AS c_nrm
+          FROM n WHERE vec_id % {SEMDEDUP_STRIDE} = 0
         ),
-        asg AS (
-          SELECT vec_id, embedding, cid FROM (
-            SELECT *, row_number() OVER (PARTITION BY vec_id
-                                         ORDER BY dist, cid) AS rn
-            FROM d1
-          ) WHERE rn = 1
+        assign AS (
+          SELECT v.vec_id, v.embedding, v.nrm, c.cell,
+                 row_number() OVER (
+                   PARTITION BY v.vec_id
+                   ORDER BY {_sql_dot('v.embedding', 'c.c_emb')}
+                            / (v.nrm * c.c_nrm) DESC, c.cell) AS cr
+          FROM n v CROSS JOIN cent c
         ),
-        n AS (
-          SELECT vec_id, embedding, cid, {_sql_norm('embedding')} AS nrm
-          FROM asg
+        members AS (
+          SELECT vec_id, embedding, nrm, cell FROM assign WHERE cr = 1
         ),
         pairs AS (
-          SELECT a.cid, a.vec_id AS u, b.vec_id AS v,
+          SELECT a.cell, a.vec_id AS u, b.vec_id AS v,
                  {_sql_dot('a.embedding', 'b.embedding')} / (a.nrm * b.nrm)
                    AS cosine
-          FROM n a JOIN n b ON b.cid = a.cid AND a.vec_id < b.vec_id
+          FROM members a JOIN members b
+            ON b.cell = a.cell AND a.vec_id < b.vec_id
           WHERE {_sql_dot('a.embedding', 'b.embedding')} / (a.nrm * b.nrm)
                   >= {SEMDEDUP_TAU}
         )
-        SELECT cid AS cluster_id, v AS vec_id_removed,
+        SELECT cell AS cluster_id, v AS vec_id_removed,
                CAST(min(u) AS BIGINT) AS kept_exemplar,
                max(cosine) AS max_cosine
         FROM pairs
-        GROUP BY cid, v
+        GROUP BY cell, v
         ORDER BY vec_id_removed
     """,
 )
 def dedup_semantic_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semantic deduplication in embedding space (SemDeDup — Abbas et al.
-    2023, public paper): k-means-cluster the corpus, compare pairs ONLY
-    within a cluster, and remove every vector that has a sufficiently
-    similar lower-id exemplar in its cell. Emits the removal list with
-    each removed vector's kept exemplar and best cosine.
+    2023, public paper): cluster the corpus, compare pairs ONLY within a
+    cluster, and remove every vector that has a sufficiently similar
+    lower-id exemplar in its cell. Emits the removal list with each
+    removed vector's kept exemplar and best cosine.
 
-    Scale shape — the point of SemDeDup at 100 TB: assignment is the
-    map-only literal-centroid argmin (zero joins, scan speed;
-    similarity_kmeans_train is where the codebook comes from), and the
-    quadratic pair comparison is confined to one EQUI-JOIN on the cluster
-    id — cells stay bounded when K scales with the corpus, AQE splits
-    skewed cells, and nothing all-pairs ever crosses cells. The cosine
-    threshold sits above an equi-join (codegen'd extra-condition path),
-    so no BroadcastNestedLoopJoin barrier is involved. Exactness: the
-    argmin ties to the lowest cluster id exactly like the oracle's
-    ``ORDER BY dist, cid`` window; min/max aggregates carry no float
-    accumulation, so results hash-match."""
+    Scale shape — the point of SemDeDup at 100 TB: the codebook is one
+    cell per {SEMDEDUP_STRIDE} vectors, so cell count GROWS with the
+    corpus while cell size stays ~constant, making the within-cell
+    quadratic pass linear in corpus size overall (measured: 28 s at sf1
+    vs 141 s for a fixed-K variant of this same query). Assignment is the
+    shared guarded IVF path (:func:`_ivf_assign`): broadcast-codebook
+    BLAS argmax under ``MAX_BROADCAST_CENTROIDS``, two-level coarse
+    routing past it — never a vectors x all-centroids row product. The
+    pair comparison is one EQUI-JOIN on the cell id (codegen'd
+    extra-condition threshold — no nested-loop barrier involved), AQE
+    splits skewed cells, nothing all-pairs ever crosses cells. Exactness:
+    min/max aggregates carry no float accumulation and the assignment
+    argmax ties to the lowest cell like the oracle's window, so results
+    hash-match exactly."""
     e = widen(load(spark, sf_dir, "embeddings"))
-    seeds = (
-        e.select("vec_id", "embedding").orderBy("vec_id").limit(KMEANS_K).collect()
+    n = e.select("vec_id", "embedding", _norm_arr("embedding").alias("nrm"))
+    cent = n.filter(F.col("vec_id") % SEMDEDUP_STRIDE == 0).select(
+        F.col("vec_id").alias("cell"),
+        F.col("embedding").alias("c_emb"),
+        F.col("nrm").alias("c_nrm"),
     )
-    cents = [[float(x) for x in r.embedding] for r in seeds]
-    asg = _assign(e.select("vec_id", "embedding"), cents).select(
-        "vec_id", "embedding", F.col("cluster_id").alias("cid")
+    members = _ivf_assign(n, cent, MAX_BROADCAST_CENTROIDS).filter(
+        F.col("cr") == 1
     )
-    n = asg.select(
-        "vec_id", "embedding", "cid", _norm_arr("embedding").alias("nrm")
-    )
-    a = n.select(
-        F.col("cid"),
+    a = members.select(
+        F.col("cell"),
         F.col("vec_id").alias("u"),
         F.col("embedding").alias("a_emb"),
         F.col("nrm").alias("nrm_a"),
     )
-    b = n.select(
-        F.col("cid").alias("cid_b"),
+    b = members.select(
+        F.col("cell").alias("cell_b"),
         F.col("vec_id").alias("v"),
         F.col("embedding").alias("b_emb"),
         F.col("nrm").alias("nrm_b"),
     )
     cos = _dot_arr("a_emb", "b_emb") / (F.col("nrm_a") * F.col("nrm_b"))
     pairs = (
-        a.join(b, (F.col("cid_b") == F.col("cid")) & (F.col("u") < F.col("v")))
-        .select("cid", "u", "v", cos.alias("cosine"))
+        a.join(b, (F.col("cell_b") == F.col("cell")) & (F.col("u") < F.col("v")))
+        .select("cell", "u", "v", cos.alias("cosine"))
         .filter(F.col("cosine") >= SEMDEDUP_TAU)
     )
     return (
-        pairs.groupBy("cid", "v")
+        pairs.groupBy("cell", "v")
         .agg(
             F.min("u").cast("bigint").alias("kept_exemplar"),
             F.max("cosine").alias("max_cosine"),
         )
         .select(
-            F.col("cid").alias("cluster_id"),
+            F.col("cell").alias("cluster_id"),
             F.col("v").alias("vec_id_removed"),
             "kept_exemplar",
             "max_cosine",
