@@ -403,6 +403,40 @@ class VersionedTable:
         )
         return {r["_d"] for r in hit.collect()}
 
+    def cdc_sink(
+        self,
+        keys: list[str],
+        prepare=None,
+        optimize_every: int | None = None,
+        sort_by: list[str] | None = None,
+        n_buckets: int = 8,
+    ):
+        """``foreachBatch`` callable MERGE-upserting each micro-batch into
+        this table — the streaming-CDC-to-lakehouse sink as a library
+        feature rather than a per-caller pattern. ``prepare`` (default
+        identity) must collapse the batch to one row per key (upsert
+        raises on duplicates); empty batches are skipped.
+
+        ``optimize_every=N`` runs :meth:`optimize` after every N upserted
+        batches — the auto-compaction maintenance loop every lakehouse
+        CDC sink needs: without it, a long-running stream accretes one
+        small dir per micro-batch until reads drown in file listings;
+        with ``sort_by`` the periodic rewrite also re-establishes the
+        disjoint key ranges that keep :meth:`upsert`'s footer-stats
+        pruning effective between optimizes."""
+        n_upserts = [0]
+
+        def sink(batch_df: DataFrame, epoch_id: int) -> None:
+            src = prepare(batch_df) if prepare is not None else batch_df
+            if src.isEmpty():
+                return
+            self.upsert(src, keys)
+            n_upserts[0] += 1
+            if optimize_every and n_upserts[0] % optimize_every == 0:
+                self.optimize(sort_by=sort_by, n_buckets=n_buckets)
+
+        return sink
+
     def delete_where(self, condition: str) -> int:
         """SQL DELETE semantics: rows where ``condition`` is TRUE are
         removed; FALSE and NULL rows are kept (``filter(~cond)`` would

@@ -509,3 +509,41 @@ def test_vacuum_keeps_live_nested_dirs(spark, tmp_path):
     removed = vt.vacuum(keep_last=2)  # head + optimize snapshot stay live
     assert all("_obkt" not in d for d in removed)
     assert vt.read().count() == 21
+
+
+def test_cdc_sink_auto_optimize(spark, tmp_path):
+    """The library CDC sink upserts every micro-batch and runs OPTIMIZE
+    after every N — so a drained stream leaves a compacted, range-
+    clustered table instead of one small dir per batch."""
+    schema = "id BIGINT, v STRING"
+    src, ckpt = str(tmp_path / "src"), str(tmp_path / "ckpt")
+    vt = VersionedTable(spark, str(tmp_path / "cdc_opt"))
+    vt.create(spark.createDataFrame([], schema))
+    sink = vt.cdc_sink(
+        keys=["id"], optimize_every=2, sort_by=["id"], n_buckets=2
+    )
+    for lo in (0, 100, 200, 300):
+        spark.createDataFrame(
+            [(lo + i, f"r{lo + i}") for i in range(5)], schema
+        ).coalesce(1).write.mode("append").parquet(src)
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    ops = [h["op"] for h in vt.history()]
+    assert ops.count("upsert") == 4
+    assert ops.count("optimize") == 2
+    assert ops[-1] == "optimize"  # 4 batches, every 2 -> ends compacted
+    assert vt.read().count() == 20
+    dirs = vt._manifest(vt.current_version())["dirs"]
+    assert all("/_obkt=" in d for d in dirs)  # range-clustered head
+    # clustered ranges are disjoint -> a narrow upsert prunes
+    lows = [vt._key_range(d, "id") for d in dirs]
+    srt = sorted(lows)
+    assert all(srt[i][1] < srt[i + 1][0] for i in range(len(srt) - 1))
