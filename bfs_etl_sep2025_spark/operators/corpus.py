@@ -406,3 +406,106 @@ def corpus_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# -- DSIR-style importance weighting ----------------------------------------
+
+#: hashed-feature buckets and fixed-point scale for corpus_dsir_weights —
+#: BIGINT-only arithmetic end to end, so both engines agree bit for bit
+_DSIR_BUCKETS = 64
+_DSIR_SCALE = 1_000_000
+
+
+@query(
+    "corpus_dsir_weights",
+    family="corpus",
+    oracle=f"""
+        WITH toks AS (
+          SELECT d.doc_id, d.lang,
+                 {_sql_bucket('t.w', _DSIR_BUCKETS)} AS b
+          FROM documents d, UNNEST(string_split(d.text, ' ')) AS t(w)
+          WHERE length(t.w) >= 1
+        ),
+        src AS (SELECT b, count(*) AS sc FROM toks GROUP BY b),
+        tgt AS (SELECT b, count(*) AS tc FROM toks
+                WHERE lang = 'en' GROUP BY b),
+        ratio AS (
+          SELECT src.b,
+                 ((coalesce(tgt.tc, 0) + 1) * {_DSIR_SCALE})
+                   // (src.sc + 1) AS r
+          FROM src LEFT JOIN tgt ON tgt.b = src.b
+        ),
+        scored AS (
+          SELECT toks.doc_id,
+                 CAST(sum(ratio.r) AS BIGINT) AS score_int,
+                 CAST(count(*) AS BIGINT) AS n_tokens
+          FROM toks JOIN ratio ON ratio.b = toks.b
+          GROUP BY toks.doc_id
+        )
+        SELECT doc_id, n_tokens,
+               CAST(score_int AS DOUBLE)
+                 / CAST(n_tokens * {_DSIR_SCALE} AS DOUBLE) AS dsir_score
+        FROM scored
+        ORDER BY dsir_score DESC, doc_id
+        LIMIT 50
+    """,
+)
+def corpus_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data Selection via Importance Resampling (DSIR — Xie et al. 2023,
+    public paper), rationalized for cross-engine exactness: score every
+    document by how much its hashed-unigram feature distribution looks
+    like the TARGET domain (here lang='en') relative to the whole corpus,
+    then keep the top-scoring docs. Per bucket b the importance ratio is
+    the add-one-smoothed ``(tgt[b]+1)/(src[b]+1)`` held as the fixed-point
+    integer ``((tgt+1)*10^6) div (src+1)``; a document's score is the
+    BIGINT sum of its tokens' ratios normalized by token count — DSIR's
+    log-likelihood-ratio sum replaced by a rational mean (libm ``log`` is
+    not identically rounded across engines; the monotone ordering is what
+    selection uses), so the oracle matches hash-exactly.
+
+    Scale shape (100 TB): tokens explode map-side into (doc, bucket); the
+    bucket histograms are {_DSIR_BUCKETS}-group HashAggregates with
+    map-side combine (two passes, or one with a conditional count); the
+    ratio table is {_DSIR_BUCKETS} rows BROADCAST back; scoring is one
+    doc-keyed sum; the final top-50 is TakeOrderedAndProject, never a
+    global sort."""
+    d = widen(load(spark, sf_dir, "documents"))
+    toks = (
+        d.select(
+            "doc_id", "lang", F.explode(F.split("text", " ")).alias("w")
+        )
+        .filter(F.length("w") >= 1)
+        .select("doc_id", "lang", _bucket(F.col("w"), _DSIR_BUCKETS).alias("b"))
+    )
+    src = toks.groupBy("b").agg(F.count(F.lit(1)).alias("sc"))
+    tgt = (
+        toks.filter(F.col("lang") == "en")
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("tc"))
+    )
+    ratio = src.join(tgt, "b", "left").select(
+        "b",
+        F.expr(
+            f"((coalesce(tc, 0) + 1) * {_DSIR_SCALE}) DIV (sc + 1)"
+        ).alias("r"),
+    )
+    scored = (
+        toks.join(F.broadcast(ratio), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("r").cast("bigint").alias("score_int"),
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        )
+    )
+    return (
+        scored.select(
+            "doc_id",
+            "n_tokens",
+            (
+                F.col("score_int").cast("double")
+                / (F.col("n_tokens") * _DSIR_SCALE).cast("double")
+            ).alias("dsir_score"),
+        )
+        .orderBy(F.col("dsir_score").desc(), "doc_id")
+        .limit(50)
+    )

@@ -82,6 +82,7 @@ _PRIORITY: tuple[str, ...] = (
     "text_bpe_apply",
     "graph_pagerank",
     "dedup_semantic_embedding",
+    "corpus_dsir_weights",
     # round-2 cohort: oldest driver greens (4 rounds stale)
     "q1_pricing_summary",
     "q2_min_cost_supplier",
