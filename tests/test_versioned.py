@@ -547,3 +547,80 @@ def test_cdc_sink_auto_optimize(spark, tmp_path):
     lows = [vt._key_range(d, "id") for d in dirs]
     srt = sorted(lows)
     assert all(srt[i][1] < srt[i + 1][0] for i in range(len(srt) - 1))
+
+
+# -- model-based property test ----------------------------------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_OPS = st.lists(
+    st.one_of(
+        st.tuples(
+            st.just("upsert"),
+            st.lists(
+                st.tuples(st.integers(0, 15), st.integers(0, 99)),
+                min_size=1,
+                max_size=4,
+                unique_by=lambda t: t[0],
+            ),
+        ),
+        st.tuples(
+            st.just("delete"),
+            st.lists(st.integers(0, 15), min_size=1, max_size=4, unique=True),
+        ),
+        st.tuples(st.just("optimize"), st.booleans()),
+        st.tuples(st.just("rollback"), st.integers(0, 100)),
+    ),
+    min_size=1,
+    max_size=7,
+)
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.too_slow,
+        HealthCheck.function_scoped_fixture,
+    ],
+)
+@given(ops=_OPS)
+def test_versioned_model_based(spark, ops):
+    """Random mutation programs against an in-memory dict model: after
+    every commit the table reads back exactly the model state, rollback
+    restores any earlier model snapshot, and optimize never changes data.
+    This is the commit protocol's behavioral spec, not one hand-picked
+    scenario."""
+    import shutil
+    import tempfile
+
+    root = tempfile.mkdtemp(prefix="vt_model_")
+    try:
+        vt = VersionedTable(spark, root)
+        vt.create(spark.createDataFrame([], "id INT, v INT"))
+        model: dict = {}
+        snapshots = {1: dict(model)}
+        for op, arg in ops:
+            if op == "upsert":
+                vt.upsert(
+                    spark.createDataFrame(arg, "id INT, v INT"), ["id"]
+                )
+                model.update(dict(arg))
+            elif op == "delete":
+                vt.delete_where(f"id IN ({', '.join(map(str, arg))})")
+                for k in arg:
+                    model.pop(k, None)
+            elif op == "optimize":
+                vt.optimize(sort_by=["id"] if arg else None, n_buckets=2)
+            elif op == "rollback":
+                to = 1 + arg % vt.current_version()
+                vt.rollback(to)
+                model = dict(snapshots[to])
+            v = vt.current_version()
+            snapshots[v] = dict(model)
+            got = {r["id"]: r["v"] for r in vt.read().collect()}
+            assert got == model, (op, arg, got, model)
+        assert len(vt.history()) == vt.current_version()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
