@@ -982,3 +982,104 @@ def text_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# -- count-based bigram LM scoring (perplexity-filter proxy) ----------------
+
+#: fixed-point scale for bigram conditional probabilities — BIGINT-only
+#: arithmetic so per-doc sums are order-independent and cross-engine exact
+_LM_SCALE = 1_000_000
+
+
+@query(
+    "text_lm_score",
+    family="text",
+    oracle=f"""
+        WITH toks AS (
+          SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        ),
+        bg AS (
+          SELECT doc_id, t[i] AS w1, t[i] || ' ' || t[i + 1] AS g
+          FROM toks, UNNEST(range(1, len(t))) AS r(i)
+        ),
+        cb AS (SELECT w1, g, count(*) AS cbg FROM bg GROUP BY w1, g),
+        cw AS (SELECT w1, count(*) AS cw1 FROM bg GROUP BY w1),
+        p AS (
+          SELECT cb.w1, cb.g, (cb.cbg * {_LM_SCALE}) // cw.cw1 AS p_int
+          FROM cb JOIN cw ON cw.w1 = cb.w1
+        ),
+        scored AS (
+          SELECT bg.doc_id,
+                 CAST(sum(p.p_int) AS BIGINT) AS s_int,
+                 CAST(count(*) AS BIGINT) AS n_bigrams
+          FROM bg JOIN p ON p.w1 = bg.w1 AND p.g = bg.g
+          GROUP BY bg.doc_id
+        )
+        SELECT doc_id, n_bigrams,
+               CAST(s_int AS DOUBLE)
+                 / CAST(n_bigrams * {_LM_SCALE} AS DOUBLE) AS lm_score
+        FROM scored
+        ORDER BY doc_id
+    """,
+)
+def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-based bigram language-model scoring — the tractable stand-in
+    for the KenLM perplexity filter CCNet-style pipelines run (Wenzek et
+    al. 2020, public paper): train bigram conditionals
+    ``p(w2|w1) = C(w1 w2) / C(w1 ·)`` on the corpus itself, then score
+    each document by its mean bigram probability. Degenerate boilerplate
+    scores high, incoherent token soup scores low — the monotone ordering
+    a quality gate thresholds on. Probabilities are fixed-point BIGINTs
+    (``(cbg * 10^6) div cw1``), so per-doc sums are order-independent and
+    the oracle matches hash-exactly (libm log is banned cross-engine; the
+    rational mean preserves the ordering perplexity provides).
+
+    Scale shape (100 TB): bigram expansion is the codegen'd
+    explode-index + ``element_at`` form (no array-lambda HOFs); the LM
+    tables are token-keyed HashAggregates with map-side combine; scoring
+    joins the narrow (doc, w1, gram) rows to the probability table on the
+    gram key — every join an equi-join on well-distributed token keys,
+    AQE handling stopword skew. Docs with fewer than two tokens have no
+    bigrams and are absent by construction (both engines)."""
+    d = widen(load(spark, sf_dir, "documents"))
+    t = _tokens(F.col("text"))
+    bg = (
+        d.select("doc_id", t.alias("t"))
+        .filter(F.size("t") >= 2)
+        .select(
+            "doc_id",
+            "t",
+            F.explode(F.sequence(F.lit(1), F.size("t") - 1)).alias("i"),
+        )
+        .select(
+            "doc_id",
+            F.element_at("t", F.col("i")).alias("w1"),
+            F.concat(
+                F.element_at("t", F.col("i")),
+                F.lit(" "),
+                F.element_at("t", F.col("i") + 1),
+            ).alias("g"),
+        )
+    )
+    cb = bg.groupBy("w1", "g").agg(F.count(F.lit(1)).alias("cbg"))
+    cw = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("cw1"))
+    p = cb.join(cw, "w1").select(
+        "w1", "g", F.expr(f"(cbg * {_LM_SCALE}) DIV cw1").alias("p_int")
+    )
+    return (
+        bg.join(p, ["w1", "g"])
+        .groupBy("doc_id")
+        .agg(
+            F.sum("p_int").cast("bigint").alias("s_int"),
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            (
+                F.col("s_int").cast("double")
+                / (F.col("n_bigrams") * _LM_SCALE).cast("double")
+            ).alias("lm_score"),
+        )
+        .orderBy("doc_id")
+    )

@@ -83,6 +83,7 @@ _PRIORITY: tuple[str, ...] = (
     "graph_pagerank",
     "dedup_semantic_embedding",
     "corpus_dsir_weights",
+    "text_lm_score",
     # round-2 cohort: oldest driver greens (4 rounds stale)
     "q1_pricing_summary",
     "q2_min_cost_supplier",
