@@ -89,12 +89,26 @@ class VersionedTable:
         with open(path) as f:
             return json.load(f)
 
+    def _read_dirs(self, dirs: list[str], schema_json: str | None) -> DataFrame:
+        """Multi-dir parquet read under the snapshot's COMMITTED schema.
+        With an explicit schema, files written before a column was added
+        simply yield NULLs for it — the schema-evolution read path, with
+        no per-file footer merging. Manifests from before schema tracking
+        carry no schema and read as plain parquet."""
+        reader = self.spark.read
+        if schema_json is not None:
+            from pyspark.sql.types import StructType
+
+            reader = reader.schema(StructType.fromJson(json.loads(schema_json)))
+        return reader.parquet(*[os.path.join(self._data, d) for d in dirs])
+
     def read(self, version: int | None = None) -> DataFrame:
-        """Snapshot read. ``version`` time-travels; default is CURRENT."""
+        """Snapshot read. ``version`` time-travels; default is CURRENT —
+        each snapshot reads under ITS OWN committed schema, so time travel
+        across a schema evolution sees the old shape."""
         v = self.current_version() if version is None else version
         m = self._manifest(v)
-        dirs = [os.path.join(self._data, d) for d in m["dirs"]]
-        return self.spark.read.parquet(*dirs)
+        return self._read_dirs(m["dirs"], m.get("schema"))
 
     def history(self) -> list[dict]:
         """All committed manifests, oldest first (op, version, parent,
@@ -125,12 +139,31 @@ class VersionedTable:
         df.write.mode("error").parquet(os.path.join(self._data, dirname))
         return dirname
 
-    def _commit(self, version: int, parent: int, dirs: list[str], op: str) -> int:
+    def _commit(
+        self,
+        version: int,
+        parent: int,
+        dirs: list[str],
+        op: str,
+        schema: str | None = None,
+        constraints: list[str] | None = None,
+    ) -> int:
         os.makedirs(self._manifests, exist_ok=True)
         manifest = os.path.join(self._manifests, f"v{version:05d}.json")
-        body = json.dumps(
-            {"version": version, "parent": parent, "dirs": dirs, "op": op}
-        )
+        entry = {"version": version, "parent": parent, "dirs": dirs, "op": op}
+        # schema/constraints inherit from the parent unless overridden —
+        # every commit records the table shape its snapshot reads under
+        if parent > 0:
+            pm = self._manifest(parent)
+            schema = schema if schema is not None else pm.get("schema")
+            constraints = (
+                constraints if constraints is not None else pm.get("constraints")
+            )
+        if schema is not None:
+            entry["schema"] = schema
+        if constraints:
+            entry["constraints"] = constraints
+        body = json.dumps(entry)
         # optimistic concurrency: vN is claimable exactly once. The body is
         # written through the claiming fd itself (one write + fsync), so the
         # manifest never exists as an empty file; readers anyway only follow
@@ -153,35 +186,113 @@ class VersionedTable:
         os.replace(ctmp, self._current)  # readers flip old->new atomically
         return version
 
-    def create(self, df: DataFrame) -> int:
+    def _check_constraints(
+        self, df: DataFrame, constraints: list[str] | None
+    ) -> None:
+        """Enforce CHECK constraints on rows about to be written — SQL
+        CHECK semantics: a row violates only when the expression is FALSE
+        (NULL passes). One count action per constraint per write, the
+        Delta-constraints price."""
+        from pyspark.sql import functions as F
+
+        for c in constraints or []:
+            bad = df.filter(~F.coalesce(F.expr(c), F.lit(True))).count()
+            if bad:
+                raise ValueError(
+                    f"CHECK constraint violated by {bad} incoming row(s): "
+                    f"{c!r} on {self.root}"
+                )
+
+    def create(self, df: DataFrame, constraints: list[str] | None = None) -> int:
+        """``constraints``: CHECK expressions enforced on every subsequent
+        data-adding mutation (create/append/upsert/overwrite/update), like
+        Delta table constraints."""
         with table_write_lock(self.root):
             if self.exists():
                 raise ValueError(f"versioned table already exists: {self.root}")
+            self._check_constraints(df, constraints)
             d = self._write_data_dir(df, 1)
-            return self._commit(1, 0, [d], "create")
+            return self._commit(
+                1, 0, [d], "create",
+                schema=df.schema.json(), constraints=constraints,
+            )
 
-    def append(self, df: DataFrame) -> int:
-        """O(new data): previous dirs are referenced, never rewritten."""
+    def append(self, df: DataFrame, allow_schema_evolution: bool = False) -> int:
+        """O(new data): previous dirs are referenced, never rewritten.
+
+        Schema is enforced against the committed shape. With
+        ``allow_schema_evolution=True``, PURELY ADDITIVE changes commit a
+        widened schema (existing columns must keep name and type; new
+        columns append) — old files read as NULL for the new columns via
+        the explicit-schema read path, no data rewrite, and time travel
+        still presents each snapshot under its own schema. Type changes
+        and drops always refuse (they would silently corrupt old dirs)."""
         with table_write_lock(self.root):
             parent = self.current_version()
+            pm = self._manifest(parent)
+            schema_json = pm.get("schema")
+            new_schema = None
+            if schema_json is not None:
+                cur = {
+                    f["name"]: json.dumps(f["type"], sort_keys=True)
+                    for f in json.loads(schema_json)["fields"]
+                }
+                incoming = json.loads(df.schema.json())["fields"]
+                inc = {
+                    f["name"]: json.dumps(f["type"], sort_keys=True)
+                    for f in incoming
+                }
+                changed = [
+                    n for n in cur if n in inc and inc[n] != cur[n]
+                ] + [n for n in cur if n not in inc]
+                added = [n for n in inc if n not in cur]
+                if changed:
+                    raise ValueError(
+                        f"append schema mismatch on {self.root}: columns "
+                        f"{changed} change type or disappear — schema "
+                        "evolution is additive-only"
+                    )
+                if added:
+                    if not allow_schema_evolution:
+                        raise ValueError(
+                            f"append introduces new columns {added} on "
+                            f"{self.root}; pass allow_schema_evolution=True "
+                            "to widen the table"
+                        )
+                    merged = json.loads(schema_json)
+                    merged["fields"] += [
+                        f for f in incoming if f["name"] in added
+                    ]
+                    new_schema = json.dumps(merged)
+            self._check_constraints(df, pm.get("constraints"))
             d = self._write_data_dir(df, parent + 1)
-            dirs = self._manifest(parent)["dirs"] + [d]
-            return self._commit(parent + 1, parent, dirs, "append")
+            dirs = pm["dirs"] + [d]
+            return self._commit(
+                parent + 1, parent, dirs, "append", schema=new_schema
+            )
 
     def overwrite(self, df: DataFrame, op: str = "overwrite") -> int:
         with table_write_lock(self.root):
             parent = self.current_version()
+            self._check_constraints(
+                df, self._manifest(parent).get("constraints")
+            )
             d = self._write_data_dir(df, parent + 1)
-            return self._commit(parent + 1, parent, [d], op)
+            # overwrite replaces the data wholesale, so it may also
+            # replace the schema (CREATE OR REPLACE semantics)
+            return self._commit(
+                parent + 1, parent, [d], op, schema=df.schema.json()
+            )
 
     def rollback(self, to_version: int) -> int:
         """Re-commit an old snapshot's dir list as the new head (history
         stays linear and append-only, like RESTORE in lakehouse formats)."""
         with table_write_lock(self.root):
             parent = self.current_version()
-            dirs = self._manifest(to_version)["dirs"]
+            tm = self._manifest(to_version)
             return self._commit(
-                parent + 1, parent, dirs, f"rollback->{to_version}"
+                parent + 1, parent, tm["dirs"], f"rollback->{to_version}",
+                schema=tm.get("schema"),
             )
 
     def vacuum(self, keep_last: int = 2) -> list[str]:
@@ -233,12 +344,8 @@ class VersionedTable:
 
         with table_write_lock(self.root):
             parent = self.current_version()
-            df = self.spark.read.parquet(
-                *[
-                    os.path.join(self._data, d)
-                    for d in self._manifest(parent)["dirs"]
-                ]
-            )
+            pm = self._manifest(parent)
+            df = self._read_dirs(pm["dirs"], pm.get("schema"))
             if not sort_by:
                 d = self._write_data_dir(df, parent + 1)
                 return self._commit(parent + 1, parent, [d], "optimize")
@@ -345,7 +452,9 @@ class VersionedTable:
         slo, shi = row["lo"], row["hi"]
         with table_write_lock(self.root):
             parent = self.current_version()
-            dirs = self._manifest(parent)["dirs"]
+            pm = self._manifest(parent)
+            self._check_constraints(src, pm.get("constraints"))
+            dirs = pm["dirs"]
             touched, untouched = [], []
             for d in dirs:
                 dlo, dhi = self._key_range(d, keys[0])
@@ -357,9 +466,7 @@ class VersionedTable:
                     overlaps = not (shi < dlo or slo > dhi)
                 (touched if overlaps else untouched).append(d)
             if touched:
-                tgt = self.spark.read.parquet(
-                    *[os.path.join(self._data, d) for d in touched]
-                )
+                tgt = self._read_dirs(touched, pm.get("schema"))
                 kept = tgt.join(src.select(*keys), keys, "left_anti")
                 new = kept.unionByName(src)
             else:
@@ -372,7 +479,9 @@ class VersionedTable:
                 parent + 1, parent, untouched + [d], "upsert"
             )
 
-    def _touched_dirs(self, dirs: list[str], condition: str) -> set[str]:
+    def _touched_dirs(
+        self, dirs: list[str], condition: str, schema_json: str | None
+    ) -> set[str]:
         """Which data dirs contain at least one row matching ``condition``
         — ONE column-pruned, predicate-pushed Spark scan over the snapshot
         (parquet row-group stats skip non-matching groups), grouped by
@@ -382,9 +491,7 @@ class VersionedTable:
         MERGE/DELETE file pruning."""
         from pyspark.sql import functions as F
 
-        df = self.spark.read.parquet(
-            *[os.path.join(self._data, d) for d in dirs]
-        )
+        df = self._read_dirs(dirs, schema_json)
         # manifest dirs may be nested (optimize() writes one subdir per
         # range bucket), so recover the dir as the file's path RELATIVE to
         # the data root (literal split — scheme- and regex-safe), not by
@@ -448,14 +555,13 @@ class VersionedTable:
         keep = ~F.coalesce(F.expr(condition), F.lit(False))
         with table_write_lock(self.root):
             parent = self.current_version()
-            dirs = self._manifest(parent)["dirs"]
-            touched = self._touched_dirs(dirs, condition)
+            pm = self._manifest(parent)
+            dirs = pm["dirs"]
+            touched = self._touched_dirs(dirs, condition, pm.get("schema"))
             untouched = [d for d in dirs if d not in touched]
             new_dirs = untouched
             if touched:
-                sub = self.spark.read.parquet(
-                    *[os.path.join(self._data, d) for d in sorted(touched)]
-                )
+                sub = self._read_dirs(sorted(touched), pm.get("schema"))
                 d = self._write_data_dir(sub.filter(keep), parent + 1)
                 new_dirs = untouched + [d]
             return self._commit(parent + 1, parent, new_dirs, "delete")
@@ -470,19 +576,21 @@ class VersionedTable:
         cond = F.expr(condition)
         with table_write_lock(self.root):
             parent = self.current_version()
-            dirs = self._manifest(parent)["dirs"]
+            pm = self._manifest(parent)
+            dirs = pm["dirs"]
             cols = self.read().columns
-            touched = self._touched_dirs(dirs, condition)
+            touched = self._touched_dirs(dirs, condition, pm.get("schema"))
             untouched = [d for d in dirs if d not in touched]
             new_dirs = untouched
             if touched:
-                df = self.spark.read.parquet(
-                    *[os.path.join(self._data, d) for d in sorted(touched)]
-                )
+                df = self._read_dirs(sorted(touched), pm.get("schema"))
                 for col, expr in sets.items():
                     df = df.withColumn(
                         col, F.when(cond, F.expr(expr)).otherwise(F.col(col))
                     )
+                self._check_constraints(
+                    df.select(*cols), pm.get("constraints")
+                )
                 d = self._write_data_dir(df.select(*cols), parent + 1)
                 new_dirs = untouched + [d]
             return self._commit(parent + 1, parent, new_dirs, "update")

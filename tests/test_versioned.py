@@ -624,3 +624,84 @@ def test_versioned_model_based(spark, ops):
         assert len(vt.history()) == vt.current_version()
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def test_schema_evolution_additive_append(spark, tmp_path):
+    """Additive schema evolution: new columns append without rewriting old
+    dirs (old files read as NULL under the committed schema); time travel
+    presents each snapshot under its own shape; type changes and column
+    drops refuse loudly."""
+    vt = VersionedTable(spark, str(tmp_path / "evo"))
+    vt.create(spark.createDataFrame([(1, "a")], "id INT, v STRING"))
+    with pytest.raises(ValueError, match="new columns.*schema_evolution"):
+        vt.append(
+            spark.createDataFrame(
+                [(2, "b", 9.5)], "id INT, v STRING, score DOUBLE"
+            )
+        )
+    before_dirs = vt._manifest(vt.current_version())["dirs"]
+    vt.append(
+        spark.createDataFrame(
+            [(2, "b", 9.5)], "id INT, v STRING, score DOUBLE"
+        ),
+        allow_schema_evolution=True,
+    )
+    assert set(before_dirs) <= set(
+        vt._manifest(vt.current_version())["dirs"]
+    )  # no rewrite
+    rows = {r["id"]: (r["v"], r["score"]) for r in vt.read().collect()}
+    assert rows == {1: ("a", None), 2: ("b", 9.5)}
+    # pre-evolution snapshot still has the narrow schema
+    assert vt.read(version=1).columns == ["id", "v"]
+    # widened upsert round-trips through the committed wide schema
+    vt.upsert(
+        spark.createDataFrame(
+            [(1, "A", 1.5)], "id INT, v STRING, score DOUBLE"
+        ),
+        ["id"],
+    )
+    assert {r["id"]: r["score"] for r in vt.read().collect()} == {
+        1: 1.5, 2: 9.5,
+    }
+    # type change refuses
+    with pytest.raises(ValueError, match="additive-only"):
+        vt.append(
+            spark.createDataFrame(
+                [(3, 7, 1.0)], "id INT, v INT, score DOUBLE"
+            )
+        )
+    # column drop refuses
+    with pytest.raises(ValueError, match="additive-only"):
+        vt.append(spark.createDataFrame([(3,)], "id INT"))
+
+
+def test_check_constraints_enforced(spark, tmp_path):
+    """Delta-style table CHECK constraints: enforced on create, append,
+    upsert, and update; NULL evaluations pass (SQL CHECK semantics)."""
+    vt = VersionedTable(spark, str(tmp_path / "chk"))
+    with pytest.raises(ValueError, match="CHECK constraint violated"):
+        vt.create(
+            spark.createDataFrame([(-1, "bad")], "id INT, v STRING"),
+            constraints=["id >= 0"],
+        )
+    vt2 = VersionedTable(spark, str(tmp_path / "chk2"))
+    vt2.create(
+        spark.createDataFrame([(1, "a"), (2, None)], "id INT, v STRING"),
+        constraints=["id >= 0", "length(v) <= 3"],  # NULL v passes
+    )
+    with pytest.raises(ValueError, match="CHECK constraint violated"):
+        vt2.append(spark.createDataFrame([(-5, "x")], "id INT, v STRING"))
+    with pytest.raises(ValueError, match="CHECK constraint violated"):
+        vt2.upsert(
+            spark.createDataFrame([(3, "toolong")], "id INT, v STRING"),
+            ["id"],
+        )
+    with pytest.raises(ValueError, match="CHECK constraint violated"):
+        vt2.update_where("id = 1", {"v": "'waytoolong'"})
+    # nothing partial committed: still the created snapshot
+    assert vt2.current_version() == 1
+    assert _rows(vt2.read()) == [(1, "a"), (2, None)]
+    vt2.upsert(
+        spark.createDataFrame([(3, "ok")], "id INT, v STRING"), ["id"]
+    )
+    assert vt2.read().count() == 3
