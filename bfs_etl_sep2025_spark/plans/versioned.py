@@ -445,6 +445,14 @@ class VersionedTable:
                 f"{keys} — nondeterministic MERGE (deduplicate the source)"
             )
         cols = self.read().columns
+        missing = [c for c in cols if c not in source.columns]
+        if missing:
+            raise ValueError(
+                f"upsert source lacks committed columns {missing} on "
+                f"{self.root}: upsert replaces whole rows, so an implicit "
+                "NULL backfill would silently erase matched rows' values — "
+                "supply every column explicitly"
+            )
         src = source.select(*cols)
         row = src.agg(
             F.min(keys[0]).alias("lo"), F.max(keys[0]).alias("hi")

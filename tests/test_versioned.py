@@ -571,6 +571,15 @@ _OPS = st.lists(
         ),
         st.tuples(st.just("optimize"), st.booleans()),
         st.tuples(st.just("rollback"), st.integers(0, 100)),
+        st.tuples(
+            st.just("evolve_append"),
+            st.lists(
+                st.tuples(st.integers(16, 31), st.integers(0, 99)),
+                min_size=1,
+                max_size=3,
+                unique_by=lambda t: t[0],
+            ),
+        ),
     ),
     min_size=1,
     max_size=7,
@@ -600,12 +609,24 @@ def test_versioned_model_based(spark, ops):
         vt = VersionedTable(spark, root)
         vt.create(spark.createDataFrame([], "id INT, v INT"))
         model: dict = {}
-        snapshots = {1: dict(model)}
+        evolved = False
+        snapshots = {1: (dict(model), evolved)}
         for op, arg in ops:
             if op == "upsert":
-                vt.upsert(
-                    spark.createDataFrame(arg, "id INT, v INT"), ["id"]
-                )
+                # once evolved, upsert must supply the full committed
+                # shape (whole-row replace refuses implicit NULL backfill)
+                if evolved:
+                    vt.upsert(
+                        spark.createDataFrame(
+                            [(i, v, None) for i, v in arg],
+                            "id INT, v INT, extra DOUBLE",
+                        ),
+                        ["id"],
+                    )
+                else:
+                    vt.upsert(
+                        spark.createDataFrame(arg, "id INT, v INT"), ["id"]
+                    )
                 model.update(dict(arg))
             elif op == "delete":
                 vt.delete_where(f"id IN ({', '.join(map(str, arg))})")
@@ -616,9 +637,24 @@ def test_versioned_model_based(spark, ops):
             elif op == "rollback":
                 to = 1 + arg % vt.current_version()
                 vt.rollback(to)
-                model = dict(snapshots[to])
+                model, evolved = (
+                    dict(snapshots[to][0]), snapshots[to][1],
+                )
+            elif op == "evolve_append":
+                # additive evolution: appended rows carry an extra column;
+                # the model only tracks (id, v) — the widened column must
+                # never change what the core columns read back as
+                vt.append(
+                    spark.createDataFrame(
+                        [(i, v, float(v)) for i, v in arg],
+                        "id INT, v INT, extra DOUBLE",
+                    ),
+                    allow_schema_evolution=True,
+                )
+                model.update(dict(arg))
+                evolved = True
             v = vt.current_version()
-            snapshots[v] = dict(model)
+            snapshots[v] = (dict(model), evolved)
             got = {r["id"]: r["v"] for r in vt.read().collect()}
             assert got == model, (op, arg, got, model)
         assert len(vt.history()) == vt.current_version()
