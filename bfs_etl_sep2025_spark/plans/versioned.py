@@ -131,6 +131,32 @@ class VersionedTable:
             )
         return out
 
+    def detail(self, version: int | None = None) -> dict:
+        """DESCRIBE-DETAIL-style snapshot summary from manifest + file
+        metadata only (no Spark job): version, operation, dir/file counts,
+        total bytes, committed schema column names, constraints."""
+        v = self.current_version() if version is None else version
+        m = self._manifest(v)
+        n_files = size = 0
+        for d in m["dirs"]:
+            path = os.path.join(self._data, d)
+            for name in os.listdir(path):
+                if name.endswith(".parquet"):
+                    n_files += 1
+                    size += os.path.getsize(os.path.join(path, name))
+        cols = None
+        if m.get("schema"):
+            cols = [f["name"] for f in json.loads(m["schema"])["fields"]]
+        return {
+            "version": v,
+            "op": m["op"],
+            "n_dirs": len(m["dirs"]),
+            "n_files": n_files,
+            "size_bytes": size,
+            "columns": cols,
+            "constraints": m.get("constraints") or [],
+        }
+
     # ---------------- write side ----------------
 
     def _write_data_dir(self, df: DataFrame, version: int) -> str:

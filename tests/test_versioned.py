@@ -741,3 +741,18 @@ def test_check_constraints_enforced(spark, tmp_path):
         spark.createDataFrame([(3, "ok")], "id INT, v STRING"), ["id"]
     )
     assert vt2.read().count() == 3
+
+
+def test_detail_summarizes_snapshot(spark, tmp_path):
+    vt = VersionedTable(spark, str(tmp_path / "det"))
+    vt.create(
+        spark.createDataFrame([(1, "a")], "id INT, v STRING"),
+        constraints=["id >= 0"],
+    )
+    vt.append(spark.createDataFrame([(2, "b")], "id INT, v STRING"))
+    d = vt.detail()
+    assert d["version"] == 2 and d["op"] == "append"
+    assert d["n_dirs"] == 2 and d["n_files"] >= 2 and d["size_bytes"] > 0
+    assert d["columns"] == ["id", "v"]
+    assert d["constraints"] == ["id >= 0"]
+    assert vt.detail(version=1)["n_dirs"] == 1
