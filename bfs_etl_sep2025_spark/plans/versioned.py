@@ -39,13 +39,19 @@ Scale notes (100 TB):
 - ``append`` commits a manifest that lists the previous dirs plus the new
   one — no rewrite of existing data; reads load all listed dirs in one
   multi-path parquet scan (partition pruning and pushdown work unchanged).
-- ``overwrite``/``upsert``/``delete_where`` write a full new snapshot — the
-  same cost the catalog's INSERT OVERWRITE pays today, but atomically and
-  with the previous snapshot retained for time travel/rollback. What this
-  layer deliberately does NOT replicate from real lakehouse formats is
-  file-level conflict resolution and data-file pruning on MERGE — at
-  100 TB you point the same statements at Delta/Iceberg and keep the
-  semantics.
+- ``upsert``/``delete_where``/``update_where`` REWRITE ONLY THE DIRS THEY
+  TOUCH: upsert prunes by parquet footer-stats key ranges, delete/update
+  by one pushdown probe scan; everything else is referenced unchanged in
+  the new manifest (the Delta MERGE/DML data-skipping behavior).
+  ``optimize`` compacts small files and range-clusters so that pruning
+  keeps biting under CDC churn; ``cdc_sink`` runs it on a cadence.
+  Additive schema evolution rides the explicit-schema read path (old
+  files yield NULLs, nothing rewrites); CHECK constraints gate every
+  data-adding mutation. What this layer deliberately does NOT replicate
+  from real lakehouse formats is fine-grained file-level CONFLICT
+  resolution (two writers to disjoint files still serialize on the
+  version counter) — at 100 TB you point the same statements at
+  Delta/Iceberg and keep the semantics.
 - Manifests are O(#dirs) json, not O(rows); ``vacuum`` bounds history.
 - The filesystem must give atomic ``os.replace`` within a directory
   (POSIX, HDFS via rename; object stores need their conditional-put
