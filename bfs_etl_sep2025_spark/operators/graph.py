@@ -30,7 +30,8 @@ Scale notes (100 TB):
   The worst enemy is a hub node (degree d -> d^2 wedge rows): real
   deployments cap or sample hub adjacency; here degrees are bounded by the
   bucket rule. Label-propagation connected components over the same edge
-  list already exists as dedup_minhash_clusters' engine (dedup.py).
+  list are first-class (graph_connected_components, the
+  dedup_minhash_clusters fixpoint engine applied to the user graph).
 - Everything emitted is integer (counts, degrees, node ids) — zero float
   parity surface.
 """
@@ -674,3 +675,85 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 20)
         .orderBy("rnk")
     )
+
+
+@query(
+    "graph_connected_components",
+    family="graph",
+    oracle=f"""
+        WITH RECURSIVE {_EDGES_CTE},
+        sym AS (
+          SELECT u AS s, v AS d FROM edges
+          UNION SELECT v, u FROM edges
+          UNION SELECT u, u FROM edges
+          UNION SELECT v, v FROM edges
+        ),
+        reach(s, d) AS (
+          SELECT s, d FROM sym
+          UNION
+          SELECT r.s, e.d FROM reach r JOIN sym e ON e.s = r.d
+        )
+        SELECT s AS user_id, CAST(min(d) AS BIGINT) AS component
+        FROM reach GROUP BY s ORDER BY user_id
+    """,
+)
+def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components of the co-occurrence graph, each node labeled
+    by its component's minimum user_id — the grouping primitive behind
+    transitive dedup, community rollups, and fraud-ring detection.
+
+    Spark has no recursive CTE, so this is the iterative min-label
+    propagation loop (the ``dedup_minhash_clusters`` fixpoint engine,
+    ``operators/dedup.py``, applied to the user graph): per round one
+    equi-join of the fixed symmetric edge frontier against the current
+    labels + a min-aggregate, lineage truncated per round, iterations
+    bounded by component diameter. The oracle computes the same fixpoint
+    as DuckDB's WITH RECURSIVE transitive closure — two unrelated
+    fixpoint engines agreeing on every component. Labels are integers
+    throughout: nothing floating anywhere, so agreement is exact."""
+    e = _edges(spark, sf_dir)
+    sym = (
+        e.select(F.col("u").alias("s"), F.col("v").alias("d"))
+        .unionByName(e.select(F.col("v").alias("s"), F.col("u").alias("d")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = sym.select("s").distinct().select(
+        F.col("s").alias("node"), F.col("s").alias("label")
+    )
+    for _ in range(20):  # diameter bound; co-occurrence comps are shallow
+        nbr = (
+            sym.join(labels, sym.d == labels.node)
+            .groupBy("s")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr, labels.node == nbr.s, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"),
+                    F.coalesce(F.col("nbr_label"), F.col("label")),
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            "label propagation did not converge in 20 rounds — component "
+            "diameter exceeds the bound; raise the round cap"
+        )
+    return labels.select(
+        F.col("node").alias("user_id"),
+        F.col("label").cast("bigint").alias("component"),
+    ).orderBy("user_id")
