@@ -829,6 +829,30 @@ def text_bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def _merge_pattern(l: str, r: str) -> str:
+    """Java regex applying ONE BPE merge over the U+001F-padded symbol
+    string in a single pass with CANONICAL greedy semantics: the boundary
+    separators sit in zero-width lookarounds, so back-to-back occurrences
+    of the pair (the 'abab' / 'aaa' shapes) don't fight over a shared
+    separator — a literal replace of SEP+l+SEP+r+SEP consumes it and
+    skips every other occurrence, diverging from real BPE (caught by the
+    r6 self-review; regression-tested against the pure-Python tokenizer).
+    Symbols are \\Q-quoted (embedded \\E split) so punctuation tokens
+    can't inject regex syntax."""
+
+    def q(sym: str) -> str:
+        return "\\Q" + sym.replace("\\E", "\\E\\\\E\\Q") + "\\E"
+
+    return f"(?<={_BPE_SEP}){q(l)}{_BPE_SEP}{q(r)}(?={_BPE_SEP})"
+
+
+def _merge_replacement(l: str, r: str) -> str:
+    """Replacement string for :func:`_merge_pattern` — backslash and ``$``
+    are group-reference syntax in Java replacements and must be escaped."""
+    return (l + r).replace("\\", "\\\\").replace("$", "\\$")
+
+
 def bpe_train_merges(
     spark: SparkSession, sf_dir: str, n_merges: int = BPE_N_MERGES
 ) -> list[tuple[int, str, str, str, int]]:
@@ -839,9 +863,9 @@ def bpe_train_merges(
     aggregation reduces 100 TB of text to the word-frequency table (vocab
     cardinality — millions of rows, not billions), and the whole training
     loop runs on that table: per merge, one vocab-sized pair aggregation,
-    a 1-row argmax collect, and a literal ``replace`` over the padded
-    symbol string (U+001F-separated, so boundaries are exact and the
-    greedy left-to-right replace is precisely BPE's merge application).
+    a 1-row argmax collect, and a separator-preserving regex replace over
+    the padded symbol string (U+001F-separated; see
+    :func:`_merge_pattern` for why the boundaries live in lookarounds).
     Nothing corpus-sized is ever touched again, and only K rows plus K
     1-row argmaxes ever reach the driver. Ties break deterministically:
     highest count, then lexicographically smallest (left, right)."""
@@ -898,10 +922,8 @@ def bpe_train_merges(
             l, r, n = top[0]["l"], top[0]["r"], int(top[0]["n"])
             merges.append((rank, l, r, l + r, n))
             nxt = cur.select(
-                F.replace(
-                    F.col("p"),
-                    F.lit(sep + l + sep + r + sep),
-                    F.lit(sep + l + r + sep),
+                F.regexp_replace(
+                    F.col("p"), _merge_pattern(l, r), _merge_replacement(l, r)
                 ).alias("p"),
                 "cnt",
             ).cache()
@@ -942,9 +964,10 @@ def text_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the merge table is K driver-side literals; application is K
     chained literal ``replace`` calls over the padded symbol string — one
     map-only codegen'd projection over the corpus at scan speed, zero
-    shuffles before the per-doc stats projection. Greedy left-to-right
-    replace == BPE merge application (tested against the pure-Python
-    tokenizer in tests/test_llm_ops.py). Rows-only for the driver: the
+    shuffles before the per-doc stats projection. Each replace is the
+    separator-preserving regex of :func:`_merge_pattern` — canonical
+    greedy merge application, back-to-back pair repeats included (tested
+    against the pure-Python tokenizer in tests/test_llm_ops.py). Rows-only for the driver: the
     merges are corpus-trained, so no static ANSI oracle can exist."""
     merges = bpe_train_merges(spark, sf_dir)
     d = widen(load(spark, sf_dir, "documents"))
@@ -959,8 +982,8 @@ def text_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(sep),
     )
     for _, l, r, _, _ in merges:
-        sym = F.replace(
-            sym, F.lit(sep + l + sep + r + sep), F.lit(sep + l + r + sep)
+        sym = F.regexp_replace(
+            sym, _merge_pattern(l, r), _merge_replacement(l, r)
         )
     per_word = words.select(
         "doc_id", (F.size(F.split(sym, sep)) - 2).alias("nt")

@@ -381,3 +381,48 @@ def test_bpe_apply_matches_python_tokenizer(spark):
     for r in got:
         assert r["n_chars"] > 0
         assert abs(r["chars_per_token"] - r["n_chars"] / r["n_bpe_tokens"]) == 0.0
+
+
+def test_bpe_merge_regex_matches_reference_on_adversarial_words(spark):
+    """The separator-preserving merge regex must equal canonical greedy
+    BPE on back-to-back pair repeats (abab/aaa — where a literal
+    SEP+l+SEP+r+SEP replace consumes the shared separator and skips every
+    other occurrence) and on symbols containing regex metacharacters."""
+    from pyspark.sql import functions as F
+
+    from bfs_etl_sep2025_spark.operators.text import (
+        _BPE_SEP,
+        _merge_pattern,
+        _merge_replacement,
+    )
+
+    cases = [
+        (("a", "b"), ["abab", "ababab", "xabab", "ababx", "ab"]),
+        (("a", "a"), ["aa", "aaa", "aaaa", "aaaaa", "baaab"]),
+        (("$", "("), ["$($(", "x$((", "$(", "(($"]),
+        (("ab", "a"), ["abaaba", "aba"]),  # multi-char left symbol
+    ]
+    for (l, r), words in cases:
+        rows = []
+        for w in words:
+            sym = tuple(w) if len(l) == 1 and len(r) == 1 else None
+            # seed symbols: chars, except the multi-char case seeds 'ab'
+            if sym is None:
+                seed, out, i = [], [], 0
+                s0 = tuple(w)
+                s0 = _bpe_ref_merge(s0, "a", "b")  # pre-merge ab
+                sym = s0
+            expected = _bpe_ref_merge(sym, l, r)
+            padded = _BPE_SEP + _BPE_SEP.join(sym) + _BPE_SEP
+            rows.append((w, padded, _BPE_SEP.join(expected)))
+        df = spark.createDataFrame(rows, "w STRING, p STRING, want STRING")
+        got = df.select(
+            "w",
+            "want",
+            F.regexp_replace(
+                "p", _merge_pattern(l, r), _merge_replacement(l, r)
+            ).alias("g"),
+        ).collect()
+        for row in got:
+            inner = row["g"].strip(_BPE_SEP)
+            assert inner == row["want"], (l, r, row["w"], inner, row["want"])
