@@ -76,10 +76,12 @@ class ConcurrentWriteError(RuntimeError):
 class VersionedTable:
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
-        self.root = root
-        self._data = os.path.join(root, "data")
-        self._manifests = os.path.join(root, "_manifest")
-        self._current = os.path.join(root, "_CURRENT")
+        # absolute, normalized root: the data-skipping probe matches file
+        # URIs against this path, and './'-style roots would never match
+        self.root = os.path.abspath(root)
+        self._data = os.path.join(self.root, "data")
+        self._manifests = os.path.join(self.root, "_manifest")
+        self._current = os.path.join(self.root, "_CURRENT")
 
     # ---------------- read side ----------------
 
@@ -225,10 +227,19 @@ class VersionedTable:
         CHECK semantics: a row violates only when the expression is FALSE
         (NULL passes). One count action per constraint per write, the
         Delta-constraints price."""
+        from pyspark.errors import AnalysisException
         from pyspark.sql import functions as F
 
         for c in constraints or []:
-            bad = df.filter(~F.coalesce(F.expr(c), F.lit(True))).count()
+            try:
+                bad = df.filter(~F.coalesce(F.expr(c), F.lit(True))).count()
+            except AnalysisException as e:
+                raise ValueError(
+                    f"CHECK constraint {c!r} cannot be evaluated against "
+                    f"the incoming schema {df.columns} on {self.root} — if "
+                    "this write changes the schema, pass constraints=[...] "
+                    "to replace the inherited set"
+                ) from e
             if bad:
                 raise ValueError(
                     f"CHECK constraint violated by {bad} incoming row(s): "
@@ -303,17 +314,31 @@ class VersionedTable:
                 parent + 1, parent, dirs, "append", schema=new_schema
             )
 
-    def overwrite(self, df: DataFrame, op: str = "overwrite") -> int:
+    def overwrite(
+        self,
+        df: DataFrame,
+        op: str = "overwrite",
+        constraints: list[str] | None = None,
+    ) -> int:
+        """``constraints=None`` inherits the table's set; pass a list
+        (possibly ``[]``) to REPLACE it — required when the overwrite
+        changes the schema out from under a constraint, which would
+        otherwise wedge every future mutation."""
         with table_write_lock(self.root):
             parent = self.current_version()
-            self._check_constraints(
-                df, self._manifest(parent).get("constraints")
+            eff = (
+                constraints
+                if constraints is not None
+                else self._manifest(parent).get("constraints")
             )
+            self._check_constraints(df, eff)
             d = self._write_data_dir(df, parent + 1)
             # overwrite replaces the data wholesale, so it may also
             # replace the schema (CREATE OR REPLACE semantics)
             return self._commit(
-                parent + 1, parent, [d], op, schema=df.schema.json()
+                parent + 1, parent, [d], op,
+                schema=df.schema.json(),
+                constraints=eff,
             )
 
     def rollback(self, to_version: int) -> int:
@@ -464,36 +489,52 @@ class VersionedTable:
         like a sort key."""
         from pyspark.sql import functions as F
 
-        dup = (
-            source.groupBy(*keys)
-            .count()
-            .filter(F.col("count") > 1)
-            .limit(1)
-            .count()
-        )
-        if dup:
-            raise ValueError(
-                "upsert source has duplicate rows on the key "
-                f"{keys} — nondeterministic MERGE (deduplicate the source)"
-            )
-        cols = self.read().columns
-        missing = [c for c in cols if c not in source.columns]
-        if missing:
-            raise ValueError(
-                f"upsert source lacks committed columns {missing} on "
-                f"{self.root}: upsert replaces whole rows, so an implicit "
-                "NULL backfill would silently erase matched rows' values — "
-                "supply every column explicitly"
-            )
-        src = source.select(*cols)
-        row = src.agg(
-            F.min(keys[0]).alias("lo"), F.max(keys[0]).alias("hi")
-        ).first()
-        slo, shi = row["lo"], row["hi"]
         with table_write_lock(self.root):
+            # EVERYTHING under the lock, against ONE manifest read: the
+            # schema/column checks must see the same committed shape the
+            # commit will inherit (a concurrent schema evolution between
+            # an early check and the lock could otherwise slip a narrow
+            # source under a widened schema).
             parent = self.current_version()
             pm = self._manifest(parent)
+            if pm.get("schema"):
+                cols = [
+                    f["name"] for f in json.loads(pm["schema"])["fields"]
+                ]
+            else:
+                cols = self._read_dirs(pm["dirs"], None).columns
+            missing = [c for c in cols if c not in source.columns]
+            if missing:
+                raise ValueError(
+                    f"upsert source lacks committed columns {missing} on "
+                    f"{self.root}: upsert replaces whole rows, so an "
+                    "implicit NULL backfill would silently erase matched "
+                    "rows' values — supply every column explicitly"
+                )
+            # pin ONE evaluation of the source: the dup check, the pruning
+            # key range, and the rows written must all see identical data,
+            # or a nondeterministic source could emit a key outside the
+            # range the pruning decision was made on and leave a duplicate
+            # in an untouched dir.
+            src = source.select(*cols).localCheckpoint()
+            dup = (
+                src.groupBy(*keys)
+                .count()
+                .filter(F.col("count") > 1)
+                .limit(1)
+                .count()
+            )
+            if dup:
+                raise ValueError(
+                    "upsert source has duplicate rows on the key "
+                    f"{keys} — nondeterministic MERGE (deduplicate the "
+                    "source)"
+                )
             self._check_constraints(src, pm.get("constraints"))
+            row = src.agg(
+                F.min(keys[0]).alias("lo"), F.max(keys[0]).alias("hi")
+            ).first()
+            slo, shi = row["lo"], row["hi"]
             dirs = pm["dirs"]
             touched, untouched = [], []
             for d in dirs:
@@ -541,7 +582,13 @@ class VersionedTable:
             .select(F.input_file_name().alias("_f"))
             .select(
                 F.regexp_extract(
-                    F.substring_index(F.col("_f"), self._data + "/", -1),
+                    # input_file_name is a percent-ENCODED URI — decode it
+                    # before the literal match, or any root containing a
+                    # URI-encodable character (space, #, ...) never
+                    # matches and the mutation silently no-ops
+                    F.substring_index(
+                        F.url_decode(F.col("_f")), self._data + "/", -1
+                    ),
                     r"^(.*)/[^/]+$",
                     1,
                 ).alias("_d")

@@ -756,3 +756,41 @@ def test_detail_summarizes_snapshot(spark, tmp_path):
     assert d["columns"] == ["id", "v"]
     assert d["constraints"] == ["id >= 0"]
     assert vt.detail(version=1)["n_dirs"] == 1
+
+
+def test_overwrite_can_replace_constraints(spark, tmp_path):
+    """A schema-changing overwrite under an inherited constraint that
+    references a now-dropped column must fail with guidance — and passing
+    constraints=[] (or a new list) un-wedges the table."""
+    vt = VersionedTable(spark, str(tmp_path / "ow_con"))
+    vt.create(
+        spark.createDataFrame([(1, 5)], "a INT, b INT"),
+        constraints=["b > 0"],
+    )
+    with pytest.raises(ValueError, match="cannot be evaluated.*constraints"):
+        vt.overwrite(spark.createDataFrame([(2,)], "a INT"))
+    vt.overwrite(
+        spark.createDataFrame([(2,)], "a INT"), constraints=["a > 0"]
+    )
+    assert vt.detail()["constraints"] == ["a > 0"]
+    with pytest.raises(ValueError, match="CHECK constraint violated"):
+        vt.append(spark.createDataFrame([(-1,)], "a INT"))
+    vt.overwrite(spark.createDataFrame([(3,)], "a INT"), constraints=[])
+    assert vt.detail()["constraints"] == []
+    vt.append(spark.createDataFrame([(-1,)], "a INT"))  # no longer gated
+    assert vt.read().count() == 2
+
+
+def test_mutations_work_under_uri_encodable_root(spark, tmp_path):
+    """input_file_name returns a percent-encoded URI; a root containing a
+    space must still probe/prune correctly (a raw-path match would make
+    delete_where a silent no-op)."""
+    root = tmp_path / "my tables" / "t"
+    vt = VersionedTable(spark, str(root))
+    vt.create(
+        spark.createDataFrame([(1, "a"), (2, "b")], "id INT, v STRING")
+    )
+    vt.delete_where("id = 1")
+    assert _rows(vt.read()) == [(2, "b")]
+    vt.update_where("id = 2", {"v": "upper(v)"})
+    assert _rows(vt.read()) == [(2, "B")]
