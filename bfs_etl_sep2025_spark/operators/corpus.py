@@ -207,6 +207,95 @@ def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- 3b. fuzzy (containment) decontamination ---------------------------------
+
+#: flag a (train, eval) pair when the train doc contains >= this percent of
+#: the eval doc's distinct shingles (integer cross-multiply — no float ratio
+#: ever crosses engines). 5% suits the fixture's ~30-word vocabulary; the
+#: GPT-3/Pile hygiene runs use the same containment metric at 13-gram scale.
+_CONTAIN_PCT = 5
+
+
+@query(
+    "corpus_decontaminate_fuzzy",
+    family="corpus",
+    oracle=f"""
+        WITH eval_grams AS (
+          SELECT doc_id AS eval_id, md5(g) AS gh
+          FROM documents, UNNEST({_SQL_GRAMS}) AS t(g)
+          WHERE doc_id % 50 = 0
+          GROUP BY 1, 2
+        ),
+        eval_tot AS (
+          SELECT eval_id, count(*) AS eval_grams FROM eval_grams GROUP BY 1
+        ),
+        train_grams AS (
+          SELECT doc_id, md5(g) AS gh
+          FROM documents, UNNEST({_SQL_GRAMS}) AS t(g)
+          WHERE doc_id % 50 <> 0
+          GROUP BY 1, 2
+        ),
+        pairs AS (
+          SELECT tg.doc_id, eg.eval_id, count(*) AS n_shared
+          FROM train_grams tg JOIN eval_grams eg USING (gh)
+          GROUP BY 1, 2
+        )
+        SELECT p.doc_id, p.eval_id, p.n_shared, t.eval_grams
+        FROM pairs p JOIN eval_tot t USING (eval_id)
+        WHERE p.n_shared * 100 >= {_CONTAIN_PCT} * t.eval_grams
+        ORDER BY doc_id, eval_id
+    """,
+)
+def corpus_decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment-based (fuzzy) decontamination: flag each (train doc, eval
+    doc) pair where the train doc contains >= {_CONTAIN_PCT}% of the eval
+    doc's distinct {_GRAM_N}-token shingles — the GPT-3/Pile "dirty
+    document" metric, catching paraphrased or partially-embedded benchmark
+    text that the exact any-hit scan (``corpus_decontaminate``) under-ranks.
+    The fixture plants a true positive: one train doc fully contains an eval
+    doc (100% containment at sf0.01).
+
+    Scale: the eval side is bounded (a benchmark suite is millions of
+    shingles) → per-eval-doc distinct gram table and its per-doc totals are
+    both broadcast; the corpus side streams once through the same exploded-
+    shingle equi-join as the exact scan. The per-pair aggregate shuffles
+    only (train_id, eval_id) int pairs that actually share a shingle —
+    candidate generation stays an equi-join, never all-pairs. The
+    containment test is an integer cross-multiply (``n_shared * 100 >=
+    pct * eval_grams``): no float division crosses engines, and BIGINT
+    counts can't overflow at any corpus size."""
+    d = widen(load(spark, sf_dir, "documents"))
+    is_eval = F.col("doc_id") % 50 == 0
+    eval_grams = (
+        exploded_ngrams(
+            d.filter(is_eval), n=_GRAM_N, id_cols=("doc_id",), out="g"
+        )
+        .select(F.col("doc_id").alias("eval_id"), F.md5("g").alias("gh"))
+        .distinct()
+    )
+    eval_tot = eval_grams.groupBy("eval_id").agg(
+        F.count(F.lit(1)).alias("eval_grams")
+    )
+    train_grams = (
+        exploded_ngrams(d.filter(~is_eval), n=_GRAM_N, out="g")
+        .select("doc_id", F.md5("g").alias("gh"))
+        .distinct()
+    )
+    pairs = (
+        train_grams.join(F.broadcast(eval_grams), "gh")
+        .groupBy("doc_id", "eval_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return (
+        pairs.join(F.broadcast(eval_tot), "eval_id")
+        .filter(
+            F.col("n_shared") * 100 >= F.lit(_CONTAIN_PCT) * F.col("eval_grams")
+        )
+        .select("doc_id", "eval_id", "n_shared", "eval_grams")
+        .orderBy("doc_id", "eval_id")
+    )
+
+
 # -- 4. domain-mixture downsampling -----------------------------------------
 
 #: per-mille keep rates per language — the "mixture weights" of the corpus

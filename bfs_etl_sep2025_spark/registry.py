@@ -85,6 +85,7 @@ _PRIORITY: tuple[str, ...] = (
     "corpus_dsir_weights",
     "text_lm_score",
     "graph_connected_components",
+    "corpus_decontaminate_fuzzy",
     # round-2 cohort: oldest driver greens (4 rounds stale)
     "q1_pricing_summary",
     "q2_min_cost_supplier",
