@@ -216,3 +216,122 @@ def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in rules[1:]:
         out = out.unionAll(r)
     return out.orderBy("rule")
+
+
+# -- profile drift ------------------------------------------------------------
+
+#: fixed baseline/current boundary for the fixture's 30-day event span; a
+#: production deployment parameterizes this (yesterday vs trailing window)
+_DRIFT_SPLIT = "2024-01-16 00:00:00"
+
+#: flag a type whose share of traffic moved by more than this percent
+#: relative to baseline (integer cross-multiply, see docstring)
+_DRIFT_REL_PCT = 2
+
+
+@query(
+    "dq_profile_drift",
+    family="quality",
+    oracle=f"""
+        WITH s AS (
+          SELECT event_type,
+                 count(CASE WHEN ts < TIMESTAMP '{_DRIFT_SPLIT}'
+                            THEN 1 END) AS base_n,
+                 count(CASE WHEN ts >= TIMESTAMP '{_DRIFT_SPLIT}'
+                            THEN 1 END) AS cur_n,
+                 count(DISTINCT CASE WHEN ts < TIMESTAMP '{_DRIFT_SPLIT}'
+                                     THEN user_id END) AS base_users,
+                 count(DISTINCT CASE WHEN ts >= TIMESTAMP '{_DRIFT_SPLIT}'
+                                     THEN user_id END) AS cur_users,
+                 CAST(coalesce(sum(CASE WHEN ts < TIMESTAMP '{_DRIFT_SPLIT}'
+                       THEN CAST(value AS DECIMAL(38,2)) END), 0) AS DOUBLE)
+                   AS base_value_sum,
+                 CAST(coalesce(sum(CASE WHEN ts >= TIMESTAMP '{_DRIFT_SPLIT}'
+                       THEN CAST(value AS DECIMAL(38,2)) END), 0) AS DOUBLE)
+                   AS cur_value_sum,
+                 CAST(sum(CASE WHEN ts < TIMESTAMP '{_DRIFT_SPLIT}'
+                               AND value IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   AS base_nulls,
+                 CAST(sum(CASE WHEN ts >= TIMESTAMP '{_DRIFT_SPLIT}'
+                               AND value IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   AS cur_nulls
+          FROM events GROUP BY event_type
+        ), t AS (
+          SELECT *,
+                 CAST(sum(base_n) OVER () AS HUGEINT) AS bt,
+                 CAST(sum(cur_n) OVER () AS HUGEINT) AS ct
+          FROM s
+        )
+        SELECT event_type, base_n, cur_n, base_users, cur_users,
+               base_value_sum, cur_value_sum, base_nulls, cur_nulls,
+               CASE WHEN abs(CAST(cur_n AS HUGEINT) * bt
+                             - CAST(base_n AS HUGEINT) * ct) * 100
+                         >= {_DRIFT_REL_PCT} * CAST(base_n AS HUGEINT) * ct
+                    THEN 1 ELSE 0 END AS share_drift
+        FROM t ORDER BY event_type
+    """,
+)
+def dq_profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-profile drift between a baseline and a current window of the
+    event stream (the Deequ/Evidently monitoring shape): per event type,
+    counts, distinct users, exact value sums, and null counts for both
+    windows, plus a share-drift flag — does this type's fraction of total
+    traffic differ from baseline by more than {_DRIFT_REL_PCT}% relative.
+
+    Determinism: the share test is the cross-multiplied integer comparison
+    ``|cur_n*base_total - base_n*cur_total| * 100 >= pct * base_n *
+    cur_total`` — no float ratio crosses engines. The products are computed
+    in DECIMAL(38,0) (Spark) / HUGEINT (DuckDB): BIGINT products would
+    overflow once both factors pass ~3e9, i.e. exactly at the 100 TB scale
+    this is for. Value sums accumulate in DECIMAL(38,2) (order-independent)
+    and only the final cast is DOUBLE.
+
+    Scale: ONE scan of events — every per-window stat is a conditional
+    aggregate over the same groupBy(event_type), partial-aggregated
+    map-side; the two count-distincts are the only expanded state. The
+    window totals run over the per-type aggregate (rows = #types), so the
+    second exchange is O(types), not O(events)."""
+    e = load(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    base = F.col("ts") < F.lit(_DRIFT_SPLIT).cast("timestamp_ntz")
+    cur = ~base
+    dec = lambda c: c.cast("decimal(38,2)")  # noqa: E731
+    s = e.groupBy("event_type").agg(
+        F.count(F.when(base, 1)).alias("base_n"),
+        F.count(F.when(cur, 1)).alias("cur_n"),
+        F.count_distinct(F.when(base, F.col("user_id"))).alias("base_users"),
+        F.count_distinct(F.when(cur, F.col("user_id"))).alias("cur_users"),
+        F.coalesce(F.sum(dec(F.when(base, F.col("value")))), F.lit(0))
+        .cast("double")
+        .alias("base_value_sum"),
+        F.coalesce(F.sum(dec(F.when(cur, F.col("value")))), F.lit(0))
+        .cast("double")
+        .alias("cur_value_sum"),
+        F.sum(F.when(base & F.col("value").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("base_nulls"),
+        F.sum(F.when(cur & F.col("value").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("cur_nulls"),
+    )
+    w = Window.partitionBy()
+    big = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    t = s.withColumn("bt", F.sum("base_n").over(w).cast("decimal(38,0)"))
+    t = t.withColumn("ct", F.sum("cur_n").over(w).cast("decimal(38,0)"))
+    drift = (
+        F.abs(big("cur_n") * F.col("bt") - big("base_n") * F.col("ct")) * 100
+        >= F.lit(_DRIFT_REL_PCT) * big("base_n") * F.col("ct")
+    )
+    return t.select(
+        "event_type",
+        "base_n",
+        "cur_n",
+        "base_users",
+        "cur_users",
+        "base_value_sum",
+        "cur_value_sum",
+        "base_nulls",
+        "cur_nulls",
+        F.when(drift, F.lit(1)).otherwise(F.lit(0)).alias("share_drift"),
+    ).orderBy("event_type")

@@ -86,6 +86,7 @@ _PRIORITY: tuple[str, ...] = (
     "text_lm_score",
     "graph_connected_components",
     "corpus_decontaminate_fuzzy",
+    "dq_profile_drift",
     # round-2 cohort: oldest driver greens (4 rounds stale)
     "q1_pricing_summary",
     "q2_min_cost_supplier",
