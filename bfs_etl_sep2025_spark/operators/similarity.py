@@ -759,6 +759,129 @@ def similarity_topk_lsh_multitable(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+@query(
+    "similarity_recall_lsh",
+    family="similarity",
+    oracle=f"""
+        WITH n AS (
+          SELECT vec_id, embedding,
+                 {_sql_norm('embedding')} AS nrm,
+                 {_sql_bucket('embedding')} AS bucket
+          FROM embeddings
+        ),
+        q AS (
+          SELECT vec_id AS query_id, embedding AS q_emb, nrm AS q_nrm, bucket
+          FROM n WHERE vec_id < 20
+        ),
+        truth AS (
+          SELECT query_id, vec_id
+          FROM (SELECT q.query_id, c.vec_id,
+                       row_number() OVER (
+                         PARTITION BY q.query_id
+                         ORDER BY {_sql_dot('q.q_emb', 'c.embedding')}
+                                  / (q.q_nrm * c.nrm) DESC, c.vec_id) AS rnk
+                FROM q JOIN n c ON c.vec_id <> q.query_id)
+          WHERE rnk <= 10
+        ),
+        cand AS (
+          SELECT q.query_id, c.vec_id
+          FROM q JOIN n c ON c.bucket = q.bucket AND c.vec_id <> q.query_id
+        ),
+        cand_n AS (
+          SELECT query_id, count(*) AS n_cand FROM cand GROUP BY query_id
+        ),
+        hits AS (
+          SELECT t.query_id,
+                 count(*) AS n_true,
+                 CAST(sum(CASE WHEN c.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_hit
+          FROM truth t
+          LEFT JOIN cand c
+            ON c.query_id = t.query_id AND c.vec_id = t.vec_id
+          GROUP BY t.query_id
+        )
+        SELECT h.query_id, h.n_true,
+               CAST(coalesce(cn.n_cand, 0) AS BIGINT) AS n_cand, h.n_hit
+        FROM hits h LEFT JOIN cand_n cn USING (query_id)
+        ORDER BY query_id
+    """,
+)
+def similarity_recall_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate recall@10 of the single-table hyperplane LSH against exact
+    brute force — the evaluation harness every production ANN deployment
+    runs before trusting an index: per query, how many of the TRUE top-10
+    cosine neighbors land in the query's LSH bucket at all. Output is pure
+    integer counts (n_true, n_cand, n_hit) — recall and the
+    recall/candidate-cost trade-off are ratios the caller derives, so no
+    float division crosses engines.
+
+    Scale: the truth side is the same bounded-query broadcast scan as
+    ``similarity_topk_bruteforce`` (|Q|·N with codegen'd unrolled dots —
+    affordable precisely because Q is a fixed evaluation sample, not the
+    corpus); the candidate side is the production bucket equi-join being
+    measured. The intersection joins two (query_id, vec_id) int-pair sets:
+    nothing wider than two ints shuffles after scoring. On a 100 TB corpus
+    this runs on a sampled query set against the full index — the plan
+    shape is unchanged, only |Q| matters."""
+    e = widen(load(spark, sf_dir, "embeddings"))
+    n = e.select(
+        "vec_id",
+        "embedding",
+        _norm_arr("embedding").alias("nrm"),
+        _bucket_arr("embedding").alias("bucket"),
+    )
+    q = n.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+        F.col("bucket").alias("qb"),
+    )
+    w = W.partitionBy("query_id").orderBy(
+        (
+            _dot_arr("q_emb", "embedding") / (F.col("q_nrm") * F.col("nrm"))
+        ).desc(),
+        F.col("vec_id"),
+    )
+    truth = (
+        n.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", F.row_number().over(w).alias("rnk"))
+        .filter(F.col("rnk") <= 10)
+        .select("query_id", "vec_id")
+    )
+    cand = (
+        n.join(F.broadcast(q), F.col("bucket") == F.col("qb"))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id")
+    )
+    cand_n = cand.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_cand")
+    )
+    hits = (
+        truth.join(
+            cand.withColumn("hit", F.lit(1)), ["query_id", "vec_id"], "left"
+        )
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_true"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_hit"),
+        )
+    )
+    return (
+        hits.join(cand_n, "query_id", "left")
+        .select(
+            "query_id",
+            "n_true",
+            F.coalesce(F.col("n_cand"), F.lit(0))
+            .cast("bigint")
+            .alias("n_cand"),
+            "n_hit",
+        )
+        .orderBy("query_id")
+    )
+
+
 # -- k-means codebook training ----------------------------------------------
 
 #: codebook size for the training demo (the serving-side IVF codebook above

@@ -87,6 +87,7 @@ _PRIORITY: tuple[str, ...] = (
     "graph_connected_components",
     "corpus_decontaminate_fuzzy",
     "dq_profile_drift",
+    "similarity_recall_lsh",
     # round-2 cohort: oldest driver greens (4 rounds stale)
     "q1_pricing_summary",
     "q2_min_cost_supplier",
