@@ -335,3 +335,122 @@ def dq_profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cur_nulls",
         F.when(drift, F.lit(1)).otherwise(F.lit(0)).alias("share_drift"),
     ).orderBy("event_type")
+
+
+#: KS drift threshold, per-mille: flag when D >= _KS_PCT_MILLE / 1000
+_KS_PCT_MILLE = 30
+
+
+@query(
+    "dq_ks_drift",
+    family="quality",
+    oracle=f"""
+        WITH c AS (
+          SELECT event_type, value,
+                 count(CASE WHEN ts < TIMESTAMP '{_DRIFT_SPLIT}'
+                            THEN 1 END) AS b,
+                 count(CASE WHEN ts >= TIMESTAMP '{_DRIFT_SPLIT}'
+                            THEN 1 END) AS c
+          FROM events WHERE value IS NOT NULL
+          GROUP BY event_type, value
+        ), t AS (
+          SELECT event_type, value,
+                 CAST(sum(b) OVER (PARTITION BY event_type) AS HUGEINT) AS n1,
+                 CAST(sum(c) OVER (PARTITION BY event_type) AS HUGEINT) AS n2,
+                 CAST(sum(b) OVER (PARTITION BY event_type ORDER BY value)
+                      AS HUGEINT) AS cb,
+                 CAST(sum(c) OVER (PARTITION BY event_type ORDER BY value)
+                      AS HUGEINT) AS cc
+          FROM c
+        ), d AS (
+          SELECT event_type, value, n1, n2,
+                 abs(cb * n2 - cc * n1) AS diff
+          FROM t
+        ), mx AS (
+          SELECT event_type, max(diff) AS d_dec FROM d GROUP BY event_type
+        )
+        SELECT d.event_type,
+               CAST(max(d.n1) AS BIGINT) AS n_base,
+               CAST(max(d.n2) AS BIGINT) AS n_cur,
+               CAST(max(mx.d_dec) AS BIGINT) AS d_num,
+               min(d.value) AS ks_at,
+               CASE WHEN max(mx.d_dec) * 1000
+                         >= {_KS_PCT_MILLE} * max(d.n1) * max(d.n2)
+                    THEN 1 ELSE 0 END AS drift
+        FROM d JOIN mx ON d.event_type = mx.event_type AND d.diff = mx.d_dec
+        GROUP BY d.event_type
+        ORDER BY d.event_type
+    """,
+)
+def dq_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT two-sample Kolmogorov-Smirnov drift test on the value
+    distribution, per event type, between the baseline and current windows.
+    The D statistic's numerator ``max |cum_base*n_cur - cum_cur*n_base|``
+    is pure integer arithmetic over the two ECDFs evaluated at every
+    observed value — no float ECDF, no approximation — and the drift flag
+    cross-multiplies against ``{_KS_PCT_MILLE}/1000``. ``ks_at`` is the
+    smallest value attaining the maximum gap (where the distributions
+    diverge most — the actionable part of a drift alert).
+
+    Determinism: products run in HUGEINT (DuckDB) / DECIMAL(38,0) (Spark);
+    the emitted ``d_num`` is cast to BIGINT, exact while both window counts
+    stay under ~3e9 (beyond that, emit the DECIMAL — the flag itself never
+    overflows). ``ks_at`` is a raw parquet double, bit-identical across
+    engines.
+
+    Scale: one scan collapses events to per-(type, value) counts map-side;
+    the cumulative ECDFs are range-ordered window sums WITHIN each type.
+    A single type's distinct values do form one sort partition — at 100 TB
+    you bucket values by a coarse deterministic range key first (e.g.
+    floor(value)), cumulate within buckets, and add broadcast per-bucket
+    prefix offsets; the statistic is unchanged because cum sums compose.
+    The fixture's per-type cardinality doesn't need the second level, so
+    this plan keeps the simple form and documents the composition."""
+    e = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    from pyspark.sql import Window
+
+    base = F.col("ts") < F.lit(_DRIFT_SPLIT).cast("timestamp_ntz")
+    c = e.groupBy("event_type", "value").agg(
+        F.count(F.when(base, 1)).alias("b"),
+        F.count(F.when(~base, 1)).alias("c"),
+    )
+    wt = Window.partitionBy("event_type")
+    wo = Window.partitionBy("event_type").orderBy("value")
+    dec = "decimal(38,0)"
+    t = c.select(
+        "event_type",
+        "value",
+        F.sum("b").over(wt).cast(dec).alias("n1"),
+        F.sum("c").over(wt).cast(dec).alias("n2"),
+        F.sum("b").over(wo).cast(dec).alias("cb"),
+        F.sum("c").over(wo).cast(dec).alias("cc"),
+    )
+    d = t.select(
+        "event_type",
+        "value",
+        "n1",
+        "n2",
+        F.abs(F.col("cb") * F.col("n2") - F.col("cc") * F.col("n1")).alias(
+            "diff"
+        ),
+    )
+    mx = d.groupBy("event_type").agg(F.max("diff").alias("d_dec"))
+    return (
+        d.join(mx, "event_type")
+        .filter(F.col("diff") == F.col("d_dec"))
+        .groupBy("event_type")
+        .agg(
+            F.max("n1").cast("bigint").alias("n_base"),
+            F.max("n2").cast("bigint").alias("n_cur"),
+            F.max("d_dec").cast("bigint").alias("d_num"),
+            F.min("value").alias("ks_at"),
+            F.when(
+                F.max("d_dec") * 1000
+                >= F.lit(_KS_PCT_MILLE) * F.max("n1") * F.max("n2"),
+                F.lit(1),
+            )
+            .otherwise(F.lit(0))
+            .alias("drift"),
+        )
+        .orderBy("event_type")
+    )

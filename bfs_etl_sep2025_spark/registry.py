@@ -88,6 +88,7 @@ _PRIORITY: tuple[str, ...] = (
     "corpus_decontaminate_fuzzy",
     "dq_profile_drift",
     "similarity_recall_lsh",
+    "dq_ks_drift",
     # round-2 cohort: oldest driver greens (4 rounds stale)
     "q1_pricing_summary",
     "q2_min_cost_supplier",
