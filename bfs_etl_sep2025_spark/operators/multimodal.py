@@ -467,3 +467,160 @@ def audio_stats(a: DataFrame) -> DataFrame:
         "asset_id long, sample_rate int, n_channels int, n_samples int, "
         "mean_sample double, peak int",
     ).orderBy("asset_id")
+
+
+# -- perceptual-hash image near-dup ------------------------------------------
+
+#: dHash geometry over the 8x8 synthesized images: 7 horizontal-gradient
+#: comparisons per row x 8 rows = 56 bits — deliberately < 64 so the packed
+#: signature never touches the BIGINT sign bit in either engine
+_DHASH_BITS = 56
+#: Hamming radius for "same image"; pigeonhole over 7 disjoint 8-bit bands
+#: guarantees radius-4 pairs share at least one equal band (4 flipped bits
+#: can dirty at most 4 of the 7 bands)
+_DHASH_RADIUS = 4
+_DHASH_N_BANDS = 7
+_DHASH_BAND_BITS = _DHASH_BITS // _DHASH_N_BANDS
+
+
+def dhash56(pixels: bytes, width: int = IMG_W, height: int = IMG_H) -> int:
+    """56-bit difference hash of an RGB raster: per pixel, an integer
+    luminance proxy (r+g+b, no division — exact); bit (r, c) is set when
+    gray(r, c) > gray(r, c+1). The classic dHash resizes to 9x8 first;
+    these assets are born 8x8, so the row gradient has 7 taps."""
+    g = [
+        pixels[3 * k] + pixels[3 * k + 1] + pixels[3 * k + 2]
+        for k in range(width * height)
+    ]
+    h = 0
+    for r in range(height):
+        for c in range(width - 1):
+            h <<= 1
+            if g[r * width + c] > g[r * width + c + 1]:
+                h |= 1
+    return h
+
+
+@query(
+    "multimodal_phash_neardup",
+    family="multimodal",
+    oracle=f"""
+        WITH g AS (
+          SELECT doc_id AS asset_id,
+                 list_transform(range(0, {IMG_W * IMG_H}),
+                   k -> ascii(substr(coalesce(md5(text), repeat('0', 32)),
+                              ((3 * k)     % 32) + 1, 1))
+                      + ascii(substr(coalesce(md5(text), repeat('0', 32)),
+                              ((3 * k + 1) % 32) + 1, 1))
+                      + ascii(substr(coalesce(md5(text), repeat('0', 32)),
+                              ((3 * k + 2) % 32) + 1, 1)))
+                   AS gray
+          FROM documents
+        ),
+        sig AS (
+          SELECT asset_id,
+                 CAST(list_sum(list_transform(
+                        range(0, {_DHASH_BITS}),
+                        b -> CASE WHEN gray[(b // {IMG_W - 1}) * {IMG_W}
+                                       + (b % {IMG_W - 1}) + 1]
+                                   > gray[(b // {IMG_W - 1}) * {IMG_W}
+                                       + (b % {IMG_W - 1}) + 2]
+                                  THEN 1::BIGINT << ({_DHASH_BITS - 1} - b)
+                                  ELSE 0::BIGINT END)) AS BIGINT) AS dh
+          FROM g
+        )
+        SELECT a.asset_id AS asset_a, b.asset_id AS asset_b,
+               CAST(bit_count(xor(a.dh, b.dh)) AS INTEGER) AS hamming
+        FROM sig a JOIN sig b ON a.asset_id < b.asset_id
+        WHERE bit_count(xor(a.dh, b.dh)) <= {_DHASH_RADIUS}
+        ORDER BY asset_a, asset_b
+    """,
+)
+def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash image near-duplicate pairs: every asset goes through
+    the REAL byte path — PPM encode, :func:`decode_ppm`, 56-bit dHash in
+    Arrow-batched ``mapInPandas`` — then Hamming-close pairs (<=
+    {_DHASH_RADIUS} bits) come from the same pigeonhole band equi-join as
+    ``dedup_simhash_pairs``: 7 disjoint 8-bit bands, radius-4 pairs must
+    agree on at least one (4 flipped bits dirty <= 4 of 7 bands), so
+    candidates are an equi-join on (band index, band bits) and the verify
+    step is ONE codegen'd ``bit_count(xor)`` per candidate. The oracle
+    recomputes the hash relationally from the same md5-derived pixels and
+    brute-forces all pairs — agreement proves the banded plan loses
+    nothing.
+
+    Scale: hashing is the map-only Arrow boundary every image pipeline
+    has (decode dominates; a signature is 8 bytes); the pair stage
+    shuffles only (band, key, sig) ints. The honest boundary — shared
+    with every Hamming-banding scheme, cf. the dense-regime note in
+    ``operators/graph.py`` — is that 8-bit band keys saturate: past ~1e6
+    images per band value the in-bucket join grows quadratic, and the
+    remediation is wider bands (smaller radius per pigeonhole) or a
+    multi-probe second level, not an all-pairs pass."""
+    a = media_assets(spark, sf_dir)
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        n_px = IMG_W * IMG_H * 3
+        for pdf in batches:
+            out = pdf[["asset_id"]].copy()
+            out["media"] = pdf["digest"].map(
+                lambda h: encode_ppm(
+                    bytes(ord(h[i % 32]) for i in range(n_px))
+                )
+            )
+            yield out
+
+    def hash_img(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as _pd
+
+        for pdf in batches:
+            rows = []
+            for asset_id, media in zip(pdf["asset_id"], pdf["media"]):
+                w, h, pixels = decode_ppm(bytes(media))
+                rows.append((asset_id, dhash56(pixels, w, h)))
+            yield _pd.DataFrame(rows, columns=["asset_id", "dh"])
+
+    sig = (
+        a.select(
+            "asset_id",
+            F.coalesce(F.md5("payload"), F.lit("0" * 32)).alias("digest"),
+        )
+        .mapInPandas(encode, "asset_id long, media binary")
+        .mapInPandas(hash_img, "asset_id long, dh long")
+    )
+    bands = sig.select(
+        "asset_id",
+        "dh",
+        F.explode(
+            F.sequence(F.lit(0), F.lit(_DHASH_N_BANDS - 1))
+        ).alias("q"),
+    ).select(
+        "asset_id",
+        "dh",
+        "q",
+        F.expr(
+            f"shiftright(dh, {_DHASH_BAND_BITS} * q)"
+            f" & {(1 << _DHASH_BAND_BITS) - 1}"
+        ).alias("qbits"),
+    )
+    left = bands.select(
+        F.col("asset_id").alias("asset_a"),
+        F.col("dh").alias("dh_a"),
+        "q",
+        "qbits",
+    )
+    right = bands.select(
+        F.col("asset_id").alias("asset_b"),
+        F.col("dh").alias("dh_b"),
+        "q",
+        "qbits",
+    )
+    ham = F.bit_count(F.col("dh_a").bitwiseXOR(F.col("dh_b")))
+    return (
+        left.join(right, ["q", "qbits"])
+        .filter(F.col("asset_a") < F.col("asset_b"))
+        .select("asset_a", "asset_b", ham.cast("int").alias("hamming"))
+        .filter(F.col("hamming") <= _DHASH_RADIUS)
+        .distinct()
+        .orderBy("asset_a", "asset_b")
+    )

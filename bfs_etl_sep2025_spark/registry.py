@@ -89,6 +89,7 @@ _PRIORITY: tuple[str, ...] = (
     "dq_profile_drift",
     "similarity_recall_lsh",
     "dq_ks_drift",
+    "multimodal_phash_neardup",
     # round-2 cohort: oldest driver greens (4 rounds stale)
     "q1_pricing_summary",
     "q2_min_cost_supplier",
