@@ -97,3 +97,60 @@ def test_null_payload_takes_sentinel_digest(spark):
     assert aud[2].mean_sample == (48 - 128) * 256
     assert aud[2].peak == (48 - 128) * 256
     assert aud[2].n_samples == 64
+
+
+def test_dhash56_known_rasters():
+    """dHash bit semantics on hand-computable rasters: constant image ->
+    all-zero hash; a single bright column produces exactly one gradient
+    flip per row; left-to-right descending ramp sets every bit (strictly
+    greater on all 7 taps per row)."""
+    from bfs_etl_sep2025_spark.operators.multimodal import (
+        IMG_H,
+        IMG_W,
+        dhash56,
+    )
+
+    flat = bytes([7] * (IMG_W * IMG_H * 3))
+    assert dhash56(flat) == 0
+
+    ramp = bytes(
+        b
+        for r in range(IMG_H)
+        for c in range(IMG_W)
+        for b in ((IMG_W - c,) * 3)
+    )
+    assert dhash56(ramp) == (1 << 56) - 1  # every tap strictly decreasing
+
+    # one bright column at c=3: per row, tap c=2 (gray[2] < gray[3]) stays
+    # 0 and tap c=3 (gray[3] > gray[4]) flips to 1 -> bit pattern 0001000
+    col = bytes(
+        b
+        for r in range(IMG_H)
+        for c in range(IMG_W)
+        for b in (((200,) if c == 3 else (10,)) * 3)
+    )
+    row_bits = 0b0001000
+    want = 0
+    for _ in range(IMG_H):
+        want = (want << 7) | row_bits
+    assert dhash56(col) == want
+
+
+def test_dhash56_hamming_locality():
+    """A small luminance change flips few bits (locality — the property
+    the banded near-dup join exploits); an unrelated raster flips many."""
+    import hashlib
+
+    from bfs_etl_sep2025_spark.operators.multimodal import dhash56
+
+    def raster(seed: str) -> bytes:
+        h = hashlib.md5(seed.encode()).hexdigest()
+        return bytes(ord(h[i % 32]) for i in range(192))
+
+    a = raster("doc-a")
+    tweaked = bytearray(a)
+    tweaked[0] = min(255, tweaked[0] + 4)  # nudge one channel
+    near = bin(dhash56(a) ^ dhash56(bytes(tweaked))).count("1")
+    far = bin(dhash56(a) ^ dhash56(raster("doc-b"))).count("1")
+    assert near <= 2
+    assert far > 10
