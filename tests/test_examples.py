@@ -96,3 +96,41 @@ def test_python_task_renders_params_and_records_result(spark):
     version, stamp = t.last_result
     assert version == spark.version
     assert stamp == "file_20220713.csv"
+
+
+def test_drift_monitor_pipeline_runs_end_to_end(spark, tmp_path):
+    """The drift-monitor DAG: profile snapshot into a versioned metrics
+    store -> KS hard gate (fixture drift is soft, run succeeds) ->
+    audit publish. Two runs append two dated snapshots."""
+    mod = importlib.import_module("drift_monitor_pipeline")
+    dag, (snapshot, gate, publish) = mod.build(str(tmp_path / "metrics"))
+    assert dag.pipeline_id == "drift_monitor_pipeline"
+    dag.run(spark)
+
+    assert snapshot.last_result["rows"] == 5  # one profile row per type
+    # fixture drift sits below the hard ceiling but above the soft flag
+    assert gate.last_result["soft_drift"]
+    assert gate.last_result["checked"] == 5
+    assert publish.last_result["types_tracked"] == 5
+    assert [h["op"] for h in publish.last_result["history"]] == ["create"]
+
+    dag.run(spark)  # second scheduled run appends, never rewrites
+    ops = [h["op"] for h in publish.last_result["history"]]
+    assert ops == ["create", "append"]
+
+    # the metrics store is queryable like any table: 2 snapshots per type
+    from bfs_etl_sep2025_spark.plans.versioned import VersionedTable
+
+    vt = VersionedTable(spark, str(tmp_path / "metrics"))
+    assert vt.read().count() == 10
+
+    # a breached ceiling aborts loudly
+    import pytest as _pytest
+
+    old = mod.HARD_KS_MILLE
+    mod.HARD_KS_MILLE = 1
+    try:
+        with _pytest.raises(RuntimeError, match="KS drift ceiling"):
+            dag.run(spark)
+    finally:
+        mod.HARD_KS_MILLE = old
