@@ -794,3 +794,63 @@ def test_mutations_work_under_uri_encodable_root(spark, tmp_path):
     assert _rows(vt.read()) == [(2, "b")]
     vt.update_where("id = 2", {"v": "upper(v)"})
     assert _rows(vt.read()) == [(2, "B")]
+
+
+def test_changes_feed_across_mutations(spark, tmp_path):
+    """Change-data-feed read: per-commit insert/delete attribution across
+    append, upsert (delete+insert of the differing rows only), delete, and
+    rollback; OPTIMIZE — identical rows, new layout — yields no changes."""
+    vt = VersionedTable(spark, str(tmp_path / "cdf"))
+    vt.create(spark.createDataFrame([(1, "a"), (2, "b")], "id INT, v STRING"))
+    vt.append(spark.createDataFrame([(3, "c")], "id INT, v STRING"))  # v2
+    vt.upsert(
+        spark.createDataFrame([(2, "B"), (4, "d")], "id INT, v STRING"),
+        keys=["id"],
+    )  # v3: rewrites the dir holding id=2, inserts id=4
+
+    def feed(lo, hi=None):
+        return sorted(
+            (r["_commit_version"], r["_change_type"], r["id"], r["v"])
+            for r in vt.changes(lo, hi).collect()
+        )
+
+    assert feed(1, 2) == [(2, "insert", 3, "c")]
+    v3 = feed(2, 3)
+    assert (3, "insert", 2, "B") in v3 and (3, "insert", 4, "d") in v3
+    assert (3, "delete", 2, "b") in v3
+    # id=1 shared the create dir with id=2: the rewrite cancels it out
+    assert not any(c for c in v3 if c[2] == 1)
+
+    vt.delete_where("id = 3")  # v4
+    assert feed(3, 4) == [(4, "delete", 3, "c")]
+
+    vt.rollback(3)  # v5: id=3 comes back
+    assert feed(4, 5) == [(5, "insert", 3, "c")]
+
+    n_before = vt.read().count()
+    vt.optimize(sort_by=["id"], n_buckets=2)  # v6: layout-only
+    assert vt.changes(5, 6).count() == 0
+    assert vt.read().count() == n_before
+
+    # full-range feed still per-commit attributed, empty range is empty
+    assert len(feed(0)) >= 6
+    assert vt.changes(6, 6).count() == 0
+    with pytest.raises(ValueError, match="outside committed range"):
+        vt.changes(0, 99)
+
+
+def test_changes_feed_aligns_schema_evolution(spark, tmp_path):
+    """A commit on either side of a schema evolution NULL-fills the
+    missing column instead of failing the exceptAll alignment."""
+    vt = VersionedTable(spark, str(tmp_path / "cdf_evo"))
+    vt.create(spark.createDataFrame([(1, "a")], "id INT, v STRING"))
+    vt.append(
+        spark.createDataFrame([(2, "b", 9)], "id INT, v STRING, extra INT"),
+        allow_schema_evolution=True,
+    )  # v2 widens
+    rows = {
+        (r["_commit_version"], r["_change_type"], r["id"], r["extra"])
+        for r in vt.changes(0).collect()
+    }
+    assert (1, "insert", 1, None) in rows
+    assert (2, "insert", 2, 9) in rows
