@@ -499,3 +499,55 @@ def window_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         "new_users",
         F.sum("new_users").over(w).cast("bigint").alias("cum_distinct_users"),
     ).orderBy("event_type", "day_num")
+
+
+@query(
+    "window_rolling_median",
+    family="windows",
+    oracle="""
+        WITH w AS (
+          SELECT user_id, event_id, value,
+                 list_sort(list(value) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) AS frame
+          FROM events
+        )
+        SELECT user_id, event_id,
+               frame[CAST((len(frame) + 1) // 2 AS INT)] AS rolling_median
+        FROM w
+        ORDER BY user_id, event_id
+    """,
+)
+def window_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact rolling median of the event value over each user's trailing
+    7 rows — the robust-baseline smoother dashboards use where a rolling
+    mean would chase outliers. DISCRETE median (lower-of-two on even
+    frames): the emitted value is always an element of the frame, picked
+    by position from the sorted frame — no interpolation arithmetic, so
+    the double crossing engines is a raw stored value, bit-identical.
+
+    Plan shape: one shuffle on user_id + one in-partition sort (ts,
+    event_id unique tie-break ⇒ deterministic frames); ``collect_list``
+    over a ROWS frame keeps O(7) state per row, and ``sort_array`` +
+    ``element_at`` are codegen'd expressions (array HOFs with lambdas are
+    the banned interpreted form — positional element_at is not). Frame
+    size is a constant: at 100 TB this stays a per-row O(k log k) local
+    cost, never a per-partition blowup."""
+    e = load(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-6, W.currentRow)
+    )
+    frame = F.sort_array(F.collect_list("value").over(w))
+    return (
+        e.select("user_id", "event_id", frame.alias("frame"))
+        .select(
+            "user_id",
+            "event_id",
+            F.expr(
+                "element_at(frame, CAST((size(frame) + 1) div 2 AS INT))"
+            ).alias("rolling_median"),
+        )
+        .orderBy("user_id", "event_id")
+    )
