@@ -215,3 +215,47 @@ def scan_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(ln).alias("min_len"),
         F.max(ln).alias("max_len"),
     )
+
+
+@query(
+    "scan_xml_roundtrip",
+    family="formats",
+    # Oracle reads the original parquet — equality proves the XML write ->
+    # schema-driven read round trip (rowTag framing, typed re-parse).
+    oracle="""
+        SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+               CAST(n_regionkey AS BIGINT) AS n_regionkey
+        FROM nation
+        ORDER BY n_nationkey
+    """,
+)
+def scan_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML scan via Spark 4's built-in XML source (the spark-xml package
+    folded into core): stage the nation table as ``<row>`` elements, read
+    it back with an explicit schema. XML is the interchange format the
+    long tail of enterprise feeds still arrives in; the reference's CSV
+    chokepoint (``dags/s3_data_copy_test.py:32-41``) is the same
+    stage-then-parse shape with a different lexer.
+
+    Scale: XML files split by row tag like any text source; the explicit
+    schema skips the inference pass (which would read the data twice)."""
+    out = os.path.join(
+        _SCRATCH, f"nation_xml_{os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    (
+        load(spark, sf_dir, "nation")
+        .select("n_nationkey", "n_name", "n_regionkey")
+        .coalesce(1)
+        .write.mode("overwrite")
+        .format("xml")
+        .option("rowTag", "row")
+        .save(out)
+    )
+    schema = "n_nationkey bigint, n_name string, n_regionkey bigint"
+    return (
+        spark.read.schema(schema)
+        .format("xml")
+        .option("rowTag", "row")
+        .load(out)
+        .orderBy("n_nationkey")
+    )

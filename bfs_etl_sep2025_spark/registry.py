@@ -91,6 +91,7 @@ _PRIORITY: tuple[str, ...] = (
     "dq_ks_drift",
     "multimodal_phash_neardup",
     "window_rolling_median",
+    "scan_xml_roundtrip",
     # round-2 cohort: oldest driver greens (4 rounds stale)
     "q1_pricing_summary",
     "q2_min_cost_supplier",
