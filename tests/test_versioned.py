@@ -250,6 +250,24 @@ def test_versioned_random_op_sequences_match_model(spark, tmp_path):
     for v, snap in snapshots.items():
         assert _rows(vt.read(version=v)) == sorted(snap.items()), v
 
+    # CDF invariant: replaying changes(v-1, v) over snapshot v-1 must
+    # reconstruct snapshot v, for EVERY committed step (multiset algebra:
+    # rows(v) == rows(v-1) - deletes + inserts)
+    from collections import Counter
+
+    for v in range(2, vt.current_version() + 1):
+        prev = Counter(_rows(vt.read(version=v - 1)))
+        feed = vt.changes(v - 1, v).collect()
+        for r in feed:
+            key = (r["id"], r["v"])
+            if r["_change_type"] == "delete":
+                assert prev[key] > 0, (v, key, "delete of absent row")
+                prev[key] -= 1
+            else:
+                prev[key] += 1
+        got = sorted(k for k, n in prev.items() for _ in range(n))
+        assert got == _rows(vt.read(version=v)), v
+
 
 # -- multi-process contention (VERDICT r5 item 4) ---------------------------
 #
