@@ -290,3 +290,60 @@ def run_stream_merge_upsert(
     # caller's session still caches the pre-stream file listing for the
     # target and would chase deleted part files on its next read
     df.sparkSession.catalog.refreshTable(target)
+
+
+def run_stream_profile_monitor(
+    df: DataFrame,
+    metrics_table,
+    checkpoint_dir: str,
+    group_col: str = "event_type",
+    value_col: str = "value",
+    gate=None,
+) -> None:
+    """Streaming observability sink: per micro-batch, collapse the batch to
+    one profile row per ``group_col`` (count, exact DECIMAL value sum, null
+    count, epoch id) and APPEND it to a ``VersionedTable`` metrics store —
+    the micro-batch twin of ``examples/drift_monitor_pipeline.py``'s
+    scheduled snapshots, sharing its versioned metrics-layer shape.
+
+    ``gate(profile_rows)`` (optional) sees each batch's collected profile
+    rows BEFORE the append and may raise — the raise fails the streaming
+    query, i.e. a monitoring circuit-breaker: a poisoned upstream batch
+    halts ingestion instead of polluting the store. Empty batches are
+    skipped (no empty snapshot versions).
+
+    Scale: the profile is a conditional aggregate over the micro-batch
+    (map-combined, O(groups) output); the append is O(profile rows),
+    never a rewrite; checkpoint recovery skips processed files so re-runs
+    don't double-append."""
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        prof = batch_df.groupBy(group_col).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(
+                F.sum(F.col(value_col).cast("decimal(38,2)")), F.lit(0)
+            )
+            .cast("double")
+            .alias("value_sum"),
+            F.sum(F.col(value_col).isNull().cast("int"))
+            .cast("bigint")
+            .alias("n_nulls"),
+        ).withColumn("epoch_id", F.lit(epoch_id).cast("bigint"))
+        rows = prof.collect()
+        if gate is not None:
+            gate(rows)
+        batch_out = prof.sparkSession.createDataFrame(rows, prof.schema)
+        if metrics_table.exists():
+            metrics_table.append(batch_out)
+        else:
+            metrics_table.create(batch_out)
+
+    q = (
+        df.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

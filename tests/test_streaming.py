@@ -350,3 +350,47 @@ def test_stream_merge_full_sync_mirror(stream_env):
         for r in spark.table("dev_db.user_mirror").collect()
     }
     assert rows == {(2, 20.0), (3, 3.0)}
+
+
+def test_stream_profile_monitor_appends_versioned_metrics(stream_env, tmp_path):
+    """Per-micro-batch profile rows land as versioned appends; checkpoint
+    recovery means a re-run with no new files appends nothing; a gate
+    raise fails the stream BEFORE the poisoned batch is recorded."""
+    from bfs_etl_sep2025_spark.plans.versioned import VersionedTable
+    from bfs_etl_sep2025_spark.streaming.jobs import (
+        run_stream_profile_monitor,
+    )
+
+    spark, src, ckpt = stream_env
+    vt = VersionedTable(spark, str(tmp_path / "metrics"))
+
+    _write_batch(spark, src, _rows([(1, (10, 0)), (2, (10, 1))]))
+    _write_batch(spark, src, _rows([(3, (11, 0))]))
+    run_stream_profile_monitor(_read_stream(spark, src), vt, ckpt)
+
+    # maxFilesPerTrigger=1 -> two micro-batches -> create + append
+    assert [h["op"] for h in vt.history()] == ["create", "append"]
+    prof = {
+        (r["epoch_id"], r["event_type"]): (r["n"], r["value_sum"], r["n_nulls"])
+        for r in vt.read().collect()
+    }
+    assert prof[(0, "click")] == (2, 2.0, 0)
+    assert prof[(1, "click")] == (1, 1.0, 0)
+
+    # replay with the same checkpoint: processed files skipped, no append
+    run_stream_profile_monitor(_read_stream(spark, src), vt, ckpt)
+    assert [h["op"] for h in vt.history()] == ["create", "append"]
+
+    # circuit breaker: a gate raise fails the query and records nothing
+    _write_batch(spark, src, _rows([(4, (12, 0))]))
+
+    def gate(rows):
+        raise RuntimeError("poisoned batch")
+
+    from pyspark.errors import StreamingQueryException
+
+    with pytest.raises(StreamingQueryException, match="poisoned batch"):
+        run_stream_profile_monitor(
+            _read_stream(spark, src), vt, ckpt, gate=gate
+        )
+    assert [h["op"] for h in vt.history()] == ["create", "append"]
