@@ -426,3 +426,48 @@ def test_bpe_merge_regex_matches_reference_on_adversarial_words(spark):
         for row in got:
             inner = row["g"].strip(_BPE_SEP)
             assert inner == row["want"], (l, r, row["w"], inner, row["want"])
+
+
+def test_multitable_lsh_dominates_single_table_recall(spark):
+    """The multitable variant exists to buy recall: for every query, the
+    union of two independent hyperplane tables must retrieve a SUPERSET of
+    the single-table bucket's candidates, and the recall harness must
+    agree — multitable candidate hits >= single-table hits against the
+    same exact top-10 truth."""
+    from bfs_etl_sep2025_spark.operators.similarity import (
+        similarity_recall_lsh,
+        similarity_topk_lsh,
+        similarity_topk_lsh_multitable,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    single = {
+        (r["query_id"], r["rnk"]): r["cosine"]
+        for r in similarity_topk_lsh(spark, sf).collect()
+    }
+    multi = {
+        (r["query_id"], r["rnk"]): r["cosine"]
+        for r in similarity_topk_lsh_multitable(spark, sf).collect()
+    }
+    rec = {
+        r["query_id"]: (r["n_hit"], r["n_cand"])
+        for r in similarity_recall_lsh(spark, sf).collect()
+    }
+    assert len(rec) == 20
+    # the harness's candidate counts are consistent with the single-table
+    # query's bucket join: every single-table result pair came from a
+    # bucket the harness counted
+    from collections import Counter
+
+    per_q = Counter(q for q, _ in single)
+    for q, n in per_q.items():
+        assert rec[q][1] >= n, (q, n, rec[q])
+    # top-3 MEMBERSHIP may reshuffle (extra candidates displace weaker
+    # ones — that is the point), but a candidate UNION can only improve
+    # the score at every rank: multitable's rank-i cosine >= single's
+    for key, cos_single in single.items():
+        assert key in multi, key
+        assert multi[key] >= cos_single, (key, multi[key], cos_single)
+    # and somewhere it strictly improved (the second table caught a
+    # neighbor the first table's bucket missed)
+    assert any(multi[k] > v for k, v in single.items())
