@@ -598,3 +598,64 @@ def corpus_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("dsir_score").desc(), "doc_id")
         .limit(50)
     )
+
+
+# -- 2b. cross-document span (chunk) dedup ------------------------------------
+
+
+@query(
+    "corpus_chunk_dedup",
+    family="corpus",
+    oracle=f"""
+        WITH ch AS (
+          SELECT doc_id,
+                 md5(substr(text, CAST(off AS INT) + 1, {_CHUNK}))
+                   AS chunk_md5
+          FROM documents, UNNEST(range(0, n_chars, {_STRIDE})) AS t(off)
+          WHERE n_chars > 0
+        )
+        SELECT chunk_md5,
+               count(DISTINCT doc_id) AS n_docs,
+               count(*) AS n_occurrences,
+               min(doc_id) AS keeper_doc
+        FROM ch
+        GROUP BY chunk_md5
+        HAVING count(DISTINCT doc_id) > 1
+        ORDER BY chunk_md5
+    """,
+)
+def corpus_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document span dedup: fixed-window chunks (same
+    {_CHUNK}/{_STRIDE} geometry as ``corpus_chunk_overlap``) that appear in
+    MORE THAN ONE document — the boilerplate/shared-passage detector that
+    document-level dedup misses (two distinct pages sharing a header,
+    license block, or quoted passage). ``keeper_doc`` is the deterministic
+    owner (min doc_id): downstream span-removal drops the chunk everywhere
+    else, the span-level analog of exact dedup's keep-first rule.
+
+    Scale: chunking is the codegen'd sequence-explode (O(chars/stride)
+    rows); the only shuffle carries (md5, doc_id) pairs for the group-by —
+    the same narrow-shuffle discipline as ``dedup_exact``. Chunk text
+    itself never shuffles; the md5 stands in for the 200-char span."""
+    d = load(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    offs = F.sequence(
+        F.lit(0).cast("bigint"),
+        (F.col("n_chars") - 1).cast("bigint"),
+        F.lit(_STRIDE).cast("bigint"),
+    )
+    chunk = F.col("text").substr(
+        F.col("chunk_off").cast("int") + 1, F.lit(_CHUNK)
+    )
+    ch = d.select(
+        "doc_id", "text", F.explode(offs).alias("chunk_off")
+    ).select("doc_id", F.md5(chunk).alias("chunk_md5"))
+    return (
+        ch.groupBy("chunk_md5")
+        .agg(
+            F.count_distinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.min("doc_id").alias("keeper_doc"),
+        )
+        .filter(F.col("n_docs") > 1)
+        .orderBy("chunk_md5")
+    )

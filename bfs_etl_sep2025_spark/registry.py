@@ -92,6 +92,7 @@ _PRIORITY: tuple[str, ...] = (
     "multimodal_phash_neardup",
     "window_rolling_median",
     "scan_xml_roundtrip",
+    "corpus_chunk_dedup",
     # round-2 cohort: oldest driver greens (4 rounds stale)
     "q1_pricing_summary",
     "q2_min_cost_supplier",
