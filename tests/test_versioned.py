@@ -614,9 +614,14 @@ _OPS = st.lists(
 )
 @given(ops=_OPS)
 def test_versioned_model_based(spark, ops):
-    """Random mutation programs against an in-memory dict model: after
+    """Random mutation programs against an in-memory MULTISET model: after
     every commit the table reads back exactly the model state, rollback
     restores any earlier model snapshot, and optimize never changes data.
+    The model is a list of (id, v) rows, not a dict — append is
+    append-only, so a program that evolve-appends an id twice legitimately
+    holds two rows for it (a dict model collapsed those
+    nondeterministically and flaked; caught by a full-suite run this
+    round). upsert/delete replace/remove EVERY row with a matching key.
     This is the commit protocol's behavioral spec, not one hand-picked
     scenario."""
     import shutil
@@ -626,9 +631,9 @@ def test_versioned_model_based(spark, ops):
     try:
         vt = VersionedTable(spark, root)
         vt.create(spark.createDataFrame([], "id INT, v INT"))
-        model: dict = {}
+        model: list = []  # multiset of (id, v)
         evolved = False
-        snapshots = {1: (dict(model), evolved)}
+        snapshots = {1: (list(model), evolved)}
         for op, arg in ops:
             if op == "upsert":
                 # once evolved, upsert must supply the full committed
@@ -645,18 +650,18 @@ def test_versioned_model_based(spark, ops):
                     vt.upsert(
                         spark.createDataFrame(arg, "id INT, v INT"), ["id"]
                     )
-                model.update(dict(arg))
+                keys = {i for i, _ in arg}
+                model = [r for r in model if r[0] not in keys] + list(arg)
             elif op == "delete":
                 vt.delete_where(f"id IN ({', '.join(map(str, arg))})")
-                for k in arg:
-                    model.pop(k, None)
+                model = [r for r in model if r[0] not in set(arg)]
             elif op == "optimize":
                 vt.optimize(sort_by=["id"] if arg else None, n_buckets=2)
             elif op == "rollback":
                 to = 1 + arg % vt.current_version()
                 vt.rollback(to)
                 model, evolved = (
-                    dict(snapshots[to][0]), snapshots[to][1],
+                    list(snapshots[to][0]), snapshots[to][1],
                 )
             elif op == "evolve_append":
                 # additive evolution: appended rows carry an extra column;
@@ -669,12 +674,12 @@ def test_versioned_model_based(spark, ops):
                     ),
                     allow_schema_evolution=True,
                 )
-                model.update(dict(arg))
+                model = model + list(arg)
                 evolved = True
             v = vt.current_version()
-            snapshots[v] = (dict(model), evolved)
-            got = {r["id"]: r["v"] for r in vt.read().collect()}
-            assert got == model, (op, arg, got, model)
+            snapshots[v] = (list(model), evolved)
+            got = sorted((r["id"], r["v"]) for r in vt.read().collect())
+            assert got == sorted(model), (op, arg, got, sorted(model))
         assert len(vt.history()) == vt.current_version()
     finally:
         shutil.rmtree(root, ignore_errors=True)
