@@ -799,3 +799,103 @@ def events_timeseries_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "day_num")
     )
+
+
+@query(
+    "events_activity_similarity",
+    family="analytics",
+    oracle="""
+        WITH daily AS (
+          SELECT user_id, date_trunc('day', ts) AS d,
+                 CAST(count(*) AS BIGINT) AS c
+          FROM events GROUP BY user_id, date_trunc('day', ts)
+        ),
+        nrm AS (
+          SELECT user_id, CAST(sum(c * c) AS BIGINT) AS sq
+          FROM daily GROUP BY user_id
+        ),
+        dots AS (
+          SELECT q.user_id AS query_user, c.user_id AS user_id,
+                 CAST(sum(q.c * c.c) AS BIGINT) AS dot
+          FROM daily q JOIN daily c ON q.d = c.d
+          WHERE q.user_id < 5 AND c.user_id <> q.user_id
+          GROUP BY q.user_id, c.user_id
+        ),
+        scored AS (
+          SELECT d.query_user, d.user_id, d.dot,
+                 d.dot / (sqrt(nq.sq) * sqrt(nc.sq)) AS cosine
+          FROM dots d
+          JOIN nrm nq ON nq.user_id = d.query_user
+          JOIN nrm nc ON nc.user_id = d.user_id
+        )
+        SELECT query_user, user_id, dot, cosine, rnk
+        FROM (SELECT *, row_number() OVER (PARTITION BY query_user
+                                           ORDER BY cosine DESC, user_id)
+                        AS rnk
+              FROM scored)
+        WHERE rnk <= 3
+        ORDER BY query_user, rnk
+    """,
+)
+def events_activity_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series similarity search over behavioral profiles (the
+    EDBT'19 distributed streaming-similarity shape, PAPERS.md): each user's
+    daily activity-count vector, cosine top-3 most-similar users for a
+    bounded query set. The dot products and squared norms are EXACT BIGINT
+    sums of count products (order-independent — no float accumulation);
+    only the final ``dot / (sqrt·sqrt)`` is floating point, an identical
+    IEEE expression over exact integers in both engines.
+
+    Scale: the candidate pass is an equi-join on the day bucket with the
+    QUERY side bounded and broadcast — O(|Q| · active-days) streamed, the
+    search-not-cluster discipline of the similarity family (an UNBOUNDED
+    q-side day join would be all-pairs in disguise; corpus-wide behavioral
+    clustering belongs to the LSH/k-means path over these same vectors).
+    Per-pair state after the join is (int, int, bigint) — nothing wider
+    than the day counts ever shuffles."""
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("d")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    nrm = daily.groupBy("user_id").agg(
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("sq")
+    )
+    q = daily.filter(F.col("user_id") < 5).select(
+        F.col("user_id").alias("query_user"),
+        "d",
+        F.col("c").alias("qc"),
+    )
+    dots = (
+        daily.join(F.broadcast(q), "d")
+        .filter(F.col("user_id") != F.col("query_user"))
+        .groupBy("query_user", "user_id")
+        .agg(F.sum(F.col("qc") * F.col("c")).cast("bigint").alias("dot"))
+    )
+    scored = (
+        dots.join(
+            F.broadcast(
+                nrm.select(
+                    F.col("user_id").alias("query_user"),
+                    F.col("sq").alias("q_sq"),
+                )
+            ),
+            "query_user",
+        )
+        .join(nrm, "user_id")
+        .select(
+            "query_user",
+            "user_id",
+            "dot",
+            (
+                F.col("dot") / (F.sqrt(F.col("q_sq")) * F.sqrt(F.col("sq")))
+            ).alias("cosine"),
+        )
+    )
+    w = W.partitionBy("query_user").orderBy(
+        F.col("cosine").desc(), F.col("user_id")
+    )
+    return (
+        scored.select("*", F.row_number().over(w).alias("rnk"))
+        .filter(F.col("rnk") <= 3)
+        .orderBy("query_user", "rnk")
+    )

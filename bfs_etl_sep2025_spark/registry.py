@@ -93,6 +93,7 @@ _PRIORITY: tuple[str, ...] = (
     "window_rolling_median",
     "scan_xml_roundtrip",
     "corpus_chunk_dedup",
+    "events_activity_similarity",
     # round-2 cohort: oldest driver greens (4 rounds stale)
     "q1_pricing_summary",
     "q2_min_cost_supplier",
