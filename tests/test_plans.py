@@ -528,3 +528,69 @@ def test_pii_redact_is_codegen_single_pass(spark):
     assert "Join" not in plan
     assert "EvalPython" not in plan
     assert "lambdafunction" not in plan.lower()
+
+
+#: Queries whose optimized plan is SANCTIONED to contain a
+#: BroadcastNestedLoopJoin, with the reason. Everything else in the
+#: registry must plan without one — the repo-wide enforcement of the
+#: "candidate generation is equi-joins, never cross joins" rule.
+_SANCTIONED_BNLJ = {
+    # 1-row / tiny-aggregate scalar attaches (condition-free broadcasts)
+    "q11_important_stock": "TPC-H scalar-subquery threshold attach",
+    "q22_dormant_high_balance": "TPC-H scalar-subquery threshold attach",
+    "funnel_ordered_steps": "funnel-total scalar attach",
+    "dq_expectations": "per-rule 1-row aggregate unions",
+    "agg_heavy_hitter_tokens": "corpus-total scalar attach",
+    "text_zipf_rank": "corpus-total scalar attach",
+    "graph_pagerank": "dangling-mass + node-count scalar attaches",
+    "similarity_ann_pq": "broadcast ADC lookup-table attach",
+    "sql_recursive_cte": "UnionLoop internals join the anchor scalar",
+    # bounded-query broadcast scans (|Q| fixed, heavy expr OUT of the
+    # condition — verified by assert_no_join_pushdown below)
+    "similarity_topk_bruteforce": "bounded-Q exact scoring pass",
+    "similarity_recall_lsh": "bounded-Q truth pass",
+    # guarded dense-regime all-pairs (see operators/_barrier.py)
+    "similarity_cosine_neardup": "dense-regime all-pairs, barrier-guarded",
+    "graph_degree_distribution": "bitmap-regime broadcast popcount pass",
+    "graph_triangle_count": "bitmap-regime broadcast popcount pass",
+    "graph_link_prediction_cn": "bitmap-regime broadcast popcount pass",
+    # non-equi by nature
+    "join_cross": "the cross-join demo itself",
+    "join_range": "band-condition join, broadcast small side",
+}
+
+
+def test_registry_wide_no_unsanctioned_nested_loops(spark):
+    """EVERY registered query's optimized plan is audited: a
+    BroadcastNestedLoopJoin or CartesianProduct outside the sanctioned
+    whitelist fails — a new operator (or a regression in an old one)
+    cannot silently introduce an all-pairs join. For sanctioned plans,
+    the pushdown barrier's runtime check additionally asserts no heavy
+    expression leaked into any nested-loop CONDITION."""
+    from bfs_etl_sep2025_spark.operators._barrier import (
+        assert_no_join_pushdown,
+    )
+
+    offenders, condition_leaks = [], []
+    for name, spec in registry.all_specs().items():
+        df = spec.fn(spark, SF)
+        plan = df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "simple"
+            )
+        )
+        has_nlj = (
+            "BroadcastNestedLoopJoin" in plan or "CartesianProduct" in plan
+        )
+        if has_nlj and name not in _SANCTIONED_BNLJ:
+            offenders.append(name)
+        if has_nlj:
+            try:
+                assert_no_join_pushdown(df)
+            except AssertionError as e:
+                condition_leaks.append((name, str(e)[:200]))
+    assert not offenders, f"unsanctioned nested-loop plans: {offenders}"
+    assert not condition_leaks, condition_leaks
+    # the whitelist must not rot: every sanctioned name still exists
+    gone = [n for n in _SANCTIONED_BNLJ if n not in registry.all_specs()]
+    assert not gone, f"whitelist references removed queries: {gone}"
