@@ -594,3 +594,51 @@ def test_registry_wide_no_unsanctioned_nested_loops(spark):
     # the whitelist must not rot: every sanctioned name still exists
     gone = [n for n in _SANCTIONED_BNLJ if n not in registry.all_specs()]
     assert not gone, f"whitelist references removed queries: {gone}"
+
+
+#: Queries sanctioned to cross the Python boundary, and HOW. Row-at-a-time
+#: (BatchEvalPython / PythonUDTF) is the UDF-surface demo tier ONLY;
+#: everything else that needs Python must use the Arrow-batched forms.
+_SANCTIONED_PYTHON = {
+    "udf_python_scalar": {"BatchEvalPython"},  # the row-UDF demo itself
+    "udtf_chunk_text": {"BatchEvalPython", "PythonUDTF"},  # UDTFs are row-eval
+    "udf_pandas_scalar": {"ArrowEvalPython"},
+    "udf_arrow_scalar": {"ArrowEvalPython"},
+    "udf_grouped_map": {"FlatMapGroupsInPandas"},
+    "similarity_ann_ivf": {"ArrowEvalPython"},  # BLAS matmul assignment
+    "dedup_semantic_embedding": {"ArrowEvalPython"},  # same matmul path
+    "multimodal_decode_image": {"MapInPandas"},  # real codec boundary
+    "multimodal_decode_audio": {"MapInPandas"},
+    "multimodal_feature_extract": {"MapInPandas"},
+    "multimodal_phash_neardup": {"MapInPandas"},
+}
+
+_PY_NODES = (
+    "BatchEvalPython",
+    "ArrowEvalPython",
+    "MapInPandas",
+    "FlatMapGroupsInPandas",
+    "PythonUDTF",
+)
+
+
+def test_registry_wide_python_boundaries(spark):
+    """The hot path stays JVM-side: any Python evaluation node in any
+    registered query's plan must be declared here with its exact node
+    type — a row-at-a-time UDF sneaking into an operator (or an Arrow
+    boundary degrading to BatchEvalPython) fails the suite."""
+    bad = []
+    for name, spec in registry.all_specs().items():
+        df = spec.fn(spark, SF)
+        plan = df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "simple"
+            )
+        )
+        found = {t for t in _PY_NODES if t in plan}
+        allowed = _SANCTIONED_PYTHON.get(name, set())
+        if found - allowed:
+            bad.append((name, sorted(found - allowed)))
+    assert not bad, f"undeclared Python boundaries: {bad}"
+    gone = [n for n in _SANCTIONED_PYTHON if n not in registry.all_specs()]
+    assert not gone, f"whitelist references removed queries: {gone}"
