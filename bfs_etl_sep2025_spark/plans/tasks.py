@@ -191,6 +191,18 @@ _TRANSIENT = re.compile(
 _CREATE_OR_REPLACE = re.compile(
     r"(?i)^\s*CREATE\s+OR\s+REPLACE\s+TABLE\s+(?P<name>[\w.`\"]+)"
 )
+#: CREATE TABLE ... CLONE <src> (Snowflake zero-copy clone). The shim
+#: executes it as CTAS — semantically a full independent copy, which is
+#: exactly what a clone reads as; zero-copy is a storage optimization the
+#: plain-parquet catalog does not implement. Time-travel clones
+#: (CLONE ... AT/BEFORE) refuse loudly (the catalog keeps no history;
+#: VersionedTable is the engine's time-travel surface).
+_CLONE = re.compile(
+    r"(?i)^\s*(?P<head>CREATE\s+(?:OR\s+REPLACE\s+)?TABLE\s+)"
+    r"(?P<name>[\w.`\"]+)\s+CLONE\s+(?P<src>[\w.`\"]+)"
+    r"(?P<tail>.*?)\s*;?\s*$",
+    re.DOTALL,
+)
 _SYSDATE = re.compile(r"(?i)\bsysdate\s*\(\s*\)")
 _IFF = re.compile(r"(?i)\bIFF\s*\(")
 _DATETIME_TYPE = re.compile(r"(?i)(\s)datetime\b")
@@ -453,6 +465,22 @@ class SqlTask(Task):
         # Snowflake QUALIFY (reachable through the reference's arbitrary-SQL
         # pass-through) -> window+filter rewrite; no-op without QUALIFY.
         out = rewrite_qualify(out)
+        # Snowflake CLONE -> CTAS (full copy; see _CLONE). Runs after the
+        # TRANSIENT rewrite so transient clones take the same path.
+        m_clone = _CLONE.match(out)
+        if m_clone:
+            tail = m_clone.group("tail").strip()
+            if tail:
+                raise ValueError(
+                    f"sql task {self.task_id!r}: CLONE with "
+                    f"{tail.split()[0].upper()!r} is unsupported by the "
+                    "shim (the plain-parquet catalog keeps no history — "
+                    "use plans.versioned.VersionedTable for time travel)"
+                )
+            out = (
+                f"{m_clone.group('head')}{m_clone.group('name')} "
+                f"AS SELECT * FROM {m_clone.group('src')}"
+            )
         # Session catalog has no REPLACE TABLE (v2-only) -> drop + create.
         m = _CREATE_OR_REPLACE.match(out)
         if m:

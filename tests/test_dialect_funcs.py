@@ -366,3 +366,55 @@ def test_translate_rewrites_only_unquoted_spans(segs):
     )
     out = task._translate(stmt, ctx)
     assert out == [want]
+
+
+# -- CREATE TABLE ... CLONE ----------------------------------------------------
+
+
+def test_clone_executes_as_full_copy(spark):
+    """Snowflake CREATE TABLE ... CLONE runs as CTAS: the clone holds the
+    source's rows at clone time and is INDEPENDENT of later source
+    writes; OR REPLACE + TRANSIENT spellings take the same path."""
+    _run(
+        spark,
+        [
+            "CREATE OR REPLACE TABLE clone_src (id INT, v STRING)",
+            "INSERT INTO clone_src VALUES (1, 'a'), (2, 'b')",
+            "CREATE OR REPLACE TRANSIENT TABLE clone_dst CLONE clone_src",
+            "INSERT INTO clone_src VALUES (3, 'c')",
+        ],
+        task_id="clone",
+    )
+    src = spark.sql("SELECT count(*) n FROM clone_src").first()["n"]
+    dst = spark.sql("SELECT count(*) n FROM clone_dst").first()["n"]
+    assert (src, dst) == (3, 2)
+    got = {
+        (r["id"], r["v"])
+        for r in spark.sql("SELECT * FROM clone_dst").collect()
+    }
+    assert got == {(1, "a"), (2, "b")}
+    spark.sql("DROP TABLE IF EXISTS clone_src")
+    spark.sql("DROP TABLE IF EXISTS clone_dst")
+
+
+def test_clone_at_timestamp_refuses_loudly(spark):
+    """Time-travel clones name the missing capability and the engine's
+    real time-travel surface instead of a downstream parse error."""
+    with pytest.raises(Exception, match="CLONE with 'AT'.*VersionedTable"):
+        _run(
+            spark,
+            "CREATE TABLE c2 CLONE src AT (TIMESTAMP => '2024-01-01')",
+            task_id="clone_at",
+        )
+
+
+def test_clone_inside_string_is_data(spark):
+    """A 'CLONE' inside a literal is data, not syntax (the statement is
+    not CREATE TABLE-shaped, so the anchored rewrite never fires)."""
+    _run(
+        spark,
+        "CREATE OR REPLACE TABLE clone_msg AS SELECT 'do not CLONE me' AS m",
+        task_id="clone_str",
+    )
+    assert spark.sql("SELECT m FROM clone_msg").first()["m"] == "do not CLONE me"
+    spark.sql("DROP TABLE IF EXISTS clone_msg")
