@@ -205,6 +205,14 @@ _CLONE = re.compile(
 )
 _SYSDATE = re.compile(r"(?i)\bsysdate\s*\(\s*\)")
 _IFF = re.compile(r"(?i)\bIFF\s*\(")
+#: Snowflake semi-structured constructors -> Spark twins. OBJECT_CONSTRUCT
+#: becomes named_struct (field access via dot, and the colon-path shim's
+#: variant_get handles the VARIANT spelling); ARRAY_CONSTRUCT is array().
+#: DATEADD/DATEDIFF/DECODE/NVL2 need no mapping — Spark 4 has the
+#: Snowflake-shaped forms natively (probed: 3-arg dateadd/datediff,
+#: search-form decode).
+_OBJECT_CONSTRUCT = re.compile(r"(?i)\bOBJECT_CONSTRUCT\s*\(")
+_ARRAY_CONSTRUCT = re.compile(r"(?i)\bARRAY_CONSTRUCT\s*\(")
 _DATETIME_TYPE = re.compile(r"(?i)(\s)datetime\b")
 _PYFORMAT = re.compile(r"%\((\w+)\)s")
 
@@ -407,6 +415,8 @@ class SqlTask(Task):
         # Snowflake IFF(cond, a, b) -> Spark IF (same ternary semantics;
         # listagg/split_part/nvl need no mapping — Spark 4 has them).
         out = sub_unquoted(_IFF, "IF(", out)
+        out = sub_unquoted(_OBJECT_CONSTRUCT, "named_struct(", out)
+        out = sub_unquoted(_ARRAY_CONSTRUCT, "array(", out)
         # Snowflake session variables: $name refs -> bare names (quote-aware
         # — a '$v' inside a string literal is data); SET name = expr ->
         # DECLARE OR REPLACE VARIABLE (Spark 4). DECLARE's DEFAULT cannot

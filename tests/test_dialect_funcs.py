@@ -418,3 +418,30 @@ def test_clone_inside_string_is_data(spark):
     )
     assert spark.sql("SELECT m FROM clone_msg").first()["m"] == "do not CLONE me"
     spark.sql("DROP TABLE IF EXISTS clone_msg")
+
+
+def test_semistructured_constructors_translate(spark):
+    """OBJECT_CONSTRUCT/ARRAY_CONSTRUCT map to named_struct/array; the
+    spellings inside string literals stay data. DATEADD/DATEDIFF/DECODE/
+    NVL2 pass through untranslated — Spark 4 has the Snowflake-shaped
+    forms natively."""
+    _run(
+        spark,
+        "CREATE OR REPLACE TABLE semistruct_t AS SELECT "
+        "OBJECT_CONSTRUCT('k', 7, 'tag', 'x') AS o, "
+        "ARRAY_CONSTRUCT(3, 1, 2) AS a, "
+        "DATEADD(DAY, 2, TIMESTAMP '2024-03-01') AS d2, "
+        "DATEDIFF(DAY, TIMESTAMP '2024-03-01', TIMESTAMP '2024-03-05') AS dd, "
+        "DECODE(2, 1, 'one', 2, 'two', 'other') AS dec, "
+        "'ARRAY_CONSTRUCT(raw)' AS msg",
+        task_id="semistruct",
+    )
+    r = spark.sql(
+        "SELECT o.k, o.tag, a, d2, dd, dec, msg FROM semistruct_t"
+    ).first()
+    assert (r["k"], r["tag"]) == (7, "x")
+    assert r["a"] == [3, 1, 2]
+    assert str(r["d2"]).startswith("2024-03-03")
+    assert r["dd"] == 4 and r["dec"] == "two"
+    assert r["msg"] == "ARRAY_CONSTRUCT(raw)"
+    spark.sql("DROP TABLE IF EXISTS semistruct_t")
