@@ -213,6 +213,11 @@ _IFF = re.compile(r"(?i)\bIFF\s*\(")
 #: search-form decode).
 _OBJECT_CONSTRUCT = re.compile(r"(?i)\bOBJECT_CONSTRUCT\s*\(")
 _ARRAY_CONSTRUCT = re.compile(r"(?i)\bARRAY_CONSTRUCT\s*\(")
+#: Snowflake LATERAL FLATTEN(input => x) -> Spark LATERAL
+#: variant_explode(x): key/value columns line up; Snowflake's INDEX is
+#: Spark's pos; SEQ/PATH/THIS have no twin and surface as ordinary
+#: unresolved-column errors naming the available (pos, key, value).
+_FLATTEN = re.compile(r"(?i)\bFLATTEN\s*\(\s*(?:input\s*=>\s*)?")
 _DATETIME_TYPE = re.compile(r"(?i)(\s)datetime\b")
 _PYFORMAT = re.compile(r"%\((\w+)\)s")
 
@@ -417,6 +422,7 @@ class SqlTask(Task):
         out = sub_unquoted(_IFF, "IF(", out)
         out = sub_unquoted(_OBJECT_CONSTRUCT, "named_struct(", out)
         out = sub_unquoted(_ARRAY_CONSTRUCT, "array(", out)
+        out = sub_unquoted(_FLATTEN, "variant_explode(", out)
         # Snowflake session variables: $name refs -> bare names (quote-aware
         # — a '$v' inside a string literal is data); SET name = expr ->
         # DECLARE OR REPLACE VARIABLE (Spark 4). DECLARE's DEFAULT cannot

@@ -445,3 +445,22 @@ def test_semistructured_constructors_translate(spark):
     assert r["dd"] == 4 and r["dec"] == "two"
     assert r["msg"] == "ARRAY_CONSTRUCT(raw)"
     spark.sql("DROP TABLE IF EXISTS semistruct_t")
+
+
+def test_lateral_flatten_translates_to_variant_explode(spark):
+    """Snowflake LATERAL FLATTEN(input => x) runs as Spark's LATERAL
+    variant_explode: key/value line up, Snowflake's INDEX is pos."""
+    _run(
+        spark,
+        "CREATE OR REPLACE TABLE flat_t AS "
+        "SELECT f.pos, CAST(f.value AS INT) AS item "
+        "FROM VALUES (parse_json('[10, 20, 30]')) AS t(arr), "
+        "LATERAL FLATTEN(input => t.arr) f",
+        task_id="flatten",
+    )
+    rows = {
+        (r["pos"], r["item"])
+        for r in spark.sql("SELECT * FROM flat_t").collect()
+    }
+    assert rows == {(0, 10), (1, 20), (2, 30)}
+    spark.sql("DROP TABLE IF EXISTS flat_t")
