@@ -8,6 +8,7 @@ import os
 import sys
 
 import pytest
+from pyspark.sql import functions as F
 
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(__file__)), "examples"))
 
@@ -134,3 +135,52 @@ def test_drift_monitor_pipeline_runs_end_to_end(spark, tmp_path):
             dag.run(spark)
     finally:
         mod.HARD_KS_MILLE = old
+
+
+def test_incremental_consumer_matches_full_recompute(spark, tmp_path):
+    """The CDF consumer's incrementally maintained per-status totals must
+    equal a full recompute of the upstream snapshot after EVERY sync,
+    across appends, upserts (status flips), and deletes; a no-change sync
+    is a no-op and the high-water mark lives in the downstream history."""
+    mod = importlib.import_module("incremental_consumer_pipeline")
+    from bfs_etl_sep2025_spark.plans.versioned import VersionedTable
+
+    orders = VersionedTable(spark, str(tmp_path / "orders"))
+    agg = VersionedTable(spark, str(tmp_path / "totals"))
+
+    def df(rows):
+        return spark.createDataFrame(rows, "id INT, status STRING, qty INT")
+
+    def check():
+        got = sorted(
+            (r["status"], r["n"], r["total_qty"])
+            for r in agg.read().collect()
+        )
+        want = sorted(
+            (r["status"], r["n"], r["total_qty"])
+            for r in orders.read()
+            .groupBy("status")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n"),
+                F.sum("qty").cast("bigint").alias("total_qty"),
+            )
+            .collect()
+        )
+        assert got == want, (got, want)
+
+    orders.create(df([(1, "open", 5), (2, "done", 3), (3, "open", 1)]))
+    assert mod.sync(orders, agg) == 1
+    check()
+
+    orders.upsert(df([(1, "done", 5), (4, "open", 9)]), keys=["id"])
+    orders.delete_where("id = 3")
+    assert mod.sync(orders, agg) == 3
+    check()
+
+    # no new upstream commits -> no downstream commit
+    before = len(agg.history())
+    assert mod.sync(orders, agg) == 3
+    assert len(agg.history()) == before
+
+    # the mark is recoverable from history alone
+    assert mod.last_synced_version(agg) == 3
