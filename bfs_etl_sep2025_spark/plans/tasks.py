@@ -218,6 +218,20 @@ _ARRAY_CONSTRUCT = re.compile(r"(?i)\bARRAY_CONSTRUCT\s*\(")
 #: Spark's pos; SEQ/PATH/THIS have no twin and surface as ordinary
 #: unresolved-column errors naming the available (pos, key, value).
 _FLATTEN = re.compile(r"(?i)\bFLATTEN\s*\(\s*(?:input\s*=>\s*)?")
+#: Snowflake SAMPLE clause -> Spark TABLESAMPLE. A bare number is percent
+#: in both dialects, but Spark's parser requires the PERCENT keyword;
+#: `(n ROWS)` carries over. BERNOULLI/ROW method names are Snowflake's
+#: row-wise sampling, which is Spark TABLESAMPLE's only method anyway.
+#: The numeric-only operand requirement keeps a scalar function named
+#: sample(col) out of scope.
+_SAMPLE_ROWS = re.compile(
+    r"(?i)\b(?:TABLE)?SAMPLE\s+(?:BERNOULLI\s*|ROW\s*)?"
+    r"\(\s*(\d+)\s+ROWS\s*\)"
+)
+_SAMPLE_PCT = re.compile(
+    r"(?i)\b(?:TABLE)?SAMPLE\s+(?:BERNOULLI\s*|ROW\s*)?"
+    r"\(\s*(\d+(?:\.\d+)?)\s*\)"
+)
 _DATETIME_TYPE = re.compile(r"(?i)(\s)datetime\b")
 _PYFORMAT = re.compile(r"%\((\w+)\)s")
 
@@ -423,6 +437,8 @@ class SqlTask(Task):
         out = sub_unquoted(_OBJECT_CONSTRUCT, "named_struct(", out)
         out = sub_unquoted(_ARRAY_CONSTRUCT, "array(", out)
         out = sub_unquoted(_FLATTEN, "variant_explode(", out)
+        out = sub_unquoted(_SAMPLE_ROWS, r"TABLESAMPLE (\1 ROWS)", out)
+        out = sub_unquoted(_SAMPLE_PCT, r"TABLESAMPLE (\1 PERCENT)", out)
         # Snowflake session variables: $name refs -> bare names (quote-aware
         # — a '$v' inside a string literal is data); SET name = expr ->
         # DECLARE OR REPLACE VARIABLE (Spark 4). DECLARE's DEFAULT cannot

@@ -464,3 +464,30 @@ def test_lateral_flatten_translates_to_variant_explode(spark):
     }
     assert rows == {(0, 10), (1, 20), (2, 30)}
     spark.sql("DROP TABLE IF EXISTS flat_t")
+
+
+def test_sample_clause_translates_to_tablesample(spark):
+    """Snowflake SAMPLE (n) / SAMPLE (n ROWS) / bare TABLESAMPLE (n) all
+    normalize to Spark TABLESAMPLE; a quoted 'SAMPLE (10)' stays data."""
+    spark.range(1000).createOrReplaceTempView("sample_src")
+    _run(
+        spark,
+        [
+            "CREATE OR REPLACE TABLE sample_rows AS "
+            "SELECT * FROM sample_src SAMPLE (25 ROWS)",
+            "CREATE OR REPLACE TABLE sample_pct AS "
+            "SELECT * FROM sample_src TABLESAMPLE (10)",
+            "CREATE OR REPLACE TABLE sample_msg AS "
+            "SELECT 'use SAMPLE (10) wisely' AS m",
+        ],
+        task_id="sampleclause",
+    )
+    assert spark.sql("SELECT count(*) n FROM sample_rows").first()["n"] == 25
+    pct = spark.sql("SELECT count(*) n FROM sample_pct").first()["n"]
+    assert 0 < pct < 1000  # Bernoulli percent sample, nondeterministic size
+    assert (
+        spark.sql("SELECT m FROM sample_msg").first()["m"]
+        == "use SAMPLE (10) wisely"
+    )
+    for t in ("sample_rows", "sample_pct", "sample_msg"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
