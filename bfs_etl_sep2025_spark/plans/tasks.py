@@ -292,6 +292,42 @@ def _generic_type_spans(text: str) -> list[tuple[int, int]]:
     return spans
 
 
+_SPLIT_TO_TABLE = re.compile(r"(?i)\bSPLIT_TO_TABLE\s*\(")
+
+
+def _rewrite_split_to_table(text: str) -> str:
+    """Snowflake ``SPLIT_TO_TABLE(x, d)`` (table function) -> Spark
+    ``posexplode(split(x, d))``: VALUE is Spark's ``col``, INDEX is
+    ``pos`` (the FLATTEN column convention); SEQ has no twin. The close
+    paren must become TWO (the rewrite nests split() inside posexplode),
+    so this walks to the matching unquoted ')' instead of regex-substituting."""
+    while True:
+        unq = None
+        m = None
+        for cand in _SPLIT_TO_TABLE.finditer(text):
+            unq = _unquoted_positions(text) if unq is None else unq
+            if cand.start() in unq:
+                m = cand
+                break
+        if m is None:
+            return text
+        depth, i = 1, m.end()
+        while i < len(text) and depth:
+            if i in unq and text[i] == "(":
+                depth += 1
+            elif i in unq and text[i] == ")":
+                depth -= 1
+            i += 1
+        if depth:  # unbalanced — leave for Spark's parser to complain
+            return text
+        inner = text[m.end() : i - 1]
+        text = (
+            text[: m.start()]
+            + f"posexplode(split({inner}))"
+            + text[i:]
+        )
+
+
 def _sub_colon_paths(text: str) -> str:
     spans = _generic_type_spans(text)
 
@@ -437,6 +473,7 @@ class SqlTask(Task):
         out = sub_unquoted(_OBJECT_CONSTRUCT, "named_struct(", out)
         out = sub_unquoted(_ARRAY_CONSTRUCT, "array(", out)
         out = sub_unquoted(_FLATTEN, "variant_explode(", out)
+        out = _rewrite_split_to_table(out)
         out = sub_unquoted(_SAMPLE_ROWS, r"TABLESAMPLE (\1 ROWS)", out)
         out = sub_unquoted(_SAMPLE_PCT, r"TABLESAMPLE (\1 PERCENT)", out)
         # Snowflake session variables: $name refs -> bare names (quote-aware

@@ -491,3 +491,31 @@ def test_sample_clause_translates_to_tablesample(spark):
     )
     for t in ("sample_rows", "sample_pct", "sample_msg"):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_split_to_table_translates_to_posexplode(spark):
+    """SPLIT_TO_TABLE(x, d) runs as LATERAL posexplode(split(x, d)) —
+    VALUE is col, INDEX is pos; nested parens in the args survive the
+    balanced-paren rewrite, and a quoted spelling stays data."""
+    _run(
+        spark,
+        "CREATE OR REPLACE TABLE split_t AS "
+        "SELECT t.id, f.pos, f.col AS word "
+        "FROM VALUES (1, 'a b c'), (2, 'x') AS t(id, v), "
+        "LATERAL SPLIT_TO_TABLE(upper(t.v), ' ') f",
+        task_id="split2table",
+    )
+    rows = {
+        (r["id"], r["pos"], r["word"])
+        for r in spark.sql("SELECT * FROM split_t").collect()
+    }
+    assert rows == {(1, 0, "A"), (1, 1, "B"), (1, 2, "C"), (2, 0, "X")}
+    _run(
+        spark,
+        "CREATE OR REPLACE TABLE split_msg AS "
+        "SELECT 'see SPLIT_TO_TABLE(v, c) docs' AS m",
+        task_id="split_msg",
+    )
+    assert "SPLIT_TO_TABLE" in spark.sql("SELECT m FROM split_msg").first()["m"]
+    spark.sql("DROP TABLE IF EXISTS split_t")
+    spark.sql("DROP TABLE IF EXISTS split_msg")
