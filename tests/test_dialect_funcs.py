@@ -335,15 +335,33 @@ from hypothesis import strategies as st  # noqa: E402
 _IFF_CODE = ("IFF(c > 1, 1, 0)", "IF(c > 1, 1, 0)")
 _SYS_CODE = ("sysdate()", "TIMESTAMP '2024-03-01 12:00:00'")
 _DOLLAR_CODE = ("$myvar", "myvar")
+_OBJ_CODE = ("OBJECT_CONSTRUCT('k', 1)", "named_struct('k', 1)")
+_ARR_CODE = ("ARRAY_CONSTRUCT(1, 2)", "array(1, 2)")
+_FLAT_CODE = ("FLATTEN(input => v)", "variant_explode(v)")
+_S2T_CODE = (
+    "SPLIT_TO_TABLE(upper(v), ',')",
+    "posexplode(split(upper(v), ','))",
+)
 _PROTECTED = [
     "'IFF(a,b,c) and sysdate() and $v'",  # single-quoted literal
     "'it''s IFF(x) o''clock sysdate()'",  # escaped quotes inside literal
     '"IFF"',  # quoted identifier
     "/* IFF(1,2,3) sysdate() $v */",  # block comment
     "-- IFF(9) sysdate() $v\n",  # line comment (newline-terminated)
+    "'OBJECT_CONSTRUCT(a) FLATTEN(input => b) SPLIT_TO_TABLE(c, d)'",
 ]
 _seg = st.one_of(
-    st.sampled_from([_IFF_CODE, _SYS_CODE, _DOLLAR_CODE]),
+    st.sampled_from(
+        [
+            _IFF_CODE,
+            _SYS_CODE,
+            _DOLLAR_CODE,
+            _OBJ_CODE,
+            _ARR_CODE,
+            _FLAT_CODE,
+            _S2T_CODE,
+        ]
+    ),
     st.sampled_from([(p, p) for p in _PROTECTED]),
     st.just(("col_a", "col_a")),
 )
