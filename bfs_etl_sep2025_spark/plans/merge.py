@@ -61,6 +61,7 @@ identical statement at a Delta/Iceberg catalog instead.
 
 from __future__ import annotations
 
+import dataclasses
 import re
 from dataclasses import dataclass, field
 
@@ -425,19 +426,211 @@ def _check_deterministic(spark, spec: MergeSpec) -> None:
         )
 
 
+def _split_top_and(cond: str) -> list[str] | None:
+    """Split a condition on top-level ANDs (outside parens/quotes); None
+    when anything but a flat conjunction shows up at depth 0."""
+    parts, buf, depth, i = [], [], 0, 0
+    up = cond.upper()
+    while i < len(cond):
+        ch = cond[i]
+        if ch == "'":  # skip string literal (Snowflake '' escaping)
+            j = i + 1
+            while j < len(cond):
+                if cond[j] == "'" and cond[j : j + 2] != "''":
+                    break
+                j += 2 if cond[j] == "'" else 1
+            buf.append(cond[i : j + 1])
+            i = j + 1
+            continue
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if (
+            depth == 0
+            and up[i : i + 5] == " AND "
+        ):
+            parts.append("".join(buf))
+            buf = []
+            i += 5
+            continue
+        if depth == 0 and (up[i : i + 4] == " OR " or up[i : i + 5] == " NOT "):
+            return None
+        buf.append(ch)
+        i += 1
+    parts.append("".join(buf))
+    return parts
+
+
+_EQ_CONJUNCT = re.compile(r"^\s*(\w+)\.(\w+)\s*=\s*(\w+)\.(\w+)\s*$")
+
+
+def _part_literal(v) -> str | None:
+    if isinstance(v, bool) or v is None:
+        return None
+    if isinstance(v, int):
+        return str(v)
+    if isinstance(v, str):
+        return "'" + v.replace("'", "''") + "'"
+    return None
+
+
+#: cap on distinct touched partitions before pruning stops paying for its
+#: own bookkeeping and the full rewrite is simpler
+_MAX_TOUCHED_PARTITIONS = 128
+
+
+def _partition_pruning(spark, spec: MergeSpec):
+    """Decide whether this MERGE can rewrite ONLY the target partitions the
+    source actually touches (the catalog-table analog of Delta's file-level
+    MERGE pruning). Safe exactly when every modified-or-inserted row is
+    provably confined to partitions named by the source:
+
+    - the target is partitioned and its schema lists partition cols last
+      (the INSERT OVERWRITE column contract);
+    - no NOT MATCHED BY SOURCE branch (those touch rows in ANY partition);
+    - the ON condition is a flat conjunction of ``t.col = s.col``
+      equalities covering every partition column (so matched rows live in
+      source-named partitions);
+    - no MATCHED UPDATE assigns a partition column (rows cannot migrate
+      into an untouched partition, which dynamic overwrite would clobber);
+    - every INSERT assigns each partition column verbatim from the ON-
+      equated source column (inserts land in touched partitions only).
+
+    Returns ``(predicate_sql, touched_rows, pcols, col_names)`` or None.
+    """
+    try:
+        cat_cols = spark.catalog.listColumns(spec.target)
+    except Exception:
+        return None
+    pcols = [c.name for c in cat_cols if c.isPartition]
+    if not pcols or spec.nm_by_source:
+        return None
+    names = [f.name for f in spark.table(spec.target).schema.fields]
+    if names[-len(pcols) :] != pcols:
+        return None
+    conj = _split_top_and(spec.on)
+    if conj is None:
+        return None
+    t_, s_ = spec.target_alias, spec.source_alias
+    eq: dict[str, str] = {}
+    for c in conj:
+        m = _EQ_CONJUNCT.match(c)
+        if not m:
+            return None
+        aal, acol, bal, bcol = m.groups()
+        if aal == t_ and bal == s_:
+            eq[acol] = bcol
+        elif aal == s_ and bal == t_:
+            eq[bcol] = acol
+        else:
+            return None
+    if not all(p in eq for p in pcols):
+        return None
+    for b in spec.matched:
+        if any(p in b.sets for p in pcols):
+            return None
+    for b in spec.not_matched:
+        bcols = b.cols if b.cols is not None else names
+        for p in pcols:
+            if p not in bcols:
+                return None
+            v = b.vals[bcols.index(p)].strip()
+            if v not in (f"{s_}.{eq[p]}", eq[p]):
+                return None
+    sel = ", ".join(f"{s_}.{eq[p]} AS {p}" for p in pcols)
+    touched = (
+        spark.sql(f"SELECT DISTINCT {sel} FROM {spec.source_sql} AS {s_}")
+        .limit(_MAX_TOUCHED_PARTITIONS + 1)
+        .collect()
+    )
+    if len(touched) > _MAX_TOUCHED_PARTITIONS:
+        return None
+    disj = []
+    for r in touched:
+        lits = []
+        for p in pcols:
+            lit = _part_literal(r[p])
+            if lit is None:  # NULL/unsupported partition value type
+                return None
+            lits.append(f"{p} = {lit}")
+        disj.append("(" + " AND ".join(lits) + ")")
+    pred = " OR ".join(disj) if disj else "false"
+    return pred, touched, pcols, names
+
+
 def run_merge(spark, stmt: str) -> None:
-    """Parse + execute one MERGE INTO against the session catalog."""
+    """Parse + execute one MERGE INTO against the session catalog.
+
+    Partitioned targets take the PRUNED path when provably safe (see
+    :func:`_partition_pruning`): the rewrite's joins read only the touched
+    partitions, and the swap-in is a dynamic-partition INSERT OVERWRITE
+    that replaces exactly those partitions — untouched partitions are
+    neither read nor rewritten, the Delta-MERGE data-skipping behavior at
+    partition granularity. A touched partition whose merged content comes
+    back empty (everything deleted) is truncated explicitly, since dynamic
+    overwrite only replaces partitions present in the output."""
     spec = parse_merge(stmt)
+    pruning = _partition_pruning(spark, spec)
+    if pruning:
+        pred, touched, pcols, names = pruning
+        view = "__merge_pruned_" + re.sub(r"\W", "_", spec.target)
+        spark.sql(
+            f"CREATE OR REPLACE TEMPORARY VIEW {view} AS "
+            f"SELECT * FROM {spec.target} WHERE {pred}"
+        )
+        pspec = dataclasses.replace(spec, target=view)
+    else:
+        pspec = spec
     if spec.matched or spec.nm_by_source:
-        _check_deterministic(spark, spec)
+        _check_deterministic(spark, pspec)
     schema = spark.table(spec.target).schema
     tgt_fields = [(f.name, f.dataType.simpleString()) for f in schema.fields]
-    select = _rewrite(spec, tgt_fields)
+    select = _rewrite(pspec, tgt_fields)
     stage = f"{spec.target}__merge_stage"
     spark.sql(f"DROP TABLE IF EXISTS {stage}")
     spark.sql(f"CREATE TABLE {stage} AS {select}")
     try:
-        spark.sql(f"INSERT OVERWRITE TABLE {spec.target} SELECT * FROM {stage}")
+        if pruning:
+            conf = "spark.sql.sources.partitionOverwriteMode"
+            try:
+                old = spark.conf.get(conf)
+            except Exception:
+                old = None
+            spark.conf.set(conf, "dynamic")
+            try:
+                cols = ", ".join(names)
+                spark.sql(
+                    f"INSERT OVERWRITE TABLE {spec.target} "
+                    f"SELECT {cols} FROM {stage}"
+                )
+                present = {
+                    tuple(r[p] for p in pcols)
+                    for r in spark.sql(
+                        f"SELECT DISTINCT {', '.join(pcols)} FROM {stage}"
+                    ).collect()
+                }
+                data_cols = ", ".join(n for n in names if n not in pcols)
+                for r in touched:
+                    if tuple(r[p] for p in pcols) in present:
+                        continue
+                    part = ", ".join(
+                        f"{p} = {_part_literal(r[p])}" for p in pcols
+                    )
+                    spark.sql(
+                        f"INSERT OVERWRITE TABLE {spec.target} "
+                        f"PARTITION ({part}) "
+                        f"SELECT {data_cols} FROM {stage} WHERE false"
+                    )
+            finally:
+                if old is None:
+                    spark.conf.unset(conf)
+                else:
+                    spark.conf.set(conf, old)
+        else:
+            spark.sql(
+                f"INSERT OVERWRITE TABLE {spec.target} SELECT * FROM {stage}"
+            )
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {stage}")
     # drop cached file listings for the overwritten target: a reader that

@@ -10,7 +10,7 @@ from datetime import datetime
 import pytest
 
 from bfs_etl_sep2025_spark.plans import Pipeline, SqlTask
-from bfs_etl_sep2025_spark.plans.merge import parse_merge
+from bfs_etl_sep2025_spark.plans.merge import parse_merge, run_merge
 
 FROZEN = datetime(2024, 3, 1, 12, 0, 0)
 
@@ -561,3 +561,103 @@ def test_parse_merge_by_source_roundtrip(tgt, salias, key, cols, gval):
     assert spec.nm_by_source[0].sets == {c: "NULL" for c in cols}
     assert spec.nm_by_source[1].delete
     assert spec.insert_cols == [key]
+
+
+# -- partition-pruned MERGE path ---------------------------------------------
+
+
+def _part_files(spark, table, part):
+    import os
+
+    loc = (
+        spark.sql(f"DESCRIBE TABLE EXTENDED {table}")
+        .filter("col_name = 'Location'")
+        .first()["data_type"]
+    ).replace("file:", "")
+    d = os.path.join(loc, part)
+    return sorted(os.listdir(d)) if os.path.isdir(d) else []
+
+
+def test_partitioned_merge_prunes_untouched_partitions(spark):
+    """A MERGE whose ON equates the partition column rewrites ONLY the
+    partitions the source names: the untouched partition's data files are
+    byte-for-byte the same directory entries afterwards, and semantics
+    (update + insert + delete-to-empty) hold across touched partitions."""
+    spark.sql("DROP TABLE IF EXISTS pm_tgt")
+    spark.sql(
+        "CREATE TABLE pm_tgt (id INT, v STRING, dt STRING) "
+        "USING parquet PARTITIONED BY (dt)"
+    )
+    spark.sql(
+        "INSERT INTO pm_tgt VALUES "
+        "(1, 'a', 'd1'), (2, 'b', 'd1'), (3, 'c', 'd2'), (4, 'd', 'd3')"
+    )
+    before_d2 = _part_files(spark, "pm_tgt", "dt=d2")
+    assert before_d2  # partition exists on disk
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY VIEW pm_src AS "
+        "SELECT * FROM VALUES (1, 'A', 'd1'), (9, 'i', 'd1'), (4, NULL, 'd3') "
+        "AS t(id, v, dt)"
+    )
+    run_merge(
+        spark,
+        "MERGE INTO pm_tgt AS t USING pm_src AS s "
+        "ON t.id = s.id AND t.dt = s.dt "
+        "WHEN MATCHED AND s.v IS NULL THEN DELETE "
+        "WHEN MATCHED THEN UPDATE SET v = s.v "
+        "WHEN NOT MATCHED THEN INSERT (id, v, dt) VALUES (s.id, s.v, s.dt)",
+    )
+    got = {
+        (r["id"], r["v"], r["dt"]) for r in spark.table("pm_tgt").collect()
+    }
+    assert got == {
+        (1, "A", "d1"),
+        (2, "b", "d1"),
+        (9, "i", "d1"),
+        (3, "c", "d2"),  # untouched partition intact
+        # (4, 'd', 'd3') deleted -> d3 emptied
+    }
+    # pruning proof: the untouched partition's files were not rewritten
+    assert _part_files(spark, "pm_tgt", "dt=d2") == before_d2
+    # emptied partition truncated despite dynamic overwrite semantics
+    assert (
+        spark.sql("SELECT count(*) n FROM pm_tgt WHERE dt = 'd3'").first()["n"]
+        == 0
+    )
+    spark.sql("DROP TABLE IF EXISTS pm_tgt")
+
+
+def test_partitioned_merge_falls_back_when_unsafe(spark):
+    """Shapes pruning cannot prove safe — BY SOURCE branches, an UPDATE
+    assigning the partition column — still execute correctly through the
+    full rewrite."""
+    spark.sql("DROP TABLE IF EXISTS pm_fb")
+    spark.sql(
+        "CREATE TABLE pm_fb (id INT, v STRING, dt STRING) "
+        "USING parquet PARTITIONED BY (dt)"
+    )
+    spark.sql(
+        "INSERT INTO pm_fb VALUES (1, 'a', 'd1'), (2, 'b', 'd2')"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY VIEW pm_fb_src AS "
+        "SELECT * FROM VALUES (1, 'moved', 'd9') AS t(id, v, dt)"
+    )
+    # UPDATE assigns dt -> row migrates partitions; must not clobber d2
+    run_merge(
+        spark,
+        "MERGE INTO pm_fb AS t USING pm_fb_src AS s ON t.id = s.id "
+        "WHEN MATCHED THEN UPDATE SET v = s.v, dt = s.dt",
+    )
+    got = {(r["id"], r["v"], r["dt"]) for r in spark.table("pm_fb").collect()}
+    assert got == {(1, "moved", "d9"), (2, "b", "d2")}
+    # BY SOURCE retire pass touches every partition; full rewrite path
+    run_merge(
+        spark,
+        "MERGE INTO pm_fb AS t USING pm_fb_src AS s "
+        "ON t.id = s.id AND t.dt = s.dt "
+        "WHEN NOT MATCHED BY SOURCE THEN DELETE",
+    )
+    got = {(r["id"], r["v"], r["dt"]) for r in spark.table("pm_fb").collect()}
+    assert got == {(1, "moved", "d9")}
+    spark.sql("DROP TABLE IF EXISTS pm_fb")
