@@ -1106,3 +1106,107 @@ def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "text_repetition_dup_bigrams",
+    family="text",
+    oracle="""
+        WITH toks AS (
+          SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        ), occ AS (
+          SELECT doc_id, i, t[i] || ' ' || t[i + 1] AS g
+          FROM toks, UNNEST(range(1, len(t))) AS r(i)
+          WHERE len(t) >= 2
+        ), dup AS (
+          SELECT doc_id, g
+          FROM occ GROUP BY doc_id, g HAVING count(*) > 1
+        ), cov AS (
+          SELECT o.doc_id,
+                 CAST(count(DISTINCT o.i + d.k) AS BIGINT) AS dup_cov
+          FROM occ o JOIN dup USING (doc_id, g), UNNEST(range(0, 2)) AS d(k)
+          GROUP BY o.doc_id
+        )
+        SELECT t.doc_id,
+               CAST(len(t.t) AS BIGINT) AS n_tokens,
+               CAST(coalesce(c.dup_cov, 0) AS BIGINT) AS dup_cov,
+               CASE WHEN coalesce(c.dup_cov, 0) * 5 <= len(t.t)
+                    THEN 1 ELSE 0 END AS rep_passes
+        FROM toks t LEFT JOIN cov c USING (doc_id)
+        ORDER BY t.doc_id
+    """,
+)
+def text_repetition_dup_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The OTHER Gopher repetition metric (Rae et al. 2021 §A1.1):
+    ``text_repetition_ngrams`` reports the TOP-bigram fraction; this one
+    reports the fraction of token positions covered by ANY bigram that
+    repeats within the document — overlapping occurrences counted ONCE
+    (distinct-position union), which is what distinguishes "one phrase
+    repeated everywhere" from "many phrases each repeated twice".
+    ``rep_passes`` applies a 20% coverage gate via integer cross-multiply
+    (``dup_cov * 5 <= n_tokens``) — no float ratio crosses engines.
+
+    Scale: occurrence starts come from the codegen'd index-explode (no
+    array lambdas); duplicated grams collapse map-side before the
+    (doc_id, gram) self-equi-join; coverage is a distinct-count of
+    (position) ints per doc. Everything shuffles ints and md5-free short
+    grams scoped by doc_id — per-doc work is O(tokens), independent of
+    corpus size."""
+    d = widen(load(spark, sf_dir, "documents"))
+    t = _tokens(F.col("text"))
+    toks = d.select("doc_id", t.alias("t")).select(
+        "doc_id", "t", F.size("t").alias("n_tokens")
+    )
+    occ = (
+        toks.filter(F.col("n_tokens") >= 2)
+        .select(
+            "doc_id",
+            "t",
+            F.explode(
+                F.sequence(F.lit(1), F.col("n_tokens") - 1)
+            ).alias("i"),
+        )
+        .select(
+            "doc_id",
+            "i",
+            F.concat_ws(
+                " ",
+                F.element_at("t", F.col("i")),
+                F.element_at("t", F.col("i") + 1),
+            ).alias("g"),
+        )
+    )
+    dup = (
+        occ.groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1)
+        .select("doc_id", "g")
+    )
+    cov = (
+        occ.join(dup, ["doc_id", "g"])
+        .select(
+            "doc_id", F.explode(F.sequence(F.lit(0), F.lit(1))).alias("k"), "i"
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count_distinct(F.col("i") + F.col("k")).alias("dup_cov")
+        )
+    )
+    return (
+        toks.join(cov, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            F.coalesce(F.col("dup_cov"), F.lit(0))
+            .cast("bigint")
+            .alias("dup_cov"),
+            F.when(
+                F.coalesce(F.col("dup_cov"), F.lit(0)) * 5
+                <= F.col("n_tokens"),
+                F.lit(1),
+            )
+            .otherwise(F.lit(0))
+            .alias("rep_passes"),
+        )
+        .orderBy("doc_id")
+    )
