@@ -757,3 +757,107 @@ def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("node").alias("user_id"),
         F.col("label").cast("bigint").alias("component"),
     ).orderBy("user_id")
+
+
+@query(
+    "graph_link_prediction_jaccard",
+    family="graph",
+    oracle=f"""
+        WITH {_EDGES_CTE},
+        adj AS (
+            SELECT u AS s, v AS t FROM edges
+            UNION ALL
+            SELECT v AS s, u AS t FROM edges
+        ),
+        deg AS (
+            SELECT s AS node, CAST(count(*) AS BIGINT) AS d
+            FROM adj GROUP BY s
+        ),
+        wedge AS (
+            SELECT a1.s AS u, a2.t AS w,
+                   CAST(count(*) AS BIGINT) AS common_neighbors
+            FROM adj a1
+            JOIN adj a2 ON a2.s = a1.t AND a1.s < a2.t
+            GROUP BY a1.s, a2.t
+        ),
+        cand AS (
+            SELECT w.u, w.w AS v, w.common_neighbors
+            FROM wedge w
+            LEFT JOIN edges e ON e.u = w.u AND e.v = w.w
+            WHERE e.u IS NULL
+        )
+        SELECT c.u, c.v, c.common_neighbors,
+               du.d AS deg_u, dv.d AS deg_v,
+               CAST(c.common_neighbors AS DOUBLE)
+                 / (du.d + dv.d - c.common_neighbors) AS jaccard
+        FROM cand c
+        JOIN deg du ON du.node = c.u
+        JOIN deg dv ON dv.node = c.v
+        ORDER BY jaccard DESC, u, v
+        LIMIT 20
+    """,
+)
+def graph_link_prediction_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jaccard-coefficient link prediction: non-adjacent pairs ranked by
+    ``|N(u) ∩ N(v)| / |N(u) ∪ N(v)|`` — common-neighbors normalized by the
+    union, so a pair of low-degree nodes sharing most of their small
+    neighborhoods outranks a hub pair sharing a few of thousands (the
+    standard fix for CN's hub bias). The numerator and both degrees are
+    EXACT BIGINT counts; the ratio is one IEEE division of exact integers,
+    identical in both engines (the cosine-ranking discipline), with (u, v)
+    as the deterministic tie-break.
+
+    Plan shape: the symmetric wedge equi-join of ``_linkpred_wedge`` plus
+    two broadcast degree attaches — node-id shuffles only, top-20 as
+    TakeOrderedAndProject. The dense-regime note on
+    :func:`graph_link_prediction_cn` applies unchanged: hubs make wedges
+    quadratic, and a dense deployment routes through the adjacency-bitmap
+    pass (``bit_count(mu & mv)`` with degrees as ``bit_count(mask)``) —
+    this query keeps the wedge form because Jaccard's whole purpose is the
+    sparse regime where hub bias needs correcting."""
+    e = _edges(spark, sf_dir)
+    adj = e.select(F.col("u").alias("s"), F.col("v").alias("t")).unionAll(
+        e.select(F.col("v").alias("s"), F.col("u").alias("t"))
+    )
+    deg = adj.groupBy("s").agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    a1 = adj.select(F.col("s").alias("u"), F.col("t").alias("mid"))
+    a2 = adj.select(F.col("t").alias("v"), F.col("s").alias("mid"))
+    wedge = (
+        a1.join(a2, "mid")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("common_neighbors"))
+    )
+    cand = wedge.join(e, ["u", "v"], "left_anti")
+    scored = (
+        cand.join(
+            F.broadcast(
+                deg.select(F.col("s").alias("u"), F.col("d").alias("deg_u"))
+            ),
+            "u",
+        )
+        .join(
+            F.broadcast(
+                deg.select(F.col("s").alias("v"), F.col("d").alias("deg_v"))
+            ),
+            "v",
+        )
+        .select(
+            "u",
+            "v",
+            "common_neighbors",
+            "deg_u",
+            "deg_v",
+            (
+                F.col("common_neighbors").cast("double")
+                / (
+                    F.col("deg_u")
+                    + F.col("deg_v")
+                    - F.col("common_neighbors")
+                )
+            ).alias("jaccard"),
+        )
+    )
+    return scored.orderBy(
+        F.col("jaccard").desc(), "u", "v"
+    ).limit(20)

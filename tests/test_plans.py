@@ -554,6 +554,7 @@ _SANCTIONED_BNLJ = {
     "graph_degree_distribution": "bitmap-regime broadcast popcount pass",
     "graph_triangle_count": "bitmap-regime broadcast popcount pass",
     "graph_link_prediction_cn": "bitmap-regime broadcast popcount pass",
+    "graph_link_prediction_jaccard": "shares _edges' bitmap-regime build",
     # non-equi by nature
     "join_cross": "the cross-join demo itself",
     "join_range": "band-condition join, broadcast small side",
