@@ -807,42 +807,31 @@ def graph_link_prediction_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame
     identical in both engines (the cosine-ranking discipline), with (u, v)
     as the deterministic tie-break.
 
-    Plan shape: the symmetric wedge equi-join of ``_linkpred_wedge`` plus
-    two broadcast degree attaches — node-id shuffles only, top-20 as
-    TakeOrderedAndProject. The dense-regime note on
-    :func:`graph_link_prediction_cn` applies unchanged: hubs make wedges
-    quadratic, and a dense deployment routes through the adjacency-bitmap
-    pass (``bit_count(mu & mv)`` with degrees as ``bit_count(mask)``) —
-    this query keeps the wedge form because Jaccard's whole purpose is the
-    sparse regime where hub bias needs correcting."""
+    Regime dispatch, same as :func:`graph_link_prediction_cn`: dense
+    graphs (nodes fit the adjacency-bitmap guard) score every pair with
+    codegen'd popcounts — ``cn = bit_count(mu & mv)``, degrees as the
+    self-popcount — while past the guard the sparse path runs the
+    symmetric wedge equi-join plus two broadcast degree attaches. Both
+    regimes emit identical rows (regime-equivalence-tested); top-20 plans
+    as TakeOrderedAndProject either way."""
     e = _edges(spark, sf_dir)
     adj = e.select(F.col("u").alias("s"), F.col("v").alias("t")).unionAll(
         e.select(F.col("v").alias("s"), F.col("u").alias("t"))
     )
-    deg = adj.groupBy("s").agg(F.count(F.lit(1)).cast("bigint").alias("d"))
-    a1 = adj.select(F.col("s").alias("u"), F.col("t").alias("mid"))
-    a2 = adj.select(F.col("t").alias("v"), F.col("s").alias("mid"))
-    wedge = (
-        a1.join(a2, "mid")
-        .filter(F.col("u") < F.col("v"))
-        .groupBy("u", "v")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("common_neighbors"))
-    )
-    cand = wedge.join(e, ["u", "v"], "left_anti")
-    scored = (
-        cand.join(
-            F.broadcast(
-                deg.select(F.col("s").alias("u"), F.col("d").alias("deg_u"))
-            ),
-            "u",
-        )
-        .join(
-            F.broadcast(
-                deg.select(F.col("s").alias("v"), F.col("d").alias("deg_v"))
-            ),
-            "v",
-        )
-        .select(
+    nodes = adj.select(F.col("s").alias("node")).distinct()
+    idx = _dense_index(nodes, ["node"], "nidx")
+    n_nodes = idx.count()
+    n_words = max(1, (n_nodes + 63) // 64)
+    if n_words > _MAX_ADJ_WORDS:
+        return _jaccard_rank(_jaccard_wedge(e, adj))
+    return _jaccard_rank(_jaccard_bitmap(adj, idx, n_words))
+
+
+def _jaccard_rank(scored: DataFrame) -> DataFrame:
+    """Shared ranking tail: one IEEE division of exact BIGINTs per pair
+    (deterministic cross-engine, cosine discipline), (u, v) tie-break."""
+    return (
+        scored.select(
             "u",
             "v",
             "common_neighbors",
@@ -857,7 +846,99 @@ def graph_link_prediction_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame
                 )
             ).alias("jaccard"),
         )
+        .orderBy(F.col("jaccard").desc(), "u", "v")
+        .limit(20)
     )
-    return scored.orderBy(
-        F.col("jaccard").desc(), "u", "v"
-    ).limit(20)
+
+
+def _jaccard_wedge(e: DataFrame, adj: DataFrame) -> DataFrame:
+    """Sparse-regime pairs: `_linkpred_wedge`'s shape with the two degree
+    attaches — node-id shuffles only, hub cost deg^2 (which is why the
+    dense regime dispatches to bitmaps)."""
+    deg = adj.groupBy("s").agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    a1 = adj.select(F.col("s").alias("u"), F.col("t").alias("mid"))
+    a2 = adj.select(F.col("t").alias("v"), F.col("s").alias("mid"))
+    wedge = (
+        a1.join(a2, "mid")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("common_neighbors"))
+    )
+    cand = wedge.join(e, ["u", "v"], "left_anti")
+    return cand.join(
+        F.broadcast(
+            deg.select(F.col("s").alias("u"), F.col("d").alias("deg_u"))
+        ),
+        "u",
+    ).join(
+        F.broadcast(
+            deg.select(F.col("s").alias("v"), F.col("d").alias("deg_v"))
+        ),
+        "v",
+    )
+
+
+def _jaccard_bitmap(adj: DataFrame, idx: DataFrame, n_words: int) -> DataFrame:
+    """Dense-regime pairs: `_linkpred_bitmap`'s broadcast popcount pass,
+    with degrees read off the SAME masks (self-popcount) — no extra join
+    for the Jaccard denominator."""
+    ai = adj.join(
+        F.broadcast(
+            idx.select(F.col("node").alias("t"), F.col("nidx").alias("tidx"))
+        ),
+        "t",
+    )
+    # degree computed ONCE per node here (a V-sized pass over the masks),
+    # NOT per candidate pair — the naive per-pair self-popcount would
+    # re-evaluate the n_words-term chain V^2/2 times for a value that only
+    # depends on one side (measured 97 s -> the per-node form at sf1)
+    masks = (
+        ai.groupBy("s")
+        .agg(F.expr(_mask_expr("tidx", n_words)).alias("mask"))
+        .withColumn(
+            "deg",
+            F.expr(
+                f"CAST(({_popcount_sum('mask', 'mask', n_words)}) AS BIGINT)"
+            ),
+        )
+        .cache()
+    )
+    a = masks.select(
+        F.col("s").alias("u"),
+        F.col("mask").alias("mu"),
+        F.col("deg").alias("deg_u"),
+    )
+    b = (
+        masks.select(
+            F.col("s").alias("v"),
+            F.col("mask").alias("mv"),
+            F.col("deg").alias("deg_v"),
+            F.col("s").alias("_vb"),
+        )
+        .join(
+            F.broadcast(
+                idx.select(
+                    F.col("node").alias("_vb"), F.col("nidx").alias("vidx")
+                )
+            ),
+            "_vb",
+        )
+        .drop("_vb")
+    )
+    cn = _popcount_sum("mu", "mv", n_words)
+    is_edge = (
+        "((element_at(mu, CAST(vidx DIV 64 AS INT) + 1) "
+        ">> CAST(vidx % 64 AS INT)) & CAST(1 AS BIGINT)) = 1"
+    )
+    scored = a.join(F.broadcast(b), F.col("u") < F.col("v")).select(
+        "u",
+        "v",
+        F.expr(f"CAST(({cn}) AS BIGINT)").alias("common_neighbors"),
+        "deg_u",
+        "deg_v",
+        F.expr(f"({is_edge})").alias("_is_edge"),
+    )
+    return _barrier_filter(
+        scored,
+        (~F.col("_is_edge")) & (F.col("common_neighbors") > 0),
+    ).select("u", "v", "common_neighbors", "deg_u", "deg_v")

@@ -82,6 +82,23 @@ def test_linkpred_wedge_fallback_matches_bitmap(spark, monkeypatch):
     assert len(want) == 20
 
 
+def test_jaccard_wedge_fallback_matches_bitmap(spark, monkeypatch):
+    """Jaccard link prediction dispatches like CN: the sparse wedge path
+    (guard lowered) must produce the bitmap path's exact top-20 — counts,
+    degrees, and the IEEE-divided jaccard included."""
+    want = [
+        tuple(r)
+        for r in graph.graph_link_prediction_jaccard(spark, SF).collect()
+    ]
+    monkeypatch.setattr(graph, "_MAX_ADJ_WORDS", 1)
+    got = [
+        tuple(r)
+        for r in graph.graph_link_prediction_jaccard(spark, SF).collect()
+    ]
+    assert got == want
+    assert len(want) == 20
+
+
 def test_runtime_plan_assert_catches_pushdown(spark):
     """assert_no_join_pushdown must raise on a plan where the popcount
     threshold WAS pushed into the nested-loop join condition (the exact
