@@ -510,7 +510,7 @@ def window_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
                  list_sort(list(value) OVER (
                    PARTITION BY user_id ORDER BY ts, event_id
                    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) AS frame
-          FROM events
+          FROM events WHERE value IS NOT NULL
         )
         SELECT user_id, event_id,
                frame[CAST((len(frame) + 1) // 2 AS INT)] AS rolling_median
@@ -533,7 +533,10 @@ def window_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     the banned interpreted form — positional element_at is not). Frame
     size is a constant: at 100 TB this stays a per-row O(k log k) local
     cost, never a per-partition blowup."""
-    e = load(spark, sf_dir, "events")
+    # NULL values are excluded on BOTH sides up front: Spark collect_list
+    # silently drops NULLs while DuckDB's list() keeps them, so a frame
+    # containing a NULL would index a different element in each engine
+    e = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     w = (
         W.partitionBy("user_id")
         .orderBy("ts", "event_id")

@@ -430,7 +430,6 @@ def _split_top_and(cond: str) -> list[str] | None:
     """Split a condition on top-level ANDs (outside parens/quotes); None
     when anything but a flat conjunction shows up at depth 0."""
     parts, buf, depth, i = [], [], 0, 0
-    up = cond.upper()
     while i < len(cond):
         ch = cond[i]
         if ch == "'":  # skip string literal (Snowflake '' escaping)
@@ -446,16 +445,15 @@ def _split_top_and(cond: str) -> list[str] | None:
             depth += 1
         elif ch == ")":
             depth -= 1
-        if (
-            depth == 0
-            and up[i : i + 5] == " AND "
-        ):
-            parts.append("".join(buf))
-            buf = []
-            i += 5
-            continue
-        if depth == 0 and (up[i : i + 4] == " OR " or up[i : i + 5] == " NOT "):
-            return None
+        if depth == 0:
+            m_and = re.match(r"(?i)\s+AND\s+", cond[i:])
+            if m_and:
+                parts.append("".join(buf))
+                buf = []
+                i += m_and.end()
+                continue
+            if re.match(r"(?i)\s+(OR|NOT)\s+", cond[i:]):
+                return None
         buf.append(ch)
         i += 1
     parts.append("".join(buf))
@@ -538,9 +536,24 @@ def _partition_pruning(spark, spec: MergeSpec):
             v = b.vals[bcols.index(p)].strip()
             if v not in (f"{s_}.{eq[p]}", eq[p]):
                 return None
-    sel = ", ".join(f"{s_}.{eq[p]} AS {p}" for p in pcols)
+    # pin ONE evaluation of the source: the touched-partition decision and
+    # the stage rewrite must see identical data, or a nondeterministic
+    # source could emit a partition the pruning view never read and the
+    # dynamic overwrite would replace it with only the new rows (the same
+    # one-evaluation invariant VersionedTable.upsert pins)
+    pin_view = "__merge_src_pin_" + re.sub(r"\W", "_", spec.target)
+    spark.sql(
+        f"SELECT {s_}.* FROM {spec.source_sql} AS {s_}"
+    ).localCheckpoint().createOrReplaceTempView(pin_view)
+    types = {
+        f.name: f.dataType.simpleString()
+        for f in spark.table(spec.target).schema.fields
+    }
+    sel = ", ".join(
+        f"CAST({s_}.{eq[p]} AS {types[p]}) AS {p}" for p in pcols
+    )
     touched = (
-        spark.sql(f"SELECT DISTINCT {sel} FROM {spec.source_sql} AS {s_}")
+        spark.sql(f"SELECT DISTINCT {sel} FROM {pin_view} AS {s_}")
         .limit(_MAX_TOUCHED_PARTITIONS + 1)
         .collect()
     )
@@ -556,7 +569,7 @@ def _partition_pruning(spark, spec: MergeSpec):
             lits.append(f"{p} = {lit}")
         disj.append("(" + " AND ".join(lits) + ")")
     pred = " OR ".join(disj) if disj else "false"
-    return pred, touched, pcols, names
+    return pred, touched, pcols, names, pin_view
 
 
 def run_merge(spark, stmt: str) -> None:
@@ -573,13 +586,13 @@ def run_merge(spark, stmt: str) -> None:
     spec = parse_merge(stmt)
     pruning = _partition_pruning(spark, spec)
     if pruning:
-        pred, touched, pcols, names = pruning
+        pred, touched, pcols, names, pin_view = pruning
         view = "__merge_pruned_" + re.sub(r"\W", "_", spec.target)
         spark.sql(
             f"CREATE OR REPLACE TEMPORARY VIEW {view} AS "
             f"SELECT * FROM {spec.target} WHERE {pred}"
         )
-        pspec = dataclasses.replace(spec, target=view)
+        pspec = dataclasses.replace(spec, target=view, source_sql=pin_view)
     else:
         pspec = spec
     if spec.matched or spec.nm_by_source:

@@ -217,7 +217,9 @@ _ARRAY_CONSTRUCT = re.compile(r"(?i)\bARRAY_CONSTRUCT\s*\(")
 #: variant_explode(x): key/value columns line up; Snowflake's INDEX is
 #: Spark's pos; SEQ/PATH/THIS have no twin and surface as ordinary
 #: unresolved-column errors naming the available (pos, key, value).
-_FLATTEN = re.compile(r"(?i)\bFLATTEN\s*\(\s*(?:input\s*=>\s*)?")
+#: ONLY the named-argument form rewrites — bare ``flatten(x)`` is Spark's
+#: own array-flattening builtin and must pass through untouched.
+_FLATTEN = re.compile(r"(?i)\bFLATTEN\s*\(\s*input\s*=>\s*")
 #: Snowflake SAMPLE clause -> Spark TABLESAMPLE. A bare number is percent
 #: in both dialects, but Spark's parser requires the PERCENT keyword;
 #: `(n ROWS)` carries over. BERNOULLI/ROW method names are Snowflake's
@@ -295,12 +297,36 @@ def _generic_type_spans(text: str) -> list[tuple[int, int]]:
 _SPLIT_TO_TABLE = re.compile(r"(?i)\bSPLIT_TO_TABLE\s*\(")
 
 
+def _split_args_top_level(inner: str) -> list[str]:
+    """Split a call's argument text on top-level commas (quote- and
+    paren-aware via the shared position scanner)."""
+    parts, buf, depth = [], [], 0
+    unq = set(_unquoted_positions(inner))
+    for i, ch in enumerate(inner):
+        if i in unq and ch == "(":
+            depth += 1
+        elif i in unq and ch == ")":
+            depth -= 1
+        if i in unq and ch == "," and depth == 0:
+            parts.append("".join(buf).strip())
+            buf = []
+            continue
+        buf.append(ch)
+    parts.append("".join(buf).strip())
+    return parts
+
+
 def _rewrite_split_to_table(text: str) -> str:
     """Snowflake ``SPLIT_TO_TABLE(x, d)`` (table function) -> Spark
-    ``posexplode(split(x, d))``: VALUE is Spark's ``col``, INDEX is
-    ``pos`` (the FLATTEN column convention); SEQ has no twin. The close
-    paren must become TWO (the rewrite nests split() inside posexplode),
-    so this walks to the matching unquoted ')' instead of regex-substituting."""
+    ``posexplode(split(x, <quoted d>))``: VALUE is Spark's ``col``, INDEX
+    is ``pos`` (the FLATTEN column convention); SEQ has no twin. Two
+    impedance fixes: the close paren must become TWO (the rewrite nests
+    split() inside posexplode), so this walks to the matching unquoted
+    ')' instead of regex-substituting; and Snowflake's delimiter is a
+    LITERAL string while Spark ``split`` takes a Java regex, so the
+    delimiter is wrapped in \\Q...\\E at runtime (any embedded ``\\E``
+    re-escaped first, the BPE-merge quoting idiom) — ``'.'``/``'|'``
+    split literally instead of per-character."""
     while True:
         unq = None
         m = None
@@ -321,11 +347,18 @@ def _rewrite_split_to_table(text: str) -> str:
         if depth:  # unbalanced — leave for Spark's parser to complain
             return text
         inner = text[m.end() : i - 1]
-        text = (
-            text[: m.start()]
-            + f"posexplode(split({inner}))"
-            + text[i:]
-        )
+        args = _split_args_top_level(inner)
+        if len(args) == 2:
+            x, d = args
+            quoted = (
+                "concat('\\\\Q', "
+                f"replace({d}, '\\\\E', '\\\\E\\\\\\\\E\\\\Q'), "
+                "'\\\\E')"
+            )
+            body = f"posexplode(split({x}, {quoted}))"
+        else:  # unexpected arity: leave the args as-is for Spark's error
+            body = f"posexplode(split({inner}))"
+        text = text[: m.start()] + body + text[i:]
 
 
 def _sub_colon_paths(text: str) -> str:

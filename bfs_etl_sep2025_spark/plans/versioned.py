@@ -201,7 +201,9 @@ class VersionedTable:
                     )
                 )
         if not parts:
-            return self.read(hi).limit(0).select(
+            # hi may be 0 (the valid empty pre-create range): version 1 is
+            # the earliest manifest that exists for the schema read
+            return self.read(max(hi, 1)).limit(0).select(
                 "*",
                 F.lit("insert").alias("_change_type"),
                 F.lit(0).cast("int").alias("_commit_version"),
@@ -677,10 +679,17 @@ class VersionedTable:
                 F.regexp_extract(
                     # input_file_name is a percent-ENCODED URI — decode it
                     # before the literal match, or any root containing a
-                    # URI-encodable character (space, #, ...) never
-                    # matches and the mutation silently no-ops
+                    # URI-encodable character (space, #, ...) never matches
+                    # and the mutation silently no-ops. url_decode has
+                    # application/x-www-form-urlencoded semantics ('+' ->
+                    # space), but a URI PATH keeps literal '+' unencoded —
+                    # pre-encode it so the decode round-trips '+' intact
                     F.substring_index(
-                        F.url_decode(F.col("_f")), self._data + "/", -1
+                        F.url_decode(
+                            F.replace(F.col("_f"), F.lit("+"), F.lit("%2B"))
+                        ),
+                        self._data + "/",
+                        -1,
                     ),
                     r"^(.*)/[^/]+$",
                     1,

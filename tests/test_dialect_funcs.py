@@ -340,7 +340,8 @@ _ARR_CODE = ("ARRAY_CONSTRUCT(1, 2)", "array(1, 2)")
 _FLAT_CODE = ("FLATTEN(input => v)", "variant_explode(v)")
 _S2T_CODE = (
     "SPLIT_TO_TABLE(upper(v), ',')",
-    "posexplode(split(upper(v), ','))",
+    "posexplode(split(upper(v), concat('\\\\Q', "
+    "replace(',', '\\\\E', '\\\\E\\\\\\\\E\\\\Q'), '\\\\E')))",
 )
 _PROTECTED = [
     "'IFF(a,b,c) and sysdate() and $v'",  # single-quoted literal
@@ -537,3 +538,34 @@ def test_split_to_table_translates_to_posexplode(spark):
     assert "SPLIT_TO_TABLE" in spark.sql("SELECT m FROM split_msg").first()["m"]
     spark.sql("DROP TABLE IF EXISTS split_t")
     spark.sql("DROP TABLE IF EXISTS split_msg")
+
+
+def test_split_to_table_delimiter_is_literal_not_regex(spark):
+    """Snowflake's SPLIT_TO_TABLE delimiter is a literal string; '.' must
+    split on dots, not behave as the match-anything regex."""
+    _run(
+        spark,
+        "CREATE OR REPLACE TABLE split_dot AS "
+        "SELECT f.pos, f.col AS part "
+        "FROM VALUES ('a.b.c') AS t(v), LATERAL SPLIT_TO_TABLE(t.v, '.') f",
+        task_id="splitdot",
+    )
+    rows = {
+        (r["pos"], r["part"])
+        for r in spark.sql("SELECT * FROM split_dot").collect()
+    }
+    assert rows == {(0, "a"), (1, "b"), (2, "c")}
+    spark.sql("DROP TABLE IF EXISTS split_dot")
+
+
+def test_bare_flatten_is_sparks_builtin(spark):
+    """flatten(array_of_arrays) is a real Spark builtin — only the
+    Snowflake named-argument form FLATTEN(input => x) rewrites."""
+    _run(
+        spark,
+        "CREATE OR REPLACE TABLE flat_builtin AS "
+        "SELECT flatten(array(array(1, 2), array(3))) AS a",
+        task_id="flatbuiltin",
+    )
+    assert spark.sql("SELECT a FROM flat_builtin").first()["a"] == [1, 2, 3]
+    spark.sql("DROP TABLE IF EXISTS flat_builtin")

@@ -661,3 +661,55 @@ def test_partitioned_merge_falls_back_when_unsafe(spark):
     got = {(r["id"], r["v"], r["dt"]) for r in spark.table("pm_fb").collect()}
     assert got == {(1, "moved", "d9")}
     spark.sql("DROP TABLE IF EXISTS pm_fb")
+
+
+def test_partitioned_merge_survives_source_typed_partition_values(spark):
+    """A source supplying the partition column in a DIFFERENT type (INT vs
+    the target's STRING) must not trip the emptied-partition truncation
+    into deleting freshly merged rows: touched values are collected CAST
+    to the target's partition type."""
+    spark.sql("DROP TABLE IF EXISTS pm_ty")
+    spark.sql(
+        "CREATE TABLE pm_ty (id INT, v STRING, dt STRING) "
+        "USING parquet PARTITIONED BY (dt)"
+    )
+    spark.sql("INSERT INTO pm_ty VALUES (1, 'a', '7'), (2, 'b', '8')")
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY VIEW pm_ty_src AS "
+        "SELECT * FROM VALUES (1, 'A', 7) AS t(id, v, dt)"  # dt is INT
+    )
+    run_merge(
+        spark,
+        "MERGE INTO pm_ty AS t USING pm_ty_src AS s "
+        "ON t.id = s.id AND t.dt = s.dt "
+        "WHEN MATCHED THEN UPDATE SET v = s.v",
+    )
+    got = {(r["id"], r["v"], r["dt"]) for r in spark.table("pm_ty").collect()}
+    assert got == {(1, "A", "7"), (2, "b", "8")}
+    spark.sql("DROP TABLE IF EXISTS pm_ty")
+
+
+def test_partitioned_merge_prunes_multiline_on_clause(spark):
+    """Pruning must engage on newline/multi-space-formatted ON clauses —
+    the shapes SqlTask pipelines actually feed it."""
+    spark.sql("DROP TABLE IF EXISTS pm_ml")
+    spark.sql(
+        "CREATE TABLE pm_ml (id INT, v STRING, dt STRING) "
+        "USING parquet PARTITIONED BY (dt)"
+    )
+    spark.sql("INSERT INTO pm_ml VALUES (1, 'a', 'd1'), (2, 'b', 'd2')")
+    before_d2 = _part_files(spark, "pm_ml", "dt=d2")
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY VIEW pm_ml_src AS "
+        "SELECT * FROM VALUES (1, 'A', 'd1') AS t(id, v, dt)"
+    )
+    run_merge(
+        spark,
+        "MERGE INTO pm_ml AS t USING pm_ml_src AS s "
+        "ON t.id = s.id\n   AND\n   t.dt = s.dt "
+        "WHEN MATCHED THEN UPDATE SET v = s.v",
+    )
+    got = {(r["id"], r["v"], r["dt"]) for r in spark.table("pm_ml").collect()}
+    assert got == {(1, "A", "d1"), (2, "b", "d2")}
+    assert _part_files(spark, "pm_ml", "dt=d2") == before_d2  # pruned
+    spark.sql("DROP TABLE IF EXISTS pm_ml")

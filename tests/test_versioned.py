@@ -877,3 +877,25 @@ def test_changes_feed_aligns_schema_evolution(spark, tmp_path):
     }
     assert (1, "insert", 1, None) in rows
     assert (2, "insert", 2, 9) in rows
+
+
+def test_changes_empty_range_at_version_zero(spark, tmp_path):
+    """changes(0, 0) is a valid empty range (its own error message says
+    the committed range starts at 0) and must return an empty feed, not
+    chase a nonexistent v00000 manifest."""
+    vt = VersionedTable(spark, str(tmp_path / "cdf0"))
+    vt.create(spark.createDataFrame([(1,)], "id INT"))
+    df = vt.changes(0, 0)
+    assert df.count() == 0
+    assert "_change_type" in df.columns
+
+
+def test_mutations_work_under_plus_sign_root(spark, tmp_path):
+    """A literal '+' stays unencoded in a URI path but url_decode would
+    turn it into a space — the probe must round-trip it (the same
+    silent-no-op class as the space-root bug, shifted one character)."""
+    root = tmp_path / "a+b" / "t"
+    vt = VersionedTable(spark, str(root))
+    vt.create(spark.createDataFrame([(1, "a"), (2, "b")], "id INT, v STRING"))
+    vt.delete_where("id = 1")
+    assert _rows(vt.read()) == [(2, "b")]
