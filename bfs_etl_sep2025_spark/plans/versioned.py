@@ -62,6 +62,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -436,6 +437,40 @@ class VersionedTable:
                 constraints=eff,
             )
 
+    def clone(self, dst_root: str) -> "VersionedTable":
+        """Zero-copy shallow clone (Snowflake ``CREATE TABLE ... CLONE`` /
+        Delta SHALLOW CLONE): the destination's first manifest references
+        the source's CURRENT data dirs by ABSOLUTE path — no data copies.
+        Subsequent mutations on the clone are copy-on-write: they write new
+        dirs under the clone's own root and keep referencing untouched
+        source dirs (the full-path probe and footer-stats pruning treat
+        absolute entries like any other dir); ``optimize()`` materializes
+        the clone fully. Caveat shared with every shallow-clone design:
+        ``vacuum()`` on the SOURCE can reclaim dirs a clone still
+        references — clone lineage is not tracked across roots, so either
+        vacuum only tables without live clones or ``optimize()`` the clone
+        first (the same rule Delta documents)."""
+        src_v = self.current_version()
+        src_m = self._manifest(src_v)
+        dst = VersionedTable(self.spark, dst_root)
+        if dst.exists():
+            raise ValueError(f"clone destination {dst.root} already exists")
+        os.makedirs(dst._data, exist_ok=True)
+        abs_dirs = [
+            os.path.normpath(os.path.join(self._data, d))
+            for d in src_m["dirs"]
+        ]
+        with table_write_lock(dst.root):
+            dst._commit(
+                1,
+                0,
+                abs_dirs,
+                f"clone@v{src_v}",
+                schema=src_m.get("schema"),
+                constraints=src_m.get("constraints"),
+            )
+        return dst
+
     def rollback(self, to_version: int) -> int:
         """Re-commit an old snapshot's dir list as the new head (history
         stays linear and append-only, like RESTORE in lakehouse formats)."""
@@ -668,36 +703,45 @@ class VersionedTable:
         from pyspark.sql import functions as F
 
         df = self._read_dirs(dirs, schema_json)
-        # manifest dirs may be nested (optimize() writes one subdir per
-        # range bucket), so recover the dir as the file's path RELATIVE to
-        # the data root (literal split — scheme- and regex-safe), not by
-        # pattern-matching one path component.
+        # Recover each matching file's ABSOLUTE directory and match it to
+        # manifest dirs by full path (not by stripping this table's data
+        # root): manifest entries may be nested (optimize() range buckets)
+        # or ABSOLUTE (zero-copy clones reference the source table's dirs),
+        # and full-path matching covers all three shapes with one rule.
         hit = (
             df.filter(F.expr(condition))
             .select(F.input_file_name().alias("_f"))
             .select(
-                F.regexp_extract(
+                F.regexp_replace(
                     # input_file_name is a percent-ENCODED URI — decode it
-                    # before the literal match, or any root containing a
-                    # URI-encodable character (space, #, ...) never matches
-                    # and the mutation silently no-ops. url_decode has
+                    # before comparing against local paths. url_decode has
                     # application/x-www-form-urlencoded semantics ('+' ->
                     # space), but a URI PATH keeps literal '+' unencoded —
                     # pre-encode it so the decode round-trips '+' intact
-                    F.substring_index(
-                        F.url_decode(
-                            F.replace(F.col("_f"), F.lit("+"), F.lit("%2B"))
-                        ),
-                        self._data + "/",
-                        -1,
+                    F.url_decode(
+                        F.replace(F.col("_f"), F.lit("+"), F.lit("%2B"))
                     ),
-                    r"^(.*)/[^/]+$",
-                    1,
+                    r"/[^/]+$",
+                    "",
                 ).alias("_d")
             )
             .distinct()
         )
-        return {r["_d"] for r in hit.collect()}
+        # strip the local-file scheme (file:///x -> /x); non-local schemes
+        # would not round-trip through os.path anyway and simply no-match,
+        # which the callers treat as "rewrite conservatively"
+        hits = {
+            re.sub(r"^file:/{0,2}", "/", r["_d"]).replace("//", "/", 1)
+            if r["_d"].startswith("file:")
+            else r["_d"]
+            for r in hit.collect()
+        }
+        out = set()
+        for d in dirs:
+            a = os.path.normpath(os.path.join(self._data, d))
+            if any(h == a or h.startswith(a + "/") for h in hits):
+                out.add(d)
+        return out
 
     def cdc_sink(
         self,

@@ -899,3 +899,51 @@ def test_mutations_work_under_plus_sign_root(spark, tmp_path):
     vt.create(spark.createDataFrame([(1, "a"), (2, "b")], "id INT, v STRING"))
     vt.delete_where("id = 1")
     assert _rows(vt.read()) == [(2, "b")]
+
+
+def test_shallow_clone_is_zero_copy_and_cow(spark, tmp_path):
+    """clone() writes NO data files (manifest-only, absolute refs);
+    mutations on the clone are copy-on-write — the source is untouched,
+    shared untouched dirs stay referenced, and both tables keep their own
+    histories. Constraints and schema carry over."""
+    src = VersionedTable(spark, str(tmp_path / "src"))
+    src.create(
+        spark.createDataFrame(
+            [(1, "a"), (2, "b")], "id INT, v STRING"
+        ),
+        constraints=["id >= 0"],
+    )
+    src.append(spark.createDataFrame([(3, "c")], "id INT, v STRING"))
+
+    dst = src.clone(str(tmp_path / "dst"))
+    assert os.listdir(dst._data) == []  # zero data copied
+    assert _rows(dst.read()) == [(1, "a"), (2, "b"), (3, "c")]
+    assert dst.detail()["constraints"] == ["id >= 0"]
+
+    # COW mutation on the clone: source unchanged, clone diverges
+    dst.upsert(
+        spark.createDataFrame([(2, "B"), (4, "d")], "id INT, v STRING"),
+        keys=["id"],
+    )
+    assert _rows(dst.read()) == [(1, "a"), (2, "B"), (3, "c"), (4, "d")]
+    assert _rows(src.read()) == [(1, "a"), (2, "b"), (3, "c")]
+    # the clone's constraint still gates
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="CHECK constraint violated"):
+        dst.append(spark.createDataFrame([(-1, "x")], "id INT, v STRING"))
+
+    # delete on the clone prunes against absolute source dirs correctly
+    dst.delete_where("id = 3")
+    assert _rows(dst.read()) == [(1, "a"), (2, "B"), (4, "d")]
+    assert _rows(src.read()) == [(1, "a"), (2, "b"), (3, "c")]
+
+    # clone of a clone, and refusing to clobber an existing table
+    with _pytest.raises(ValueError, match="already exists"):
+        src.clone(str(tmp_path / "dst"))
+
+    # the clone's own vacuum never reclaims source data
+    for i in range(3):
+        dst.overwrite(spark.createDataFrame([(i, "z")], "id INT, v STRING"))
+    dst.vacuum(keep_last=2)
+    assert _rows(src.read()) == [(1, "a"), (2, "b"), (3, "c")]
