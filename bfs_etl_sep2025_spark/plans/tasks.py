@@ -193,10 +193,12 @@ _CREATE_OR_REPLACE = re.compile(
 )
 #: CREATE TABLE ... CLONE <src> (Snowflake zero-copy clone). The shim
 #: executes it as CTAS — semantically a full independent copy, which is
-#: exactly what a clone reads as; zero-copy is a storage optimization the
-#: plain-parquet catalog does not implement. Time-travel clones
-#: (CLONE ... AT/BEFORE) refuse loudly (the catalog keeps no history;
-#: VersionedTable is the engine's time-travel surface).
+#: exactly what a clone reads as; zero-copy for catalog tables is a
+#: storage optimization the plain-parquet catalog does not implement
+#: (``plans.versioned.VersionedTable.clone`` provides the real manifest-
+#: level zero-copy COW clone). Time-travel clones (CLONE ... AT/BEFORE)
+#: refuse loudly (the catalog keeps no history; VersionedTable is the
+#: engine's time-travel surface).
 _CLONE = re.compile(
     r"(?i)^\s*(?P<head>CREATE\s+(?:OR\s+REPLACE\s+)?TABLE\s+)"
     r"(?P<name>[\w.`\"]+)\s+CLONE\s+(?P<src>[\w.`\"]+)"
