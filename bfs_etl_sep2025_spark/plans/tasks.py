@@ -228,6 +228,14 @@ _FLATTEN = re.compile(r"(?i)\bFLATTEN\s*\(\s*input\s*=>\s*")
 #: row-wise sampling, which is Spark TABLESAMPLE's only method anyway.
 #: The numeric-only operand requirement keeps a scalar function named
 #: sample(col) out of scope.
+#: Snowflake row generator -> Spark range(): TABLE(GENERATOR(ROWCOUNT =>
+#: n)) produces n rows; the canonical companion seq4()/seq8() sequence
+#: functions map to range()'s id column. TIMELIMIT-driven generators have
+#: no Spark twin and pass through to a loud parse error.
+_GENERATOR = re.compile(
+    r"(?i)\bTABLE\s*\(\s*GENERATOR\s*\(\s*ROWCOUNT\s*=>\s*(\d+)\s*\)\s*\)"
+)
+_SEQ_FN = re.compile(r"(?i)\bSEQ[48]\s*\(\s*\)")
 _SAMPLE_ROWS = re.compile(
     r"(?i)\b(?:TABLE)?SAMPLE\s+(?:BERNOULLI\s*|ROW\s*)?"
     r"\(\s*(\d+)\s+ROWS\s*\)"
@@ -509,6 +517,8 @@ class SqlTask(Task):
         out = sub_unquoted(_ARRAY_CONSTRUCT, "array(", out)
         out = sub_unquoted(_FLATTEN, "variant_explode(", out)
         out = _rewrite_split_to_table(out)
+        out = sub_unquoted(_GENERATOR, r"range(\1)", out)
+        out = sub_unquoted(_SEQ_FN, "id", out)
         out = sub_unquoted(_SAMPLE_ROWS, r"TABLESAMPLE (\1 ROWS)", out)
         out = sub_unquoted(_SAMPLE_PCT, r"TABLESAMPLE (\1 PERCENT)", out)
         # Snowflake session variables: $name refs -> bare names (quote-aware

@@ -569,3 +569,21 @@ def test_bare_flatten_is_sparks_builtin(spark):
     )
     assert spark.sql("SELECT a FROM flat_builtin").first()["a"] == [1, 2, 3]
     spark.sql("DROP TABLE IF EXISTS flat_builtin")
+
+
+def test_generator_rowcount_translates_to_range(spark):
+    """TABLE(GENERATOR(ROWCOUNT => n)) runs as range(n); seq4()/seq8()
+    map to range's id column — the canonical Snowflake row-generator
+    pattern works verbatim."""
+    _run(
+        spark,
+        "CREATE OR REPLACE TABLE gen_t AS "
+        "SELECT seq4() AS n, seq8() * 2 AS n2 "
+        "FROM TABLE(GENERATOR(ROWCOUNT => 5))",
+        task_id="generator",
+    )
+    rows = sorted(
+        (r["n"], r["n2"]) for r in spark.sql("SELECT * FROM gen_t").collect()
+    )
+    assert rows == [(0, 0), (1, 2), (2, 4), (3, 6), (4, 8)]
+    spark.sql("DROP TABLE IF EXISTS gen_t")
