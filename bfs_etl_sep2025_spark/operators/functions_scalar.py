@@ -783,3 +783,69 @@ def fn_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
             "coalesce(CAST(try_variant_get(v, '$.prio', 'boolean') AS INT), -1)"
         ).alias("vbadcast"),
     ).orderBy("o_orderkey")
+
+
+@query(
+    "fn_try_suite",
+    family="functions",
+    oracle="""
+        WITH r AS (
+          SELECT event_type,
+                 CASE WHEN value - floor(value) = 0 THEN NULL
+                      ELSE value END AS frac_div,
+                 TRY_CAST(event_type AS INT) AS et_int,
+                 TRY_CAST(CAST(CAST(floor(value) AS INT) AS VARCHAR) AS INT)
+                   AS v_int
+          FROM events
+        )
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN frac_div IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_div_null,
+               CAST(sum(CASE WHEN et_int IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_cast_null,
+               CAST(coalesce(sum(v_int), 0) AS BIGINT) AS v_int_sum
+        FROM r GROUP BY event_type ORDER BY event_type
+    """,
+)
+def fn_try_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI ``try_*`` error-suppression surface: ``try_divide`` (NULL on a
+    zero divisor, where the fractional part of value stands in for a
+    sometimes-zero denominator), ``try_cast`` on non-numeric strings
+    (every event_type) and on round-tripped numeric strings (floored
+    explicitly first: Spark's double->int cast truncates where DuckDB's
+    rounds — the cross-engine dtype rule) — the NULL
+    outcomes aggregated per type so the oracle checks the whole NULL
+    domain, not a sampled row. DuckDB has no try_divide; the oracle
+    expresses the same NULL-on-zero contract with a CASE, which is
+    precisely the rewrite a migrating user runs in reverse.
+
+    Scale: map-only expression work folded into one conditional-aggregate
+    scan — the try_* family is codegen'd like any cast, with no
+    exception-handling slow path."""
+    e = load(spark, sf_dir, "events")
+    frac = F.expr("try_divide(1.0, value - floor(value))")
+    r = e.select(
+        "event_type",
+        frac.alias("frac_div"),
+        F.expr("try_cast(event_type AS INT)").alias("et_int"),
+        F.expr(
+            "try_cast(CAST(CAST(floor(value) AS INT) AS STRING) AS INT)"
+        ).alias("v_int"),
+    )
+    return (
+        r.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("frac_div").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_div_null"),
+            F.sum(F.when(F.col("et_int").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_cast_null"),
+            F.coalesce(F.sum("v_int"), F.lit(0))
+            .cast("bigint")
+            .alias("v_int_sum"),
+        )
+        .orderBy("event_type")
+    )

@@ -96,6 +96,7 @@ _PRIORITY: tuple[str, ...] = (
     "events_activity_similarity",
     "text_repetition_dup_bigrams",
     "graph_link_prediction_jaccard",
+    "fn_try_suite",
     # round-2 cohort: oldest driver greens (4 rounds stale)
     "q1_pricing_summary",
     "q2_min_cost_supplier",
