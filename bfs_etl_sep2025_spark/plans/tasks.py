@@ -371,6 +371,57 @@ def _rewrite_split_to_table(text: str) -> str:
         text = text[: m.start()] + body + text[i:]
 
 
+_RATIO_TO_REPORT = re.compile(r"(?i)\bRATIO_TO_REPORT\s*\(")
+_OVER_HEAD = re.compile(r"(?i)^\s*OVER\s*\(")
+
+
+def _walk_to_close(text: str, start: int, unq: set[int]) -> int | None:
+    """Index just past the ')' matching the '(' that precedes ``start``."""
+    depth, i = 1, start
+    while i < len(text) and depth:
+        if i in unq and text[i] == "(":
+            depth += 1
+        elif i in unq and text[i] == ")":
+            depth -= 1
+        i += 1
+    return None if depth else i
+
+
+def _rewrite_ratio_to_report(text: str) -> str:
+    """Snowflake ``RATIO_TO_REPORT(x) OVER (w)`` -> ``((x) / SUM(x) OVER
+    (w))`` — the share-of-window idiom Spark has no named function for.
+    The argument appears twice; Catalyst's common-subexpression
+    elimination shares the evaluation. A call without an OVER clause is
+    left untouched (Snowflake requires the clause; Spark's parser then
+    reports the real error)."""
+    while True:
+        unq = None
+        m = None
+        for cand in _RATIO_TO_REPORT.finditer(text):
+            unq = set(_unquoted_positions(text)) if unq is None else unq
+            if cand.start() in unq:
+                m = cand
+                break
+        if m is None:
+            return text
+        close = _walk_to_close(text, m.end(), unq)
+        if close is None:
+            return text
+        expr = text[m.end() : close - 1]
+        m_over = _OVER_HEAD.match(text[close:])
+        if not m_over:
+            return text
+        over_close = _walk_to_close(text, close + m_over.end(), unq)
+        if over_close is None:
+            return text
+        win = text[close + m_over.end() : over_close - 1]
+        text = (
+            text[: m.start()]
+            + f"(({expr}) / SUM({expr}) OVER ({win}))"
+            + text[over_close:]
+        )
+
+
 def _sub_colon_paths(text: str) -> str:
     spans = _generic_type_spans(text)
 
@@ -517,6 +568,7 @@ class SqlTask(Task):
         out = sub_unquoted(_ARRAY_CONSTRUCT, "array(", out)
         out = sub_unquoted(_FLATTEN, "variant_explode(", out)
         out = _rewrite_split_to_table(out)
+        out = _rewrite_ratio_to_report(out)
         out = sub_unquoted(_GENERATOR, r"range(\1)", out)
         out = sub_unquoted(_SEQ_FN, "id", out)
         out = sub_unquoted(_SAMPLE_ROWS, r"TABLESAMPLE (\1 ROWS)", out)

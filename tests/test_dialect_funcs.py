@@ -587,3 +587,27 @@ def test_generator_rowcount_translates_to_range(spark):
     )
     assert rows == [(0, 0), (1, 2), (2, 4), (3, 6), (4, 8)]
     spark.sql("DROP TABLE IF EXISTS gen_t")
+
+
+def test_ratio_to_report_translates_to_window_share(spark):
+    """RATIO_TO_REPORT(x) OVER (PARTITION BY g) runs as x / SUM(x) OVER
+    (...); nested parens in the argument survive, a quoted spelling stays
+    data, and a call without OVER is left for Spark's own error."""
+    _run(
+        spark,
+        "CREATE OR REPLACE TABLE rtr_t AS "
+        "SELECT g, v, RATIO_TO_REPORT(v * (1 + 0)) OVER (PARTITION BY g) AS share, "
+        "'RATIO_TO_REPORT(v)' AS msg "
+        "FROM VALUES ('a', 1.0), ('a', 3.0), ('b', 2.0) AS t(g, v)",
+        task_id="rtr",
+    )
+    rows = {
+        (r["g"], r["v"], r["share"], r["msg"])
+        for r in spark.sql("SELECT * FROM rtr_t").collect()
+    }
+    assert rows == {
+        ("a", 1.0, 0.25, "RATIO_TO_REPORT(v)"),
+        ("a", 3.0, 0.75, "RATIO_TO_REPORT(v)"),
+        ("b", 2.0, 1.0, "RATIO_TO_REPORT(v)"),
+    }
+    spark.sql("DROP TABLE IF EXISTS rtr_t")
