@@ -50,16 +50,47 @@ def _explain_simple(df: DataFrame) -> str:
     return df._jdf.queryExecution().explainString(mode)
 
 
-#: the condition segment of a physical nested-loop join line:
-#: ``...NestedLoopJoin BuildRight, Inner, (u#1 < v#2)``. The build side and
-#: join type are stripped so heavy tokens are matched ONLY against the
-#: join's bound condition — not against output-column lists some Spark
-#: versions print on the same line (ADVICE r5).
-_NLJ_CONDITION = re.compile(
+#: head of a physical nested-loop join line up to (but not including) the
+#: optional parenthesized condition: build side, then the join type —
+#: which may itself carry parens (``ExistenceJoin(exists#407)``), so the
+#: condition CANNOT be found as "first '(' on the line".
+_NLJ_HEAD = re.compile(
     r"NestedLoopJoin\s+Build(?:Left|Right)"  # build side
-    r"(?:,\s*\w+)?"  # join type (Inner, Cross, LeftSemi, ...)
-    r",\s*(?P<cond>.*)$"
+    r"(?:,\s*(?:ExistenceJoin\([^)]*\)|\w+))?"  # join type
 )
+
+
+def _nlj_condition(line: str) -> str | None:
+    """Extract the BOUND CONDITION of a nested-loop join plan line, or None
+    when the join is condition-less.
+
+    ``...NestedLoopJoin BuildRight, Inner, (u#1 < v#2)`` -> ``(u#1 < v#2)``.
+    The condition is the balanced-paren group immediately following the
+    build-side/join-type head — a greedy ``.*$`` capture would also include
+    any output-column list some Spark versions print after the condition on
+    the same line, and would mis-parse a condition-less ``, Inner`` tail as
+    a condition (ADVICE r5/r6). The balanced walk returns exactly the
+    condition expression and nothing after it."""
+    m = _NLJ_HEAD.search(line)
+    if m is None:
+        return None
+    rest = line[m.end():]
+    # the condition, if any, follows as ", (" — anything else (end of line,
+    # an output list without a leading comma-paren) means no bound condition
+    cm = re.match(r",\s*\(", rest)
+    if cm is None:
+        return None
+    start = cm.end() - 1
+    depth = 0
+    for i in range(start, len(rest)):
+        c = rest[i]
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+            if depth == 0:
+                return rest[start : i + 1]
+    return rest[start:]  # unbalanced (truncated plan line): keep the tail
 
 
 def assert_no_join_pushdown(
@@ -75,10 +106,9 @@ def assert_no_join_pushdown(
     for line in plan.splitlines():
         if "NestedLoopJoin" not in line:
             continue
-        m = _NLJ_CONDITION.search(line)
-        if m is None:  # no bound condition printed -> nothing pushed
+        cond = _nlj_condition(line)
+        if cond is None:  # no bound condition printed -> nothing pushed
             continue
-        cond = m.group("cond")
         for tok in heavy_tokens:
             if tok in cond:
                 raise AssertionError(
