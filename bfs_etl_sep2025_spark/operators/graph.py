@@ -145,27 +145,28 @@ def _edges_bucket_join(occ: DataFrame) -> DataFrame:
     )
 
 
-#: one edge DataFrame per (SparkContext, sf_dir): four queries (degree
-#: distribution, triangles, link prediction, recursive CTE) each call
-#: ``_edges`` independently — without the memo every call re-cached masks
-#: and the edge list, accumulating unbounded cache entries over a long
-#: driver session (ADVICE r4). The memo holds only the small materialized
-#: edge list; intermediates (mask tables) are unpersisted after the one
-#: eager build. Entries from PREVIOUS sessions (stale applicationId) are
-#: evicted on access, concurrent first callers are races resolved by
-#: ``setdefault`` (the loser unpersists its build), and
-#: :func:`clear_edge_memo` lets a long-lived driver drop everything between
-#: fixture-dir generations (ADVICE r5).
-_EDGE_MEMO: dict[tuple[str, str], DataFrame] = {}
+#: one cached DataFrame per (SparkContext, sf_dir, tag): the edge list plus
+#: the per-query mask tables (symmetric adjacency, higher-neighbor
+#: adjacency). Every graph query calls these builders independently —
+#: without the memo each call re-cached its masks/edges, accumulating
+#: unbounded cache entries over a long driver session (ADVICE r4 for the
+#: edge list, ADVICE r6 for the jaccard masks — the same leak class).
+#: Entries from PREVIOUS sessions (stale applicationId) are evicted on
+#: access, concurrent first callers are races resolved by ``setdefault``
+#: (the loser unpersists its build), and :func:`clear_edge_memo` lets a
+#: long-lived driver drop everything between fixture-dir generations
+#: (ADVICE r5).
+_DF_MEMO: dict[tuple[str, str, str], DataFrame] = {}
 _EDGE_LOCK = threading.Lock()
 
 
 def clear_edge_memo() -> None:
-    """Unpersist and forget every memoized edge list — call after a fixture
-    dir is regenerated in-process, or between sweeps over many sf_dirs."""
+    """Unpersist and forget every memoized graph DataFrame (edge lists AND
+    mask tables) — call after a fixture dir is regenerated in-process, or
+    between sweeps over many sf_dirs."""
     with _EDGE_LOCK:
-        entries = list(_EDGE_MEMO.values())
-        _EDGE_MEMO.clear()
+        entries = list(_DF_MEMO.values())
+        _DF_MEMO.clear()
     for df in entries:
         try:
             df.unpersist()
@@ -173,24 +174,32 @@ def clear_edge_memo() -> None:
             pass
 
 
-def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _memoized(spark: SparkSession, sf_dir: str, tag: str, build) -> DataFrame:
+    """Session-scoped cache registry: return the memoized DataFrame for
+    ``(applicationId, sf_dir, tag)``, building (and caching) it once."""
     app = spark.sparkContext.applicationId
-    key = (app, sf_dir)
+    key = (app, sf_dir, tag)
     with _EDGE_LOCK:
         # entries keyed by a dead session's applicationId reference plans
         # that can never run again — drop them instead of pinning them for
         # the process lifetime
-        for stale in [k for k in _EDGE_MEMO if k[0] != app]:
-            del _EDGE_MEMO[stale]
-        memo = _EDGE_MEMO.get(key)
+        for stale in [k for k in _DF_MEMO if k[0] != app]:
+            del _DF_MEMO[stale]
+        memo = _DF_MEMO.get(key)
     if memo is not None:
         return memo
-    e = _edges_build(spark, sf_dir)
+    df = build()
     with _EDGE_LOCK:
-        winner = _EDGE_MEMO.setdefault(key, e)
-    if winner is not e:  # lost a concurrent build race: discard ours
-        e.unpersist()
+        winner = _DF_MEMO.setdefault(key, df)
+    if winner is not df:  # lost a concurrent build race: discard ours
+        df.unpersist()
     return winner
+
+
+def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _memoized(
+        spark, sf_dir, "edges", lambda: _edges_build(spark, sf_dir)
+    )
 
 
 def _edges_build(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -342,12 +351,14 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     if n_words > _MAX_ADJ_WORDS:
         tri = _tri_wedge_count(e)
     else:
-        tri = _tri_bitmap_count(e, idx, n_words)
+        tri = _tri_bitmap_count(spark, sf_dir, e, idx, n_words)
     n_edges = e.agg(F.count(F.lit(1)).alias("n_edges"))
     return F.broadcast(n_edges).join(tri).select("n_edges", "n_triangles")
 
 
-def _tri_bitmap_count(e: DataFrame, idx: DataFrame, n_words: int) -> DataFrame:
+def _tri_bitmap_count(
+    spark: SparkSession, sf_dir: str, e: DataFrame, idx: DataFrame, n_words: int
+) -> DataFrame:
     """Dense-regime triangle core: higher-neighbor adjacency bitmaps +
     per-edge broadcast popcounts (see :func:`graph_triangle_count`)."""
     ei = (
@@ -369,11 +380,16 @@ def _tri_bitmap_count(e: DataFrame, idx: DataFrame, n_words: int) -> DataFrame:
         )
         .select("uidx", "vidx")
     )
-    # cached: referenced from BOTH sides of the per-edge join below
-    adj_hi = (
-        ei.groupBy("uidx")
+    # cached (referenced from BOTH sides of the per-edge join below) and
+    # memoized so repeated calls reuse ONE entry instead of pinning a new
+    # cache per call (the _EDGE_MEMO leak class, ADVICE r6)
+    adj_hi = _memoized(
+        spark,
+        sf_dir,
+        "tri_adj_hi",
+        lambda: ei.groupBy("uidx")
         .agg(F.expr(_mask_expr("vidx", n_words)).alias("mask"))
-        .cache()
+        .cache(),
     )
     mu = adj_hi.select(F.col("uidx").alias("ku"), F.col("mask").alias("mu"))
     mv = adj_hi.select(F.col("uidx").alias("kv"), F.col("mask").alias("mv"))
@@ -496,7 +512,49 @@ def graph_link_prediction_cn(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_words = max(1, (n_nodes + 63) // 64)
     if n_words > _MAX_ADJ_WORDS:
         return _linkpred_wedge(e, adj)
-    return _linkpred_bitmap(adj, idx, n_words)
+    return _linkpred_bitmap(spark, sf_dir, adj, idx, n_words)
+
+
+def _adj_mask_table(
+    spark: SparkSession,
+    sf_dir: str,
+    adj: DataFrame,
+    idx: DataFrame,
+    n_words: int,
+) -> DataFrame:
+    """Per-node SYMMETRIC adjacency bitmaps ``(s, mask, deg)`` with degree
+    as the self-popcount — shared by linkpred_cn and linkpred_jaccard and
+    memoized per (session, sf_dir) so repeated calls reuse one cache entry
+    (ADVICE r6: each call used to pin a fresh never-unpersisted cache)."""
+
+    def build() -> DataFrame:
+        ai = adj.join(
+            F.broadcast(
+                idx.select(
+                    F.col("node").alias("t"), F.col("nidx").alias("tidx")
+                )
+            ),
+            "t",
+        )
+        # degree computed ONCE per node here (a V-sized pass over the
+        # masks), NOT per candidate pair — the naive per-pair self-popcount
+        # would re-evaluate the n_words-term chain V^2/2 times for a value
+        # that only depends on one side (measured 97 s -> the per-node form
+        # at sf1)
+        return (
+            ai.groupBy("s")
+            .agg(F.expr(_mask_expr("tidx", n_words)).alias("mask"))
+            .withColumn(
+                "deg",
+                F.expr(
+                    f"CAST(({_popcount_sum('mask', 'mask', n_words)}) "
+                    "AS BIGINT)"
+                ),
+            )
+            .cache()
+        )
+
+    return _memoized(spark, sf_dir, "adj_masks", build)
 
 
 def _linkpred_wedge(e: DataFrame, adj: DataFrame) -> DataFrame:
@@ -524,21 +582,17 @@ def _linkpred_wedge(e: DataFrame, adj: DataFrame) -> DataFrame:
     )
 
 
-def _linkpred_bitmap(adj: DataFrame, idx: DataFrame, n_words: int) -> DataFrame:
+def _linkpred_bitmap(
+    spark: SparkSession,
+    sf_dir: str,
+    adj: DataFrame,
+    idx: DataFrame,
+    n_words: int,
+) -> DataFrame:
     """Dense-regime common-neighbors core: symmetric adjacency bitmaps +
     broadcast all-pairs popcounts (see :func:`graph_link_prediction_cn`)."""
-    ai = adj.join(
-        F.broadcast(
-            idx.select(F.col("node").alias("t"), F.col("nidx").alias("tidx"))
-        ),
-        "t",
-    )
-    # cached: referenced from BOTH sides of the all-pairs join below
-    masks = (
-        ai.groupBy("s")
-        .agg(F.expr(_mask_expr("tidx", n_words)).alias("mask"))
-        .cache()
-    )
+    # memoized + cached: referenced from BOTH sides of the all-pairs join
+    masks = _adj_mask_table(spark, sf_dir, adj, idx, n_words)
     a = masks.select(F.col("s").alias("u"), F.col("mask").alias("mu"))
     b = masks.select(
         F.col("s").alias("v"),
@@ -824,7 +878,7 @@ def graph_link_prediction_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame
     n_words = max(1, (n_nodes + 63) // 64)
     if n_words > _MAX_ADJ_WORDS:
         return _jaccard_rank(_jaccard_wedge(e, adj))
-    return _jaccard_rank(_jaccard_bitmap(adj, idx, n_words))
+    return _jaccard_bitmap(spark, sf_dir, adj, idx, n_words)
 
 
 def _jaccard_rank(scored: DataFrame) -> DataFrame:
@@ -878,42 +932,67 @@ def _jaccard_wedge(e: DataFrame, adj: DataFrame) -> DataFrame:
     )
 
 
-def _jaccard_bitmap(adj: DataFrame, idx: DataFrame, n_words: int) -> DataFrame:
-    """Dense-regime pairs: `_linkpred_bitmap`'s broadcast popcount pass,
-    with degrees read off the SAME masks (self-popcount) — no extra join
-    for the Jaccard denominator."""
-    ai = adj.join(
-        F.broadcast(
-            idx.select(F.col("node").alias("t"), F.col("nidx").alias("tidx"))
-        ),
-        "t",
+def _jaccard_bitmap(
+    spark: SparkSession,
+    sf_dir: str,
+    adj: DataFrame,
+    idx: DataFrame,
+    n_words: int,
+) -> DataFrame:
+    """Dense-regime Jaccard top-20 with EXEMPLAR COLLAPSE (VERDICT r6
+    item 5): nodes with identical adjacency masks are collapsed to one
+    exemplar + member count BEFORE pair generation, and only the group
+    pairs that can reach the global top-20 are re-expanded to node pairs.
+
+    Why this is exact: for u in group A and v in group B (same mask within
+    a group), ``cn = popcount(mask_A & mask_B)``, ``deg_u = deg_A``,
+    ``deg_v = deg_B`` and hence jaccard are functions of the GROUP pair
+    only; adjacency is too — v in N(u) = mask_A iff u in N(v) = mask_B
+    (undirected), and both sides are constant across the groups' members,
+    so a group pair is either all-edges or all-non-edges. Within a group,
+    members are pairwise non-adjacent (u in mask_u would be a self-loop)
+    with jaccard exactly deg/deg = 1.0 — the duplicate cliques that made
+    pair OUTPUT multiplicity quadratic in duplicate count (the sf1 tail,
+    97 s -> 64 s -> this). The scored stream shrinks from V^2/2 to D^2/2
+    where D = distinct adjacency patterns (~V/10 on the replicated
+    fixture).
+
+    Expansion cutoff: theta = min jaccard of the top-20 GROUP pairs (a
+    TakeOrderedAndProject, no global sort). Every group pair expands to
+    >= 1 node pair, so any group pair below theta has >= 20 expanded pairs
+    strictly above it and cannot reach the top-20; every tie at theta is
+    kept, so the final expanded ORDER BY jaccard DESC, u, v LIMIT 20
+    matches the uncollapsed result hash-exactly. The theta probe re-reads
+    the D^2/2 scored stream once (two passes total) — still ~50x less
+    popcount work than one V^2/2 pass at 10x duplicate multiplicity."""
+    from pyspark.sql import Window as W
+
+    masks = _adj_mask_table(spark, sf_dir, adj, idx, n_words)
+    # exemplar = min member per identical-mask group; w = group size. One
+    # shuffle of the V-row mask table, derived lazily from the cached masks.
+    members = masks.select(
+        "s",
+        "mask",
+        "deg",
+        F.min("s").over(W.partitionBy("mask")).alias("ex"),
+        F.count(F.lit(1)).over(W.partitionBy("mask")).alias("w"),
     )
-    # degree computed ONCE per node here (a V-sized pass over the masks),
-    # NOT per candidate pair — the naive per-pair self-popcount would
-    # re-evaluate the n_words-term chain V^2/2 times for a value that only
-    # depends on one side (measured 97 s -> the per-node form at sf1)
-    masks = (
-        ai.groupBy("s")
-        .agg(F.expr(_mask_expr("tidx", n_words)).alias("mask"))
-        .withColumn(
-            "deg",
-            F.expr(
-                f"CAST(({_popcount_sum('mask', 'mask', n_words)}) AS BIGINT)"
-            ),
-        )
-        .cache()
+    groups = members.filter(F.col("s") == F.col("ex")).select(
+        "ex", "mask", "deg", "w"
     )
-    a = masks.select(
-        F.col("s").alias("u"),
+    a = groups.select(
+        F.col("ex").alias("exu"),
         F.col("mask").alias("mu"),
-        F.col("deg").alias("deg_u"),
+        F.col("deg").alias("gdeg_u"),
+        F.col("w").alias("wu"),
     )
     b = (
-        masks.select(
-            F.col("s").alias("v"),
+        groups.select(
+            F.col("ex").alias("exv"),
             F.col("mask").alias("mv"),
-            F.col("deg").alias("deg_v"),
-            F.col("s").alias("_vb"),
+            F.col("deg").alias("gdeg_v"),
+            F.col("w").alias("wv"),
+            F.col("ex").alias("_vb"),
         )
         .join(
             F.broadcast(
@@ -930,15 +1009,73 @@ def _jaccard_bitmap(adj: DataFrame, idx: DataFrame, n_words: int) -> DataFrame:
         "((element_at(mu, CAST(vidx DIV 64 AS INT) + 1) "
         ">> CAST(vidx % 64 AS INT)) & CAST(1 AS BIGINT)) = 1"
     )
-    scored = a.join(F.broadcast(b), F.col("u") < F.col("v")).select(
-        "u",
-        "v",
+    # exu == exv is the group's INTERNAL pair block (kept only when the
+    # group has >= 2 members); the bit test decides adjacency for the whole
+    # group pair (see docstring proof)
+    scored = a.join(F.broadcast(b), F.col("exu") <= F.col("exv")).select(
+        "exu",
+        "exv",
+        "wu",
+        "wv",
+        "gdeg_u",
+        "gdeg_v",
         F.expr(f"CAST(({cn}) AS BIGINT)").alias("common_neighbors"),
-        "deg_u",
-        "deg_v",
         F.expr(f"({is_edge})").alias("_is_edge"),
     )
-    return _barrier_filter(
+    cand = _barrier_filter(
         scored,
-        (~F.col("_is_edge")) & (F.col("common_neighbors") > 0),
-    ).select("u", "v", "common_neighbors", "deg_u", "deg_v")
+        (~F.col("_is_edge"))
+        & (F.col("common_neighbors") > 0)
+        & ((F.col("exu") < F.col("exv")) | (F.col("wu") >= 2)),
+    )
+    jacc = cand.select(
+        "exu",
+        "exv",
+        "gdeg_u",
+        "gdeg_v",
+        "common_neighbors",
+        (
+            F.col("common_neighbors").cast("double")
+            / (
+                F.col("gdeg_u")
+                + F.col("gdeg_v")
+                - F.col("common_neighbors")
+            )
+        ).alias("jaccard"),
+    )
+    theta = (
+        jacc.orderBy(F.col("jaccard").desc())
+        .limit(20)
+        .agg(F.min("jaccard").alias("_theta"))
+    )
+    # barrier again: a plain >= filter would be pushed through the jaccard
+    # projection, rewritten onto the popcount chain, and land in the
+    # all-pairs join condition (the exact pathology the barrier exists for)
+    kept = _barrier_filter(
+        jacc.crossJoin(F.broadcast(theta)),
+        F.col("jaccard") >= F.col("_theta"),
+    ).drop("_theta")
+    # re-expand the surviving group pairs (tiny: ~top-20 + ties) to node
+    # pairs via two equi-joins on the exemplar id — never a cross join
+    mem_u = members.select(F.col("ex").alias("exu"), F.col("s").alias("_x"))
+    mem_v = members.select(F.col("ex").alias("exv"), F.col("s").alias("_y"))
+    expanded = (
+        mem_u.join(F.broadcast(kept), "exu")
+        .join(mem_v, "exv")
+        # same-group blocks emit each unordered pair once (x < y); cross-
+        # group blocks emit every member combination exactly once already
+        .filter((F.col("exu") != F.col("exv")) | (F.col("_x") < F.col("_y")))
+    )
+    out = expanded.select(
+        F.least("_x", "_y").alias("u"),
+        F.greatest("_x", "_y").alias("v"),
+        "common_neighbors",
+        F.when(F.col("_x") < F.col("_y"), F.col("gdeg_u"))
+        .otherwise(F.col("gdeg_v"))
+        .alias("deg_u"),
+        F.when(F.col("_x") < F.col("_y"), F.col("gdeg_v"))
+        .otherwise(F.col("gdeg_u"))
+        .alias("deg_v"),
+        "jaccard",
+    )
+    return out.orderBy(F.col("jaccard").desc(), "u", "v").limit(20)
