@@ -495,7 +495,13 @@ def _partition_pruning(spark, spec: MergeSpec):
     - every INSERT assigns each partition column verbatim from the ON-
       equated source column (inserts land in touched partitions only).
 
-    Returns ``(predicate_sql, touched_rows, pcols, col_names)`` or None.
+    Returns ``(predicate_sql, touched_rows, pcols, col_names, pin_view)``,
+    or None when pruning is ruled out BEFORE the source is pinned, or
+    ``(None, None, None, None, pin_view)`` when it's ruled out AFTER (too
+    many touched partitions, NULL/unsupported partition literal) — the
+    caller must then run the full rewrite against the already-pinned
+    source, so the one-evaluation invariant holds on that path too and the
+    pinned view never leaks unreferenced (ADVICE r6).
     """
     try:
         cat_cols = spark.catalog.listColumns(spec.target)
@@ -558,14 +564,14 @@ def _partition_pruning(spark, spec: MergeSpec):
         .collect()
     )
     if len(touched) > _MAX_TOUCHED_PARTITIONS:
-        return None
+        return None, None, None, None, pin_view
     disj = []
     for r in touched:
         lits = []
         for p in pcols:
             lit = _part_literal(r[p])
             if lit is None:  # NULL/unsupported partition value type
-                return None
+                return None, None, None, None, pin_view
             lits.append(f"{p} = {lit}")
         disj.append("(" + " AND ".join(lits) + ")")
     pred = " OR ".join(disj) if disj else "false"
@@ -584,15 +590,24 @@ def run_merge(spark, stmt: str) -> None:
     back empty (everything deleted) is truncated explicitly, since dynamic
     overwrite only replaces partitions present in the output."""
     spec = parse_merge(stmt)
-    pruning = _partition_pruning(spark, spec)
+    decision = _partition_pruning(spark, spec)
+    pruning = decision is not None and decision[0] is not None
+    pin_view = decision[4] if decision is not None else None
+    view = None
     if pruning:
-        pred, touched, pcols, names, pin_view = pruning
+        pred, touched, pcols, names, _ = decision
         view = "__merge_pruned_" + re.sub(r"\W", "_", spec.target)
         spark.sql(
             f"CREATE OR REPLACE TEMPORARY VIEW {view} AS "
             f"SELECT * FROM {spec.target} WHERE {pred}"
         )
         pspec = dataclasses.replace(spec, target=view, source_sql=pin_view)
+    elif pin_view is not None:
+        # pruning bailed AFTER pinning (>cap touched partitions, NULL
+        # partition literal): run the full rewrite against the PINNED
+        # source so it sees the same single evaluation the pruning probe
+        # read (ADVICE r6 — the unpinned fallback re-evaluated the source)
+        pspec = dataclasses.replace(spec, source_sql=pin_view)
     else:
         pspec = spec
     if spec.matched or spec.nm_by_source:
@@ -646,6 +661,12 @@ def run_merge(spark, stmt: str) -> None:
             )
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {stage}")
+        # the stage table is materialized, so the pin/pruned temp views are
+        # no longer referenced — drop them so the localCheckpointed source
+        # blocks don't stay pinned for the session lifetime (ADVICE r6)
+        for v in (pin_view, view):
+            if v is not None:
+                spark.catalog.dropTempView(v)
     # drop cached file listings for the overwritten target: a reader that
     # scanned the table before this MERGE would otherwise chase deleted
     # part files (FAILED_READ_FILE on the second upsert of a stream sink)
