@@ -197,13 +197,25 @@ _CREATE_OR_REPLACE = re.compile(
 #: storage optimization the plain-parquet catalog does not implement
 #: (``plans.versioned.VersionedTable.clone`` provides the real manifest-
 #: level zero-copy COW clone). Time-travel clones (CLONE ... AT/BEFORE)
-#: refuse loudly (the catalog keeps no history; VersionedTable is the
-#: engine's time-travel surface).
+#: are rewritten FIRST by the time-travel shim into a clone of the
+#: snapshot view when the source is a registered VersionedTable; an
+#: unrecognized tail still refuses loudly.
 _CLONE = re.compile(
     r"(?i)^\s*(?P<head>CREATE\s+(?:OR\s+REPLACE\s+)?TABLE\s+)"
     r"(?P<name>[\w.`\"]+)\s+CLONE\s+(?P<src>[\w.`\"]+)"
     r"(?P<tail>.*?)\s*;?\s*$",
     re.DOTALL,
+)
+#: Snowflake time travel: ``<table> AT(TIMESTAMP|OFFSET|STATEMENT => v)``
+#: and ``BEFORE(...)`` — resolved against the versioned-table registry
+#: (``plans.versioned.register_versioned_table``) to a snapshot temp view.
+#: The head regex only anchors the clause; the operand is walked to its
+#: balanced close and must parse as ``KEY => value`` or the text is left
+#: untouched (an alias literally named AT never reaches resolution).
+_TT_HEAD = re.compile(r"(?i)(?P<name>[\w.`\"]+)\s+(?P<kind>AT|BEFORE)\s*\(")
+_TT_INNER = re.compile(
+    r"(?is)^\s*(?P<key>TIMESTAMP|OFFSET|STATEMENT|VERSION)\s*=>\s*"
+    r"(?P<val>.+?)\s*$"
 )
 _SYSDATE = re.compile(r"(?i)\bsysdate\s*\(\s*\)")
 _IFF = re.compile(r"(?i)\bIFF\s*\(")
@@ -369,6 +381,93 @@ def _rewrite_split_to_table(text: str) -> str:
         else:  # unexpected arity: leave the args as-is for Spark's error
             body = f"posexplode(split({inner}))"
         text = text[: m.start()] + body + text[i:]
+
+
+def _resolve_time_travel(
+    spark, task_id: str, name: str, kind: str, key: str, val: str, now
+) -> str:
+    """Resolve one AT/BEFORE clause to a snapshot TEMP VIEW name.
+
+    Engine mapping of Snowflake's three operand kinds (reference
+    chokepoint: arbitrary SQL via ``dags/dev_db_test.py:41-70``):
+
+    - ``TIMESTAMP => <expr>``: evaluated by Spark as TIMESTAMP_NTZ (UTC,
+      matching the session TZ) and resolved via
+      :meth:`VersionedTable.version_at` on manifest commit instants;
+      BEFORE uses strictly-less-than, like Snowflake.
+    - ``OFFSET => <seconds>``: seconds relative to the pipeline clock
+      (``ctx.clock`` — injectable, so tests pin it), usually negative.
+    - ``STATEMENT|VERSION => <n>``: the engine's statement ids ARE commit
+      versions (every DML lands exactly one manifest), so both spell a
+      version number; BEFORE resolves to that commit's parent.
+    """
+    from datetime import timezone
+
+    from bfs_etl_sep2025_spark.plans.versioned import (
+        resolve_versioned_table,
+    )
+
+    vt = resolve_versioned_table(spark, name)
+    if vt is None or not vt.exists():
+        raise ValueError(
+            f"sql task {task_id!r}: {kind}(...) time travel on {name!r}, "
+            "which is not a registered versioned table — the plain-parquet "
+            "catalog keeps no history; create it as a "
+            "plans.versioned.VersionedTable and expose it via "
+            "register_versioned_table(name, root)"
+        )
+    strict = kind == "BEFORE"
+    if key in ("STATEMENT", "VERSION"):
+        try:
+            v = int(val.strip().strip("'\""))
+        except ValueError:
+            raise ValueError(
+                f"sql task {task_id!r}: {key} => {val!r} is not a commit "
+                f"version of {name!r} (engine statement ids are the table's "
+                "integer commit versions — see VersionedTable.history())"
+            ) from None
+        try:
+            mf = vt._manifest(v)
+        except FileNotFoundError:
+            raise ValueError(
+                f"sql task {task_id!r}: {name!r} has no committed "
+                f"version {v} (history: "
+                f"{[h['version'] for h in vt.history()]})"
+            ) from None
+        if strict:
+            v = mf["parent"]
+            if v <= 0:
+                raise ValueError(
+                    f"sql task {task_id!r}: BEFORE({key} => "
+                    f"{val.strip()}) on {name!r} points before the first "
+                    "commit — no snapshot exists there"
+                )
+    else:
+        if key == "OFFSET":
+            off = spark.sql(f"SELECT CAST(({val}) AS DOUBLE)").collect()[0][0]
+            if off is None:
+                raise ValueError(
+                    f"sql task {task_id!r}: OFFSET => {val!r} did not "
+                    "evaluate to a number of seconds"
+                )
+            base = now.replace(tzinfo=timezone.utc).timestamp()
+            ts_us = int((base + float(off)) * 1_000_000)
+        else:
+            dt = spark.sql(
+                f"SELECT CAST({val} AS TIMESTAMP_NTZ) AS t"
+            ).collect()[0]["t"]
+            if dt is None:
+                raise ValueError(
+                    f"sql task {task_id!r}: TIMESTAMP => {val!r} did not "
+                    "evaluate to a timestamp"
+                )
+            ts_us = int(
+                dt.replace(tzinfo=timezone.utc).timestamp() * 1_000_000
+            )
+        v = vt.version_at(ts_us, strict_before=strict)
+    view = "__tt_" + re.sub(r"\W", "_", name) + f"_v{v}"
+    vt.read(v).createOrReplaceTempView(view)
+    return view
 
 
 _RATIO_TO_REPORT = re.compile(r"(?i)\bRATIO_TO_REPORT\s*\(")
@@ -631,6 +730,12 @@ class SqlTask(Task):
         # Snowflake QUALIFY (reachable through the reference's arbitrary-SQL
         # pass-through) -> window+filter rewrite; no-op without QUALIFY.
         out = rewrite_qualify(out)
+        # Snowflake time travel: <t> AT/BEFORE(key => v) -> a snapshot
+        # temp view over the registered VersionedTable (VERDICT r6 item 2).
+        # Runs before the CLONE rewrite so CREATE TABLE c CLONE t AT(...)
+        # reduces to a plain CLONE of the snapshot view and takes the
+        # ordinary CTAS path below.
+        out = self._rewrite_time_travel(out, ctx)
         # Snowflake CLONE -> CTAS (full copy; see _CLONE). Runs after the
         # TRANSIENT rewrite so transient clones take the same path.
         m_clone = _CLONE.match(out)
@@ -640,8 +745,9 @@ class SqlTask(Task):
                 raise ValueError(
                     f"sql task {self.task_id!r}: CLONE with "
                     f"{tail.split()[0].upper()!r} is unsupported by the "
-                    "shim (the plain-parquet catalog keeps no history — "
-                    "use plans.versioned.VersionedTable for time travel)"
+                    "shim (AT/BEFORE time-travel clones work when the "
+                    "source is a registered VersionedTable; anything else "
+                    "has no plain-parquet equivalent)"
                 )
             out = (
                 f"{m_clone.group('head')}{m_clone.group('name')} "
@@ -655,6 +761,40 @@ class SqlTask(Task):
             )
             return [f"DROP TABLE IF EXISTS {m.group('name')}", create]
         return [out]
+
+    def _rewrite_time_travel(self, text: str, ctx: RunContext) -> str:
+        """Replace every unquoted ``<name> AT|BEFORE(key => val)`` clause
+        with a snapshot temp view over the registered VersionedTable (see
+        :func:`_resolve_time_travel`). Text with no resolvable clause — an
+        identifier named AT, a clause whose operand is not ``KEY => v`` —
+        passes through untouched for Spark's parser to judge."""
+        while True:
+            unq = set(_unquoted_positions(text))
+            hit = None
+            for cand in _TT_HEAD.finditer(text):
+                if cand.start() not in unq or cand.start("kind") not in unq:
+                    continue
+                close = _walk_to_close(text, cand.end(), unq)
+                if close is None:
+                    continue
+                inner = _TT_INNER.match(text[cand.end() : close - 1])
+                if inner is None:
+                    continue
+                hit = (cand, close, inner)
+                break
+            if hit is None:
+                return text
+            cand, close, inner = hit
+            view = _resolve_time_travel(
+                ctx.spark,
+                self.task_id,
+                cand.group("name").strip('`"'),
+                cand.group("kind").upper(),
+                inner.group("key").upper(),
+                inner.group("val"),
+                ctx.clock(),
+            )
+            text = text[: cand.start()] + view + text[close:]
 
     def _bind(self, stmt: str) -> str:
         def sub(m: re.Match[str]) -> str:

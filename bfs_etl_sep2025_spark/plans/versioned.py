@@ -74,6 +74,31 @@ class ConcurrentWriteError(RuntimeError):
     """Another writer committed the version this commit was based on."""
 
 
+#: SQL-name -> root registry: lets the Snowflake dialect shim
+#: (plans/tasks.py) resolve ``SELECT ... FROM t AT(TIMESTAMP => ...)`` /
+#: ``CREATE TABLE c CLONE t AT(...)`` to a :class:`VersionedTable`
+#: snapshot read (VERDICT r6 item 2 — the last chokepoint-reachable
+#: Snowflake feature whose engine capability existed but was unreachable
+#: from SQL). Names are case-insensitive like SQL identifiers.
+_SQL_REGISTRY: dict[str, str] = {}
+
+
+def register_versioned_table(name: str, root: str) -> None:
+    """Expose a versioned table root to SQL time travel under ``name``."""
+    _SQL_REGISTRY[name.lower()] = os.path.abspath(root)
+
+
+def unregister_versioned_table(name: str) -> None:
+    _SQL_REGISTRY.pop(name.lower(), None)
+
+
+def resolve_versioned_table(
+    spark: SparkSession, name: str
+) -> "VersionedTable | None":
+    root = _SQL_REGISTRY.get(name.strip('`"').lower())
+    return None if root is None else VersionedTable(spark, root)
+
+
 class VersionedTable:
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
@@ -214,6 +239,36 @@ class VersionedTable:
             out = out.unionByName(p, allowMissingColumns=True)
         return out
 
+    def version_at(
+        self, ts_us: int, *, strict_before: bool = False
+    ) -> int:
+        """Resolve a commit timestamp to the version visible at that
+        instant: the newest version whose commit ``ts_us`` is <= (or <,
+        for Snowflake's BEFORE) the given epoch-microsecond UTC instant.
+        Manifests from before commit-timestamp tracking fall back to the
+        manifest file's mtime. Raises when the table had no committed
+        version yet at that instant (Snowflake errors identically)."""
+        best = None
+        for name in sorted(os.listdir(self._manifests)):
+            if not re.fullmatch(r"v\d{5}\.json", name):
+                continue
+            path = os.path.join(self._manifests, name)
+            with open(path) as f:
+                m = json.load(f)
+            commit_us = m.get("ts_us")
+            if commit_us is None:
+                commit_us = int(os.path.getmtime(path) * 1_000_000)
+            ok = commit_us < ts_us if strict_before else commit_us <= ts_us
+            if ok and (best is None or m["version"] > best):
+                best = m["version"]
+        if best is None:
+            raise ValueError(
+                f"time travel out of range on {self.root}: no version was "
+                "committed " + ("before" if strict_before else "at or before")
+                + f" epoch_us={ts_us}"
+            )
+        return best
+
     def history(self) -> list[dict]:
         """All committed manifests, oldest first (op, version, parent,
         n_dirs) — the audit trail a warehouse exposes as table history."""
@@ -280,7 +335,18 @@ class VersionedTable:
     ) -> int:
         os.makedirs(self._manifests, exist_ok=True)
         manifest = os.path.join(self._manifests, f"v{version:05d}.json")
-        entry = {"version": version, "parent": parent, "dirs": dirs, "op": op}
+        import time as _time
+
+        entry = {
+            "version": version,
+            "parent": parent,
+            "dirs": dirs,
+            "op": op,
+            # UTC commit instant (epoch microseconds) — the AT(TIMESTAMP)
+            # time-travel resolution key; manifests from before this field
+            # fall back to file mtime in version_at()
+            "ts_us": int(_time.time() * 1_000_000),
+        }
         # schema/constraints inherit from the parent unless overridden —
         # every commit records the table shape its snapshot reads under
         if parent > 0:

@@ -417,9 +417,11 @@ def test_clone_executes_as_full_copy(spark):
 
 
 def test_clone_at_timestamp_refuses_loudly(spark):
-    """Time-travel clones name the missing capability and the engine's
-    real time-travel surface instead of a downstream parse error."""
-    with pytest.raises(Exception, match="CLONE with 'AT'.*VersionedTable"):
+    """Time-travel clones of an UNREGISTERED source still refuse loudly,
+    naming the registration hook instead of a downstream parse error.
+    (Registered VersionedTable sources clone fine — see
+    tests/test_timetravel.py::test_clone_at_version_ctas.)"""
+    with pytest.raises(Exception, match="register_versioned_table"):
         _run(
             spark,
             "CREATE TABLE c2 CLONE src AT (TIMESTAMP => '2024-01-01')",
