@@ -128,10 +128,13 @@ def test_ivf_codebook_over_guard_uses_two_level(spark, monkeypatch):
 
 
 def test_multimodal_decode_is_stubbed():
+    """Only genuinely library-less codecs stay stubbed: JPEG raises the
+    honest STUB marker, while PNG (stdlib zlib) decodes for real as of r7
+    (tests/test_codecs.py covers the PNG suite)."""
     from bfs_etl_sep2025_spark.operators.multimodal import decode_image
 
     with pytest.raises(NotImplementedError, match="STUB"):
-        decode_image(b"\x89PNG\r\n\x1a\n")
+        decode_image(b"\xff\xd8\xff\xe0" + bytes(16))
 
 
 def test_clusters_consistent_with_pairs(spark):

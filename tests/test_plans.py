@@ -609,6 +609,7 @@ _SANCTIONED_PYTHON = {
     "similarity_ann_ivf": {"ArrowEvalPython"},  # BLAS matmul assignment
     "dedup_semantic_embedding": {"ArrowEvalPython"},  # same matmul path
     "multimodal_decode_image": {"MapInPandas"},  # real codec boundary
+    "multimodal_decode_png": {"MapInPandas"},
     "multimodal_decode_audio": {"MapInPandas"},
     "multimodal_feature_extract": {"MapInPandas"},
     "multimodal_phash_neardup": {"MapInPandas"},
