@@ -853,6 +853,102 @@ def _merge_replacement(l: str, r: str) -> str:
     return (l + r).replace("\\", "\\\\").replace("$", "\\$")
 
 
+def _bpe_padded_wf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus -> word-frequency table in padded symbol form: one row per
+    distinct word, ``p`` = SEP c1 SEP ... SEP cn SEP, ``cnt`` = corpus
+    occurrences. THE one corpus-sized aggregation of BPE training."""
+    d = widen(load(spark, sf_dir, "documents"))
+    wf = (
+        d.select(F.explode(_tokens(F.col("text"))).alias("w"))
+        .filter(F.length("w") >= 1)
+        .groupBy("w")
+        .agg(F.count("*").alias("cnt"))
+    )
+    return wf.select(
+        F.concat(
+            F.lit(_BPE_SEP),
+            F.regexp_replace(F.col("w"), "(?<=.)(?=.)", _BPE_SEP),
+            F.lit(_BPE_SEP),
+        ).alias("p"),
+        "cnt",
+    )
+
+
+def _bpe_sym_pairs(cur: DataFrame) -> DataFrame:
+    """Adjacent symbol pairs (l, r, cnt) over the padded word-frequency
+    table — the aggregation input each BPE round argmaxes over."""
+    arr = F.split(F.col("p"), _BPE_SEP)  # ["", c1, ..., cn, ""]
+    return (
+        cur.filter(F.size(arr) >= 4)  # words with >= 2 symbols
+        .select(
+            F.col("cnt"),
+            F.split(F.col("p"), _BPE_SEP).alias("a"),
+        )
+        .select(
+            "cnt",
+            "a",
+            F.explode(
+                F.sequence(F.lit(2), F.size(F.col("a")) - 2)
+            ).alias("i"),
+        )
+        .select(
+            F.element_at(F.col("a"), F.col("i")).alias("l"),
+            F.element_at(F.col("a"), F.col("i") + 1).alias("r"),
+            "cnt",
+        )
+    )
+
+
+@query(
+    "text_bpe_first_merge",
+    family="text",
+    oracle="""
+        WITH words AS (
+          SELECT t.w
+          FROM documents, UNNEST(string_split(text, ' ')) AS t(w)
+          WHERE length(t.w) >= 2
+        ), wf AS (
+          SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM words GROUP BY w
+        ), pairs AS (
+          SELECT substr(w, i, 1) AS left_sym,
+                 substr(w, i + 1, 1) AS right_sym,
+                 cnt
+          FROM wf, UNNEST(range(1, length(w))) AS r(i)
+        )
+        SELECT left_sym, right_sym,
+               left_sym || right_sym AS merged,
+               CAST(sum(cnt) AS BIGINT) AS pair_count
+        FROM pairs
+        GROUP BY left_sym, right_sym
+        ORDER BY pair_count DESC, left_sym, right_sym
+        LIMIT 1
+    """,
+)
+def text_bpe_first_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FIRST BPE merge selection as a driver-oracled query (VERDICT r6
+    item 8): one group-by + deterministic argmax over the padded
+    word-frequency table — the exact dataflow ``bpe_train_merges`` runs in
+    round 1 (same ``_bpe_padded_wf``/``_bpe_sym_pairs`` code), ended in a
+    1-row TakeOrderedAndProject instead of a collect. The train/apply loop
+    stays rows-only by nature (iterative argmax-and-rewrite), but this
+    pins the family's core arithmetic — frequency-weighted adjacent-pair
+    counting with (count DESC, left, right) tie-break — to an external
+    DuckDB hash, not just the pytest parity suite."""
+    pairs = _bpe_sym_pairs(_bpe_padded_wf(spark, sf_dir))
+    return (
+        pairs.groupBy("l", "r")
+        .agg(F.sum("cnt").cast("bigint").alias("pair_count"))
+        .select(
+            F.col("l").alias("left_sym"),
+            F.col("r").alias("right_sym"),
+            F.concat("l", "r").alias("merged"),
+            "pair_count",
+        )
+        .orderBy(F.desc("pair_count"), "left_sym", "right_sym")
+        .limit(1)
+    )
+
+
 def bpe_train_merges(
     spark: SparkSession, sf_dir: str, n_merges: int = BPE_N_MERGES
 ) -> list[tuple[int, str, str, str, int]]:
@@ -869,47 +965,12 @@ def bpe_train_merges(
     Nothing corpus-sized is ever touched again, and only K rows plus K
     1-row argmaxes ever reach the driver. Ties break deterministically:
     highest count, then lexicographically smallest (left, right)."""
-    d = widen(load(spark, sf_dir, "documents"))
-    wf = (
-        d.select(F.explode(_tokens(F.col("text"))).alias("w"))
-        .filter(F.length("w") >= 1)
-        .groupBy("w")
-        .agg(F.count("*").alias("cnt"))
-    )
-    sep = _BPE_SEP
-    # padded symbol form: SEP c1 SEP c2 ... SEP cn SEP
-    cur = wf.select(
-        F.concat(
-            F.lit(sep),
-            F.regexp_replace(F.col("w"), "(?<=.)(?=.)", sep),
-            F.lit(sep),
-        ).alias("p"),
-        "cnt",
-    ).cache()
+    cur = _bpe_padded_wf(spark, sf_dir).cache()
     cur.count()
     merges: list[tuple[int, str, str, str, int]] = []
     try:
         for rank in range(1, n_merges + 1):
-            arr = F.split(F.col("p"), sep)  # ["", c1, ..., cn, ""]
-            pairs = (
-                cur.filter(F.size(arr) >= 4)  # words with >= 2 symbols
-                .select(
-                    F.col("cnt"),
-                    F.split(F.col("p"), sep).alias("a"),
-                )
-                .select(
-                    "cnt",
-                    "a",
-                    F.explode(
-                        F.sequence(F.lit(2), F.size(F.col("a")) - 2)
-                    ).alias("i"),
-                )
-                .select(
-                    F.element_at(F.col("a"), F.col("i")).alias("l"),
-                    F.element_at(F.col("a"), F.col("i") + 1).alias("r"),
-                    "cnt",
-                )
-            )
+            pairs = _bpe_sym_pairs(cur)
             top = (
                 pairs.groupBy("l", "r")
                 .agg(F.sum("cnt").alias("n"))
@@ -935,7 +996,7 @@ def bpe_train_merges(
     return merges
 
 
-@query("text_bpe_train", oracle=None, family="text")
+@query("text_bpe_train", oracle=None, family="text", bench=True)
 def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE tokenizer training (Sennrich et al. 2016): the learned merge
     table itself — rank, constituent pair, merged symbol, and the pair's
