@@ -658,6 +658,7 @@ def _pr_iter_sql(prev: str) -> str:
 @query(
     "graph_pagerank",
     family="graph",
+    bench=True,
     oracle=f"""
         WITH {_EDGES_CTE},
         sym AS (
@@ -734,6 +735,7 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "graph_connected_components",
     family="graph",
+    bench=True,
     oracle=f"""
         WITH RECURSIVE {_EDGES_CTE},
         sym AS (

@@ -1185,6 +1185,7 @@ def _sql_pq_sub_sqdist(a: str, b: str) -> str:
 @query(
     "similarity_ann_pq",
     family="similarity",
+    bench=True,
     oracle=f"""
         WITH cb AS (
           SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS k,
@@ -1370,6 +1371,7 @@ SEMDEDUP_STRIDE = 250
 @query(
     "dedup_semantic_embedding",
     family="dedup",
+    bench=True,
     oracle=f"""
         WITH n AS (
           SELECT vec_id, embedding, {_sql_norm('embedding')} AS nrm

@@ -56,73 +56,59 @@ def query(
 
 #: Names promoted to the FRONT of ``queries()``/``oracle_sql()`` iteration
 #: order. The external driver hash-checks queries in iteration order under a
-#: ~50-query/round budget; the union across rounds covers 179/179, so each
+#: ~50-query/round budget; the union across rounds covers 200/200, so each
 #: round's job is to keep the OLDEST green signal fresh and to re-verify any
-#: query whose code changed since its last driver row. Round-6 window
-#: (VERDICT r5 "next round" item 1): lead with the queries whose code
-#: changed after their last green (``similarity_cosine_neardup`` — barrier
-#: refactored r5, green from r3; ``sample_seeded`` — md5-threshold rewrite
-#: with its FIRST oracle this round; the two multimodal decodes — NULL-digest
-#: sentinel added r6), then RE-verify the round-2 cohort
-#: (TPC-H/windows/sinks/funnel/setops/corpus/streaming — the oldest greens,
-#: 4 rounds stale), minus ``q9_product_profit`` (re-verified r3). The r3
-#: cohort follows for whatever budget remains and leads round 7. Names not
-#: in the registry are ignored, so this list is safe across refactors;
-#: everything else follows in registration order.
+#: query whose code changed since its last driver row. Round-7 window
+#: (VERDICT r6 "next round" item 1 — finish the rotation: after r6, 102
+#: queries' newest external row was r1–r3 era): lead with the queries that
+#: are NEW this round (``multimodal_decode_png`` — the stdlib PNG codec;
+#: ``text_bpe_first_merge`` — the BPE argmax oracled) or whose PLAN changed
+#: (``graph_link_prediction_jaccard`` — exemplar collapse;
+#: ``graph_link_prediction_cn``/``graph_triangle_count`` — shared memoized
+#: mask tables), then the ROUND-1 cohort (the single oldest greens: joins +
+#: scalar-function suites, 6 rounds stale), then the round-2 leftovers the
+#: r6 window did not reach (funnel/windows/setops/sinks/streaming-batch).
+#: The r3 cohort follows for whatever budget remains and leads round 8.
+#: Names not in the registry are ignored, so this list is safe across
+#: refactors; everything else follows in registration order.
 _PRIORITY: tuple[str, ...] = (
-    # code changed since last green / first-ever oracle — highest signal
-    "similarity_cosine_neardup",
-    "sample_seeded",
-    "multimodal_decode_image",
-    "multimodal_decode_audio",
-    # new this round (r6): BPE tokenizer-training family + PQ ANN
-    "text_bpe_pair_stats",
-    "text_bpe_train",
-    "similarity_ann_pq",
-    "text_bpe_apply",
-    "graph_pagerank",
-    "dedup_semantic_embedding",
-    "corpus_dsir_weights",
-    "text_lm_score",
-    "graph_connected_components",
-    "corpus_decontaminate_fuzzy",
-    "dq_profile_drift",
-    "similarity_recall_lsh",
-    "dq_ks_drift",
-    "multimodal_phash_neardup",
-    "window_rolling_median",
-    "scan_xml_roundtrip",
-    "corpus_chunk_dedup",
-    "events_activity_similarity",
-    "text_repetition_dup_bigrams",
+    # new this round / plan changed since last green — highest signal
+    "multimodal_decode_png",
+    "text_bpe_first_merge",
     "graph_link_prediction_jaccard",
-    "fn_try_suite",
-    # round-2 cohort: oldest driver greens (4 rounds stale)
-    "q1_pricing_summary",
-    "q2_min_cost_supplier",
-    "q3_shipping_priority",
-    "q4_order_priority",
-    "q5_local_supplier_volume",
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q10_returned_items",
-    "q11_important_stock",
-    "q12_priority_by_linestatus",
-    "q13_customer_distribution",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q16_supplier_part_count",
-    "q17_small_quantity_revenue",
-    "q18_large_volume_customer",
-    "q19_disjunctive_predicates",
-    "q20_potential_promotion",
-    "q21_suppliers_kept_waiting",
-    "q22_dormant_high_balance",
-    "corpus_split_assign",
-    "corpus_chunk_overlap",
-    "corpus_decontaminate",
-    "corpus_mixture_sample",
+    "graph_link_prediction_cn",
+    "graph_triangle_count",
+    # round-1 cohort: the oldest driver greens (6 rounds stale)
+    "join_inner",
+    "join_left_outer",
+    "join_right_outer",
+    "join_full_outer",
+    "join_left_semi",
+    "join_left_anti",
+    "join_cross",
+    "join_broadcast_dim",
+    "join_range",
+    "dedup_simhash",
+    "dedup_simhash_pairs",
+    "dedup_ngram_jaccard",
+    "scan_jsonlines",
+    "scan_csv_roundtrip",
+    "unpivot_stack",
+    "fn_string_suite",
+    "fn_date_suite",
+    "fn_math_suite",
+    "fn_json_extraction",
+    "fn_array_suite",
+    "fn_regex_extended",
+    "fn_explode_posexplode",
+    "fn_conditional_agg",
+    "fn_null_suite",
+    "fn_string_agg",
+    "fn_date_extended",
+    "fn_string_extended",
+    "fn_bitwise",
+    "fn_map_suite",
+    # round-2 leftovers the r6 window did not reach (5 rounds stale)
     "funnel_ordered_steps",
     "retention_cohorts",
     "event_path_transitions",
