@@ -464,12 +464,18 @@ _EQ_CONJUNCT = re.compile(r"^\s*(\w+)\.(\w+)\s*=\s*(\w+)\.(\w+)\s*$")
 
 
 def _part_literal(v) -> str | None:
+    import datetime as _dt
+
     if isinstance(v, bool) or v is None:
         return None
     if isinstance(v, int):
         return str(v)
     if isinstance(v, str):
         return "'" + v.replace("'", "''") + "'"
+    # DATE partitions are the most common real layout; datetime.date is
+    # NOT a datetime (checked in that order — datetime is a date subclass)
+    if isinstance(v, _dt.date) and not isinstance(v, _dt.datetime):
+        return f"DATE'{v.isoformat()}'"
     return None
 
 

@@ -713,3 +713,217 @@ def test_partitioned_merge_prunes_multiline_on_clause(spark):
     assert got == {(1, "A", "d1"), (2, "b", "d2")}
     assert _part_files(spark, "pm_ml", "dt=d2") == before_d2  # pruned
     spark.sql("DROP TABLE IF EXISTS pm_ml")
+
+
+# -- property tests: pruned path == full rewrite, every dtype/format ----------
+# (VERDICT r6 item 7: the r6 8-defect commit showed exactly this surface —
+# typed partition casts, source pinning, formatted-SQL ON splitting — hides
+# bugs; hypothesis sweeps the input space and a pure-Python model is the
+# semantic oracle, so pruned and unpruned paths cannot silently diverge.)
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_PDTYPES = ("INT", "STRING", "DATE")
+
+
+def _plit(dtype: str, i: int) -> str:
+    """SQL literal for partition value i in the given dtype."""
+    if dtype == "INT":
+        return str(i)
+    if dtype == "STRING":
+        return f"'p{i}'"
+    return f"DATE'2024-01-{i + 1:02d}'"
+
+
+def _pkey(dtype: str, i: int):
+    """Python rendering of the partition value as read back from Spark."""
+    import datetime
+
+    if dtype == "INT":
+        return i
+    if dtype == "STRING":
+        return f"p{i}"
+    return datetime.date(2024, 1, i + 1)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=list(HealthCheck),
+)
+@given(
+    dtype=st.sampled_from(_PDTYPES),
+    tgt=st.lists(
+        st.tuples(st.integers(0, 9), st.integers(0, 3)),
+        max_size=10,
+        unique_by=lambda t: t[0],
+    ),
+    src=st.lists(
+        st.tuples(
+            st.integers(0, 9),
+            st.integers(0, 3),
+            st.sampled_from(["upsert", "delete"]),
+        ),
+        min_size=1,
+        max_size=8,
+        unique_by=lambda t: t[0],
+    ),
+    ws=st.sampled_from([" ", "\n  ", " \t\n   "]),
+)
+def test_pruned_merge_matches_python_model(spark, dtype, tgt, src, ws):
+    """For every partition dtype, random target/source contents and
+    newline/tab-mangled ON formatting, the executed MERGE equals a pure-
+    Python model of MERGE semantics — whichever of the pruned / pin-reuse /
+    full-rewrite paths it took."""
+    spark.sql("DROP TABLE IF EXISTS pm_h")
+    spark.sql(
+        f"CREATE TABLE pm_h (id INT, v STRING, dt {dtype}) "
+        "USING parquet PARTITIONED BY (dt)"
+    )
+    if tgt:
+        vals = ", ".join(
+            f"({i}, 't{i}', {_plit(dtype, p)})" for i, p in tgt
+        )
+        spark.sql(f"INSERT INTO pm_h VALUES {vals}")
+    svals = ", ".join(
+        f"({i}, " + ("NULL" if verb == "delete" else f"'s{i}'")
+        + f", {_plit(dtype, p)})"
+        for i, p, verb in src
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY VIEW pm_h_src AS "
+        f"SELECT * FROM VALUES {svals} AS t(id, v, dt)"
+    )
+    on = f"t.id{ws}={ws}s.id{ws}AND{ws}t.dt{ws}={ws}s.dt"
+    run_merge(
+        spark,
+        f"MERGE INTO pm_h AS t USING pm_h_src AS s ON {on} "
+        "WHEN MATCHED AND s.v IS NULL THEN DELETE "
+        "WHEN MATCHED THEN UPDATE SET v = s.v "
+        "WHEN NOT MATCHED THEN INSERT (id, v, dt) VALUES (s.id, s.v, s.dt)",
+    )
+    # pure-Python MERGE model keyed on (id, partition)
+    state = {(i, _pkey(dtype, p)): f"t{i}" for i, p in tgt}
+    for i, p, verb in src:
+        k = (i, _pkey(dtype, p))
+        if k in state:
+            if verb == "delete":
+                del state[k]
+            else:
+                state[k] = f"s{i}"
+        else:
+            # NOT MATCHED is unguarded: every unmatched source row inserts,
+            # carrying s.v — NULL for the 'delete' rows
+            state[k] = None if verb == "delete" else f"s{i}"
+    got = {
+        (r["id"], r["dt"]): r["v"] for r in spark.table("pm_h").collect()
+    }
+    assert got == state
+    # no pin/pruned temp views may survive the statement
+    leftover = [
+        v.name
+        for v in spark.catalog.listTables()
+        if v.name.startswith("__merge_")
+    ]
+    assert leftover == []
+    spark.sql("DROP TABLE IF EXISTS pm_h")
+
+
+def test_pruned_merge_date_partitions_actually_prune(spark):
+    """DATE partition values render as DATE literals (new in r7): the
+    untouched date partition's files are not rewritten."""
+    spark.sql("DROP TABLE IF EXISTS pm_dt")
+    spark.sql(
+        "CREATE TABLE pm_dt (id INT, v STRING, dt DATE) "
+        "USING parquet PARTITIONED BY (dt)"
+    )
+    spark.sql(
+        "INSERT INTO pm_dt VALUES (1, 'a', DATE'2024-01-01'), "
+        "(2, 'b', DATE'2024-01-02')"
+    )
+    before = _part_files(spark, "pm_dt", "dt=2024-01-02")
+    assert before
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY VIEW pm_dt_src AS "
+        "SELECT * FROM VALUES (1, 'A', DATE'2024-01-01') AS t(id, v, dt)"
+    )
+    run_merge(
+        spark,
+        "MERGE INTO pm_dt AS t USING pm_dt_src AS s "
+        "ON t.id = s.id AND t.dt = s.dt "
+        "WHEN MATCHED THEN UPDATE SET v = s.v",
+    )
+    got = {(r["id"], r["v"]) for r in spark.table("pm_dt").collect()}
+    assert got == {(1, "A"), (2, "b")}
+    assert _part_files(spark, "pm_dt", "dt=2024-01-02") == before
+    spark.sql("DROP TABLE IF EXISTS pm_dt")
+
+
+def test_over_cap_bail_reuses_pin_and_drops_views(spark):
+    """A source touching more partitions than the pruning cap bails AFTER
+    pinning: the full rewrite must reuse the SAME pinned evaluation (a
+    nondeterministic source evaluated twice could insert rows the probe
+    never saw — ADVICE r6), and neither the pin view nor any pruned view
+    may leak past the statement."""
+    spark.sql("DROP TABLE IF EXISTS pm_cap")
+    spark.sql(
+        "CREATE TABLE pm_cap (id INT, v STRING, dt INT) "
+        "USING parquet PARTITIONED BY (dt)"
+    )
+    spark.sql("INSERT INTO pm_cap VALUES (9999, 'keep', -1)")
+    # 200 partitions (> _MAX_TOUCHED_PARTITIONS = 128), nondeterministic
+    # data column: only ONE evaluation may ever be observed
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY VIEW pm_cap_src AS "
+        "SELECT id, CAST(rand() AS STRING) AS v, CAST(id AS INT) AS dt "
+        "FROM range(200) t(id)"
+    )
+    run_merge(
+        spark,
+        "MERGE INTO pm_cap AS t USING pm_cap_src AS s "
+        "ON t.id = s.id AND t.dt = s.dt "
+        "WHEN NOT MATCHED THEN INSERT (id, v, dt) VALUES (s.id, s.v, s.dt)",
+    )
+    assert spark.table("pm_cap").count() == 201
+    assert (
+        spark.sql("SELECT count(*) n FROM pm_cap WHERE dt = -1").first()["n"]
+        == 1
+    )  # the pre-existing partition survived the full rewrite
+    leftover = [
+        v.name
+        for v in spark.catalog.listTables()
+        if v.name.startswith("__merge_")
+    ]
+    assert leftover == []
+    spark.sql("DROP TABLE IF EXISTS pm_cap")
+
+
+def test_null_partition_value_bails_to_full_rewrite(spark):
+    """A NULL partition value has no literal rendering: pruning bails
+    post-pin and the pin-reuse full rewrite still lands the NULL-partition
+    row (Hive default partition) without clobbering others."""
+    spark.sql("DROP TABLE IF EXISTS pm_null")
+    spark.sql(
+        "CREATE TABLE pm_null (id INT, v STRING, dt STRING) "
+        "USING parquet PARTITIONED BY (dt)"
+    )
+    spark.sql("INSERT INTO pm_null VALUES (1, 'a', 'd1')")
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY VIEW pm_null_src AS "
+        "SELECT * FROM VALUES (2, 'b', CAST(NULL AS STRING)) AS t(id, v, dt)"
+    )
+    run_merge(
+        spark,
+        "MERGE INTO pm_null AS t USING pm_null_src AS s "
+        "ON t.id = s.id AND t.dt = s.dt "
+        "WHEN NOT MATCHED THEN INSERT (id, v, dt) VALUES (s.id, s.v, s.dt)",
+    )
+    got = {(r["id"], r["v"], r["dt"]) for r in spark.table("pm_null").collect()}
+    assert got == {(1, "a", "d1"), (2, "b", None)}
+    assert [
+        v.name
+        for v in spark.catalog.listTables()
+        if v.name.startswith("__merge_")
+    ] == []
+    spark.sql("DROP TABLE IF EXISTS pm_null")
