@@ -156,3 +156,41 @@ def test_runtime_plan_assert_flag_passes_barriered_plan(spark):
         for v in range(4)
         if u < v and ((u % 3) & (v % 5 + 1)) != 0
     }
+
+
+def test_nlj_condition_parser_units():
+    """The balanced-paren condition extractor (ADVICE r6): only the bound
+    condition is returned — never output lists after it, never a bare join
+    type; ExistenceJoin's own parens don't confuse the head."""
+    from bfs_etl_sep2025_spark.operators._barrier import _nlj_condition
+
+    line = (
+        ":- BroadcastNestedLoopJoin BuildRight, Inner, "
+        "((u#1 < v#2) AND bit_count(x#3) > 0) [plan_id=7]"
+    )
+    assert _nlj_condition(line) == "((u#1 < v#2) AND bit_count(x#3) > 0)"
+    # condition-less joins: bare, with type, with trailing output list
+    assert _nlj_condition("BroadcastNestedLoopJoin BuildRight") is None
+    assert _nlj_condition("BroadcastNestedLoopJoin BuildRight, Cross") is None
+    assert _nlj_condition("BroadcastNestedLoopJoin BuildLeft, Inner") is None
+    # the r6 false-positive shape: heavy token in a printed column list,
+    # not in any condition (no ", (" follows the head)
+    assert (
+        _nlj_condition(
+            "BroadcastNestedLoopJoin BuildRight, Inner "
+            "[bit_count(mask#9) AS deg#10]"
+        )
+        is None
+    )
+    # ExistenceJoin prints parens in the TYPE; the condition follows
+    assert (
+        _nlj_condition(
+            "BroadcastNestedLoopJoin BuildRight, "
+            "ExistenceJoin(exists#407), (a#1 = b#2)"
+        )
+        == "(a#1 = b#2)"
+    )
+    # truncated plan line: keep the tail rather than under-matching
+    assert _nlj_condition(
+        "BroadcastNestedLoopJoin BuildRight, Inner, (bit_count(x#3"
+    ) == "(bit_count(x#3"
