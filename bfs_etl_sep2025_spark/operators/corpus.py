@@ -659,3 +659,128 @@ def corpus_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_docs") > 1)
         .orderBy("chunk_md5")
     )
+
+
+# -- URL canonicalization + dedup (CommonCrawl-style ingest stage) -----------
+
+#: raw-URL synthesis: six messy spellings of the same logical resource per
+#: (source, doc_id % 5) base — host/scheme case, explicit default ports,
+#: a www. prefix, tracking params (utm_*, ref), trailing-slash noise —
+#: deterministic and identical SQL text in both engines (the synthesize-
+#: then-really-operate pattern of operators/multimodal.py: the INPUT is
+#: synthesized because the fixture has no URL column; the canonicalizer is
+#: the real algorithm a crawl-ingest pipeline runs).
+_URL_SYNTH = """
+    CASE CAST(doc_id % 6 AS INT)
+      WHEN 0 THEN 'https://www.' || source || '.example.com/docs/'
+                  || CAST(doc_id % 5 AS STRING) || '/'
+      WHEN 1 THEN 'HTTPS://WWW.' || source || '.EXAMPLE.COM:443/docs/'
+                  || CAST(doc_id % 5 AS STRING)
+      WHEN 2 THEN 'https://' || source || '.example.com/docs/'
+                  || CAST(doc_id % 5 AS STRING)
+                  || '?utm_source=feed&utm_campaign=x'
+      WHEN 3 THEN 'https://' || source || '.example.com:443/docs/'
+                  || CAST(doc_id % 5 AS STRING) || '?id=7&ref=rss'
+      WHEN 4 THEN 'https://www.' || source || '.example.com/docs/'
+                  || CAST(doc_id % 5 AS STRING) || '?ref=abc&id=7'
+      ELSE 'https://' || source || '.Example.Com/docs/'
+                  || CAST(doc_id % 5 AS STRING) || '//'
+    END
+"""
+
+
+def _url_canon_sql(u: str, *, spark_side: bool) -> str:
+    """One SQL expression canonicalizing URL column ``u`` — the standard
+    crawl-dedup normalization: lowercase scheme+host, strip a leading
+    ``www.``, strip the scheme's default port, drop the fragment, strip
+    trailing slashes from the path, remove tracking params (``utm_*``,
+    ``ref``) and tidy the separators. Rendered per dialect because Java
+    regexp literals in Spark SQL strings need doubled backslashes and
+    DuckDB's regexp_replace needs the explicit 'g' flag; the PATTERNS are
+    the shared Java/RE2 common subset (text.py PII discipline). No capture
+    references in replacements (Java ``$1`` vs RE2 ``\\1`` diverge)."""
+
+    def rr(s: str, pat: str, rep: str) -> str:
+        if spark_side:
+            pat = pat.replace("\\", "\\\\")
+            return f"regexp_replace({s}, '{pat}', '{rep}')"
+        return f"regexp_replace({s}, '{pat}', '{rep}', 'g')"
+
+    def rx(s: str, pat: str) -> str:
+        if spark_side:
+            pat = pat.replace("\\", "\\\\")
+        return f"regexp_extract({s}, '{pat}', 1)"
+
+    scheme = f"lower({rx(u, '^([A-Za-z]+)://')})"
+    hostport = f"lower({rx(u, '^[A-Za-z]+://([^/?#]+)')})"
+    nohost_www = rr(hostport, "^www\\.", "")
+    host = (
+        f"CASE WHEN {scheme} = 'http' THEN {rr(nohost_www, ':80$', '')} "
+        f"WHEN {scheme} = 'https' THEN {rr(nohost_www, ':443$', '')} "
+        f"ELSE {nohost_www} END"
+    )
+    rest = rx(u, "^[A-Za-z]+://[^/?#]+([^#]*)")
+    path = rr(rx(rest, "^([^?]*)"), "/+$", "")
+    query = rx(rest, "[?](.*)$")
+    q_stripped = rr(query, "(utm_[A-Za-z0-9_]*|ref)=[^&]*", "")
+    q_tidy = rr(rr(q_stripped, "&&+", "&"), "^&+|&+$", "")
+    return (
+        f"{scheme} || '://' || {host} || {path} || "
+        f"CASE WHEN {q_tidy} = '' THEN '' ELSE '?' || {q_tidy} END"
+    )
+
+
+@query(
+    "corpus_url_dedup",
+    family="corpus",
+    oracle=f"""
+        WITH raw AS (
+          SELECT doc_id, {_URL_SYNTH} AS url
+          FROM documents
+          WHERE source IS NOT NULL
+        ),
+        canon AS (
+          SELECT doc_id,
+                 {_url_canon_sql('url', spark_side=False)} AS canonical_url
+          FROM raw
+        )
+        SELECT canonical_url,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               min(doc_id) AS keeper_doc
+        FROM canon
+        GROUP BY canonical_url
+        HAVING count(*) > 1
+        ORDER BY canonical_url
+    """,
+)
+def corpus_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-level dedup, the FIRST stage of every crawl-derived corpus
+    pipeline (before any content hashing): canonicalize each document's
+    URL — lowercase scheme/host, strip ``www.`` and default ports, drop
+    fragments, trailing-slash noise and tracking params (``utm_*``,
+    ``ref``) — and group documents that are the same logical resource
+    under different spellings; ``keeper_doc`` (min doc_id) is the
+    deterministic survivor. The six synthesized spellings per base cover
+    every normalization rule, and the oracle runs the identical
+    canonicalizer relationally, so the rules are pinned cross-engine.
+
+    Scale: canonicalization is a map-only codegen'd regexp projection at
+    scan speed (no Python, no lambdas); the one shuffle carries
+    (canonical_url, doc_id) for the group-by — at crawl scale the
+    canonical string is usually md5'd first to narrow the shuffle, which
+    changes nothing semantically."""
+    d = load(spark, sf_dir, "documents").filter(F.col("source").isNotNull())
+    raw = d.select("doc_id", F.expr(_URL_SYNTH).alias("url"))
+    canon = raw.select(
+        "doc_id",
+        F.expr(_url_canon_sql("url", spark_side=True)).alias("canonical_url"),
+    )
+    return (
+        canon.groupBy("canonical_url")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.min("doc_id").alias("keeper_doc"),
+        )
+        .filter(F.col("n_docs") > 1)
+        .orderBy("canonical_url")
+    )
