@@ -454,3 +454,143 @@ def dq_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "dq_mad_outliers",
+    family="quality",
+    oracle="""
+        WITH vc AS (
+          SELECT event_type, value, count(*) AS c
+          FROM events WHERE value IS NOT NULL
+          GROUP BY event_type, value
+        ), t AS (
+          SELECT event_type, value, c,
+                 sum(c) OVER (PARTITION BY event_type ORDER BY value) AS cum,
+                 sum(c) OVER (PARTITION BY event_type) AS n
+          FROM vc
+        ), med AS (
+          SELECT event_type,
+                 CAST(max(n) AS BIGINT) AS n,
+                 min(CASE WHEN cum >= (n + 1) // 2 THEN value END) AS med
+          FROM t GROUP BY event_type
+        ), dev AS (
+          SELECT vc.event_type, abs(vc.value - med.med) AS dev, vc.c
+          FROM vc JOIN med USING (event_type)
+        ), dc AS (
+          SELECT event_type, dev, sum(c) AS c
+          FROM dev GROUP BY event_type, dev
+        ), t2 AS (
+          SELECT event_type, dev, c,
+                 sum(c) OVER (PARTITION BY event_type ORDER BY dev) AS cum,
+                 sum(c) OVER (PARTITION BY event_type) AS n
+          FROM dc
+        ), mad AS (
+          SELECT event_type,
+                 min(CASE WHEN cum >= (n + 1) // 2 THEN dev END) AS mad
+          FROM t2 GROUP BY event_type
+        ), o AS (
+          SELECT d.event_type,
+                 CAST(sum(d.c) AS BIGINT) AS n,
+                 CAST(sum(CASE WHEN d.dev > 3 * mad.mad THEN d.c
+                               ELSE 0 END) AS BIGINT) AS n_outliers,
+                 max(d.dev) AS max_abs_dev
+          FROM dev d JOIN mad USING (event_type)
+          GROUP BY d.event_type
+        )
+        SELECT o.event_type, o.n, med.med AS median_value, mad.mad,
+               o.n_outliers, o.max_abs_dev
+        FROM o
+        JOIN med USING (event_type)
+        JOIN mad USING (event_type)
+        ORDER BY o.event_type
+    """,
+)
+def dq_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection per event type: median / MAD (median
+    absolute deviation) of ``value`` and the count of rows beyond the
+    classic ``3 x MAD`` fence — the quality gate that survives the heavy
+    tails that wreck mean/stddev z-scores.
+
+    EXACT and cross-engine deterministic by construction: the median is
+    the LOWER-MIDDLE ORDER STATISTIC (smallest value whose cumulative
+    count reaches ``(n+1) div 2``) — a selection of an existing double,
+    never an interpolation, so there is no ``a + (b-a)*q`` vs ``(a+b)/2``
+    rounding divergence between engines; MAD applies the same selection to
+    the deviation distribution, and the fence compares raw doubles against
+    ``3 * mad`` (one identical IEEE product both sides).
+
+    Scale shape (the ks_drift discipline): NO window ever runs over the
+    fact table — facts reduce once to the (event_type, value) distribution
+    table with map-side combine, and every window/median trick runs on
+    that distribution (cardinality = distinct values, not rows). Two
+    broadcast joins attach the 5-row median/MAD tables back. At 100 TB
+    this is two fact scans (value pass + deviation pass), both
+    shuffle-light."""
+    from pyspark.sql import Window as W
+
+    ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    vc = ev.groupBy("event_type", "value").agg(F.count(F.lit(1)).alias("c"))
+    wo = W.partitionBy("event_type").orderBy("value")
+    wp = W.partitionBy("event_type")
+    t = vc.select(
+        "event_type",
+        "value",
+        "c",
+        F.sum("c").over(wo).alias("cum"),
+        F.sum("c").over(wp).alias("n"),
+    )
+    med = t.groupBy("event_type").agg(
+        F.max("n").cast("bigint").alias("n"),
+        F.min(
+            F.when(F.col("cum") >= F.expr("(n + 1) DIV 2"), F.col("value"))
+        ).alias("med"),
+    )
+    dev = vc.join(F.broadcast(med.select("event_type", "med")), "event_type")
+    dev = dev.select(
+        "event_type",
+        F.abs(F.col("value") - F.col("med")).alias("dev"),
+        "c",
+    )
+    dc = dev.groupBy("event_type", "dev").agg(F.sum("c").alias("c"))
+    wo2 = W.partitionBy("event_type").orderBy("dev")
+    t2 = dc.select(
+        "event_type",
+        "dev",
+        "c",
+        F.sum("c").over(wo2).alias("cum"),
+        F.sum("c").over(wp).alias("n"),
+    )
+    mad = t2.groupBy("event_type").agg(
+        F.min(
+            F.when(F.col("cum") >= F.expr("(n + 1) DIV 2"), F.col("dev"))
+        ).alias("mad")
+    )
+    o = (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.sum("c").cast("bigint").alias("n"),
+            F.sum(
+                F.when(F.col("dev") > 3 * F.col("mad"), F.col("c")).otherwise(
+                    F.lit(0)
+                )
+            )
+            .cast("bigint")
+            .alias("n_outliers"),
+            F.max("dev").alias("max_abs_dev"),
+        )
+    )
+    return (
+        o.join(F.broadcast(med.select("event_type", "med")), "event_type")
+        .join(F.broadcast(mad), "event_type")
+        .select(
+            "event_type",
+            "n",
+            F.col("med").alias("median_value"),
+            "mad",
+            "n_outliers",
+            "max_abs_dev",
+        )
+        .orderBy("event_type")
+    )
