@@ -1081,3 +1081,116 @@ def _jaccard_bitmap(
         "jaccard",
     )
     return out.orderBy(F.col("jaccard").desc(), "u", "v").limit(20)
+
+
+# -- k-core decomposition (iterative peeling) ---------------------------------
+
+#: k for graph_kcore — a literal shared verbatim with the oracle. Chosen
+#: below the fixture's median degree (sf0.01 median 10) so peeling is
+#: nontrivial (survivors and casualties both nonempty at sf0.01; the tiny
+#: sf0.001 graph peels to empty, which both engines agree on).
+_KCORE_K = 5
+#: peeling-round bound. The Spark loop raises loudly past it; the oracle
+#: unrolls exactly this many rounds, which is EXACT for any graph that
+#: converges within the bound because peeling is monotone — once stable,
+#: further rounds are identity (extra unrolls are no-ops). Fixture graphs
+#: converge in 2; chains/trees need ~diameter rounds, hence the headroom.
+_KCORE_ROUNDS = 12
+
+
+def _kcore_round_sql(prev: str) -> str:
+    """One peeling round: keep nodes with >= k alive neighbors."""
+    return f"""
+        SELECT t.s AS node FROM sym t
+        JOIN {prev} a ON a.node = t.s
+        JOIN {prev} b ON b.node = t.d
+        GROUP BY t.s HAVING count(*) >= {_KCORE_K}
+    """
+
+
+#: each round references the previous one TWICE (both join sides), so an
+#: inlined CTE chain doubles the plan per round — 2^12 base scans blew
+#: DuckDB's file-handle budget. AS MATERIALIZED pins each round to one
+#: evaluation (exactly what the Spark loop's localCheckpoint does).
+_KCORE_CHAIN = ",\n".join(
+    f"r{i} AS MATERIALIZED ({_kcore_round_sql(f'r{i - 1}')})"
+    for i in range(1, _KCORE_ROUNDS + 1)
+)
+
+
+@query(
+    "graph_kcore",
+    family="graph",
+    oracle=f"""
+        WITH {_EDGES_CTE},
+        sym AS MATERIALIZED (
+          SELECT u AS s, v AS d FROM edges
+          UNION ALL
+          SELECT v AS s, u AS d FROM edges
+        ),
+        r0 AS MATERIALIZED (SELECT DISTINCT s AS node FROM sym),
+        {_KCORE_CHAIN}
+        SELECT t.s AS user_id,
+               CAST(count(*) AS BIGINT) AS core_degree
+        FROM sym t
+        JOIN r{_KCORE_ROUNDS} a ON a.node = t.s
+        JOIN r{_KCORE_ROUNDS} b ON b.node = t.d
+        GROUP BY t.s
+        ORDER BY user_id
+    """,
+)
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The {_KCORE_K}-core of the co-occurrence graph: the maximal subgraph
+    where every node keeps >= {_KCORE_K} neighbors INSIDE the subgraph —
+    the standard dense-community extractor (peeling, Matula & Beck 1983;
+    public algorithm), emitted as (user_id, degree-within-core).
+
+    Third fixpoint engine in the family (PageRank: unrolled power
+    iteration; connected components: min-label propagation; here: monotone
+    set shrinking). Each round is one equi-join of the symmetric edge list
+    against the current alive set plus a count aggregate — shuffles only
+    (node, neighbor) ids, lineage truncated per round via localCheckpoint,
+    convergence detected by the alive count (the set only shrinks, so
+    equal counts == fixpoint). The oracle unrolls {_KCORE_ROUNDS} rounds,
+    which is exact for any run the Spark guard admits because peeling is
+    idempotent at the fixpoint — two different termination rules, same
+    set. Everything is integers; agreement is exact."""
+    e = _edges(spark, sf_dir)
+    sym = (
+        e.select(F.col("u").alias("s"), F.col("v").alias("d"))
+        .unionAll(e.select(F.col("v").alias("s"), F.col("u").alias("d")))
+        .localCheckpoint()
+    )
+    alive = sym.select(F.col("s").alias("node")).distinct().localCheckpoint()
+    n_alive = alive.count()
+    for _ in range(_KCORE_ROUNDS):
+        nxt = (
+            sym.join(alive.withColumnRenamed("node", "s"), "s")
+            .join(
+                alive.select(F.col("node").alias("d")),
+                "d",
+            )
+            .groupBy("s")
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .filter(F.col("deg") >= _KCORE_K)
+            .select(F.col("s").alias("node"))
+            .localCheckpoint()
+        )
+        n_next = nxt.count()
+        if n_next == n_alive:
+            break
+        alive, n_alive = nxt, n_next
+    else:
+        raise RuntimeError(
+            f"k-core peeling did not converge in {_KCORE_ROUNDS} rounds — "
+            "raise _KCORE_ROUNDS (and regenerate the oracle chain) for "
+            "this graph's diameter"
+        )
+    return (
+        sym.join(alive.withColumnRenamed("node", "s"), "s")
+        .join(alive.select(F.col("node").alias("d")), "d")
+        .groupBy("s")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("core_degree"))
+        .select(F.col("s").alias("user_id"), "core_degree")
+        .orderBy("user_id")
+    )

@@ -72,12 +72,17 @@ def query(
 #: Names not in the registry are ignored, so this list is safe across
 #: refactors; everything else follows in registration order.
 _PRIORITY: tuple[str, ...] = (
-    # new this round / plan changed since last green — highest signal
+    # new this round / plan changed since last green — highest signal.
+    # (graph_link_prediction_cn / graph_triangle_count changed only by
+    # mask-table memoization — same plan shape, re-proven by the in-suite
+    # parity every run — so they queue BEHIND the stale cohorts rather
+    # than spend window slots; dq_mad_outliers likewise waits just past
+    # the r2 block so the 45-query stale-rotation target holds.)
     "multimodal_decode_png",
     "text_bpe_first_merge",
     "graph_link_prediction_jaccard",
-    "graph_link_prediction_cn",
-    "graph_triangle_count",
+    "corpus_url_dedup",
+    "graph_kcore",
     # round-1 cohort: the oldest driver greens (6 rounds stale)
     "join_inner",
     "join_left_outer",
@@ -133,7 +138,12 @@ _PRIORITY: tuple[str, ...] = (
     "setop_union_all",
     "setop_union_distinct",
     "setop_intersect",
-    # round-3 cohort spills into round 7's lead
+    # new/changed r7 entries that didn't fit the 45-stale window budget,
+    # then memo-only-changed graph queries — first in line for round 8
+    "dq_mad_outliers",
+    "graph_link_prediction_cn",
+    "graph_triangle_count",
+    # round-3 cohort follows for round 8's window
     "subquery_scalar",
     "subquery_in",
     "subquery_exists_correlated",
