@@ -818,6 +818,7 @@ def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "graph_link_prediction_jaccard",
     family="graph",
+    bench=True,
     oracle=f"""
         WITH {_EDGES_CTE},
         adj AS (
