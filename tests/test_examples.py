@@ -184,3 +184,31 @@ def test_incremental_consumer_matches_full_recompute(spark, tmp_path):
 
     # the mark is recoverable from history alone
     assert mod.last_synced_version(agg) == 3
+
+
+def test_timetravel_audit_pipeline_runs_end_to_end(spark, tmp_path):
+    """The r7 time-travel surface exercised as a composed DAG: versioned
+    loads/revisions through PythonTask, then PLAIN Snowflake SQL through
+    SqlTask — AT(OFFSET => 0) vs BEFORE(STATEMENT => 2) audit diff and a
+    CLONE ... AT(VERSION => 1) freeze — verified against the manifest
+    history (VERDICT r6 item 2's golden pipeline)."""
+    import timetravel_audit_pipeline as tt
+    from bfs_etl_sep2025_spark.plans.versioned import (
+        unregister_versioned_table,
+    )
+
+    dag, (load, revise, audit, freeze, verify) = tt.build(
+        str(tmp_path / "prices")
+    )
+    try:
+        dag.run(spark)
+    finally:
+        unregister_versioned_table("prices_v")
+        spark.sql("DROP TABLE IF EXISTS prices_frozen_v1")
+    assert load.last_result == {"version": 1}
+    assert revise.last_result == {"upsert_version": 2, "delete_version": 3}
+    assert verify.last_result["audit_rows"] == 3
+    assert verify.last_result["frozen_rows"] == 3
+    assert verify.last_result["ops"] == ["create", "upsert", "delete"]
+    # the shim really rewrote the time-travel clauses (not passed through)
+    assert any("__tt_prices_v_v" in s for s in audit.executed)
