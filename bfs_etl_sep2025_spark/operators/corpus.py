@@ -784,3 +784,124 @@ def corpus_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_docs") > 1)
         .orderBy("canonical_url")
     )
+
+
+# -- content-defined chunking dedup (rolling-boundary, insertion-robust) -----
+
+#: hash-window width and boundary divisor for content-defined chunking:
+#: position p starts a new chunk when bucket(md5(text[p .. p+W-1])) == 0,
+#: giving expected chunk length ~= _CDC_DIV chars. Fixed-stride chunking
+#: (corpus_chunk_dedup) misses duplicates shifted by ONE inserted char;
+#: content-defined boundaries move WITH the content, so shifted copies
+#: re-synchronize after at most one chunk — the dedup property CDC storage
+#: systems and FineWeb-style span dedup rely on.
+_CDC_W = 16
+_CDC_DIV = 64
+
+
+@query(
+    "corpus_cdc_chunk_dedup",
+    family="corpus",
+    oracle=f"""
+        WITH cands AS (
+          SELECT doc_id, text, n_chars, CAST(t.p AS BIGINT) AS p
+          FROM documents, UNNEST(range(2, n_chars - {_CDC_W} + 2)) AS t(p)
+          WHERE n_chars > 0
+            AND {_sql_bucket(f"substr(text, CAST(t.p AS INT), {_CDC_W})",
+                             _CDC_DIV)} = 0
+        ),
+        bounds AS (
+          SELECT doc_id, text, n_chars, CAST(1 AS BIGINT) AS p
+          FROM documents WHERE n_chars > 0
+          UNION ALL
+          SELECT doc_id, text, n_chars, p FROM cands
+        ),
+        chunks AS (
+          SELECT doc_id,
+                 md5(substr(text, CAST(p AS INT),
+                     CAST(coalesce(lead(p) OVER (PARTITION BY doc_id
+                                                 ORDER BY p),
+                                   n_chars + 1) - p AS INT))) AS chunk_md5
+          FROM bounds
+        )
+        SELECT chunk_md5,
+               CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+               CAST(count(*) AS BIGINT) AS n_occurrences,
+               min(doc_id) AS keeper_doc
+        FROM chunks
+        GROUP BY chunk_md5
+        HAVING count(DISTINCT doc_id) > 1
+        ORDER BY chunk_md5
+    """,
+)
+def corpus_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document span dedup with CONTENT-DEFINED chunk boundaries:
+    a position starts a chunk when the hash of its {_CDC_W}-char window
+    lands in bucket 0 of {_CDC_DIV} (expected chunk ~{_CDC_DIV} chars), so
+    boundaries are a pure function of local content. Unlike the
+    fixed-stride twin (``corpus_chunk_dedup``), a copy of a passage
+    shifted by an insertion re-synchronizes on the same boundaries after
+    at most one chunk — the property storage CDC (LBFS/rsync lineage,
+    public literature) and span-level corpus dedup exploit. Emits the
+    chunks appearing in more than one document, deterministic keeper.
+
+    Scale notes (100 TB): the boundary scan explodes one row PER CHAR —
+    the honest cost of content-defined chunking — but the candidate test
+    is fused into the same codegen'd projection and filters ~(1 - 1/{_CDC_DIV})
+    of positions BEFORE anything shuffles; the per-doc boundary window is
+    keyed on doc_id (never global), and the dedup group-by ships only
+    (md5, doc_id) pairs, the chunk_dedup discipline. A production run caps
+    the max chunk length (a second boundary predicate) to bound the tail
+    where no window hashes to zero; the fixture's ~300-char docs don't
+    need the cap, and both engines here run the SAME uncapped rule."""
+    from pyspark.sql import Window as W
+
+    d = load(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    cands = d.select(
+        "doc_id",
+        "text",
+        "n_chars",
+        F.explode(
+            F.sequence(
+                F.lit(2).cast("bigint"),
+                (F.col("n_chars") - _CDC_W + 1).cast("bigint"),
+            )
+        ).alias("p"),
+    ).filter(
+        _bucket(
+            F.expr(f"substring(text, CAST(p AS INT), {_CDC_W})"), _CDC_DIV
+        )
+        == 0
+    )
+    first = d.select(
+        "doc_id", "text", "n_chars", F.lit(1).cast("bigint").alias("p")
+    )
+    bounds = first.unionByName(cands.select("doc_id", "text", "n_chars", "p"))
+    nxt = F.coalesce(
+        F.lead("p").over(W.partitionBy("doc_id").orderBy("p")),
+        F.col("n_chars") + 1,
+    )
+    # _len must exist before the substring expr references it: the window
+    # function cannot sit inside substring's args, so compute it in a
+    # prior select
+    chunks = (
+        bounds.select(
+            "doc_id", "text", "p", (nxt - F.col("p")).alias("_len")
+        )
+        .select(
+            "doc_id",
+            F.md5(
+                F.expr("substring(text, CAST(p AS INT), CAST(_len AS INT))")
+            ).alias("chunk_md5"),
+        )
+    )
+    return (
+        chunks.groupBy("chunk_md5")
+        .agg(
+            F.count_distinct("doc_id").cast("bigint").alias("n_docs"),
+            F.count(F.lit(1)).cast("bigint").alias("n_occurrences"),
+            F.min("doc_id").alias("keeper_doc"),
+        )
+        .filter(F.col("n_docs") > 1)
+        .orderBy("chunk_md5")
+    )

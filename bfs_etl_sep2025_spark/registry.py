@@ -141,6 +141,7 @@ _PRIORITY: tuple[str, ...] = (
     # new/changed r7 entries that didn't fit the 45-stale window budget,
     # then memo-only-changed graph queries — first in line for round 8
     "dq_mad_outliers",
+    "corpus_cdc_chunk_dedup",
     "graph_link_prediction_cn",
     "graph_triangle_count",
     # round-3 cohort follows for round 8's window
