@@ -554,3 +554,92 @@ def window_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "event_id")
     )
+
+
+@query(
+    "window_time_weighted_avg",
+    family="windows",
+    oracle="""
+        WITH e AS (
+          SELECT user_id, event_id, value, epoch_us(ts) AS tus
+          FROM events WHERE value IS NOT NULL
+        ),
+        d AS (
+          SELECT user_id, value,
+                 lead(tus) OVER (PARTITION BY user_id
+                                 ORDER BY tus, event_id) - tus AS dur
+          FROM e
+        )
+        SELECT user_id,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(sum(dur) AS BIGINT) AS total_us,
+               (CAST(CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)
+                               * dur) AS BIGINT) AS DOUBLE)
+                / CAST(sum(dur) AS BIGINT)) / 100.0 AS twa
+        FROM d
+        GROUP BY user_id
+        HAVING sum(dur) > 0
+        ORDER BY user_id
+    """,
+)
+def window_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average of ``value`` per user (TimescaleDB's
+    ``time_weight`` / the kdb+ twa idiom, locf weighting): each observation
+    counts for the microseconds until the NEXT observation, so irregular
+    sampling doesn't bias the mean toward burst periods — the correct
+    average for sensor/price-style event streams. The last observation per
+    user carries no duration (open interval) and weighs zero; single-event
+    users are dropped (no elapsed time to average over).
+
+    Engine-exactness (the pagerank fixed-point discipline): durations are
+    exact BIGINT microsecond diffs of the naive-UTC timestamps
+    (unix_micros/epoch_us); ``value`` is lifted to exact centi-units with
+    ``floor(v * 100 + 0.5)`` (fixture values are 2-dp; the lift is the
+    same IEEE sequence both engines — NOT the engine-divergent round()),
+    so the weighted numerator is an order-independent BIGINT sum and the
+    closing ``(num / total_us) / 100`` is a fixed two-op IEEE sequence.
+    A DECIMAL(38,4) accumulator over raw ``value * dur`` doubles is NOT
+    enough here: the products need ~17 significant decimal digits and
+    Spark's double->decimal cast rounds the SHORTEST string representation
+    while DuckDB rounds the exact binary expansion — last-ulp mismatches.
+    Ties in ``ts`` order deterministically by event_id — a zero-length
+    interval then weighs zero, same in both engines.
+
+    Scale: one per-user window (keyed shuffle, never global) + one hash
+    aggregate with map-side combine — the window_sessionize shape."""
+    ev = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "user_id",
+            "event_id",
+            "value",
+            # unix_micros takes TIMESTAMP only; the NTZ->TS cast is an
+            # identity shift under the session's pinned UTC zone, matching
+            # DuckDB's epoch_us over the same naive values
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("tus"),
+        )
+    )
+    w = W.partitionBy("user_id").orderBy("tus", "event_id")
+    d = ev.select(
+        "user_id",
+        "value",
+        (F.lead("tus").over(w) - F.col("tus")).alias("dur"),
+    )
+    v100 = F.floor(F.col("value") * 100.0 + 0.5).cast("bigint")
+    return (
+        d.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum("dur").cast("bigint").alias("total_us"),
+            (
+                (
+                    F.sum(v100 * F.col("dur")).cast("bigint").cast("double")
+                    / F.sum("dur").cast("bigint")
+                )
+                / F.lit(100.0)
+            ).alias("twa"),
+        )
+        .filter(F.col("total_us") > 0)
+        .orderBy("user_id")
+    )

@@ -142,6 +142,7 @@ _PRIORITY: tuple[str, ...] = (
     # then memo-only-changed graph queries — first in line for round 8
     "dq_mad_outliers",
     "corpus_cdc_chunk_dedup",
+    "window_time_weighted_avg",
     "graph_link_prediction_cn",
     "graph_triangle_count",
     # round-3 cohort follows for round 8's window
