@@ -194,3 +194,40 @@ def test_nlj_condition_parser_units():
     assert _nlj_condition(
         "BroadcastNestedLoopJoin BuildRight, Inner, (bit_count(x#3"
     ) == "(bit_count(x#3"
+
+
+def test_wide_mask_explode_path_matches_chain(spark, monkeypatch):
+    """The WIDE-mask scoring form (explode + codegen'd SUM — the path sf1's
+    233-word masks take, where unrolled chains overflow Janino's 64 KB
+    method limit) must be row-identical to the narrow chain form for both
+    link-prediction queries and the triangle count. The memo is cleared
+    around the flip so the chain-built candidate cache cannot mask the
+    wide build (and cleared after, so other tests see narrow-path plans)."""
+    want_j = [
+        tuple(r)
+        for r in graph.graph_link_prediction_jaccard(spark, SF).collect()
+    ]
+    want_c = [
+        tuple(r) for r in graph.graph_link_prediction_cn(spark, SF).collect()
+    ]
+    want_t = graph.graph_triangle_count(spark, SF).collect()[0]
+    graph.clear_edge_memo()
+    monkeypatch.setattr(graph, "_CHAIN_MAX_WORDS", 0)
+    try:
+        got_j = [
+            tuple(r)
+            for r in graph.graph_link_prediction_jaccard(spark, SF).collect()
+        ]
+        got_c = [
+            tuple(r)
+            for r in graph.graph_link_prediction_cn(spark, SF).collect()
+        ]
+        got_t = graph.graph_triangle_count(spark, SF).collect()[0]
+    finally:
+        graph.clear_edge_memo()
+    assert got_j == want_j and len(want_j) == 20
+    assert got_c == want_c and len(want_c) == 20
+    assert (got_t.n_edges, got_t.n_triangles) == (
+        want_t.n_edges,
+        want_t.n_triangles,
+    )
