@@ -56,143 +56,107 @@ def query(
 
 #: Names promoted to the FRONT of ``queries()``/``oracle_sql()`` iteration
 #: order. The external driver hash-checks queries in iteration order under a
-#: ~50-query/round budget; the union across rounds covers 200/200, so each
+#: ~50-query/round budget; the union across rounds covers 204/207, so each
 #: round's job is to keep the OLDEST green signal fresh and to re-verify any
-#: query whose code changed since its last driver row. Round-7 window
-#: (VERDICT r6 "next round" item 1 — finish the rotation: after r6, 102
-#: queries' newest external row was r1–r3 era): lead with the queries that
-#: are NEW this round (``multimodal_decode_png`` — the stdlib PNG codec;
-#: ``text_bpe_first_merge`` — the BPE argmax oracled) or whose PLAN changed
-#: (``graph_link_prediction_jaccard`` — exemplar collapse;
-#: ``graph_link_prediction_cn``/``graph_triangle_count`` — shared memoized
-#: mask tables), then the ROUND-1 cohort (the single oldest greens: joins +
-#: scalar-function suites, 6 rounds stale), then the round-2 leftovers the
-#: r6 window did not reach (funnel/windows/setops/sinks/streaming-batch).
-#: The r3 cohort follows for whatever budget remains and leads round 8.
-#: Names not in the registry are ignored, so this list is safe across
-#: refactors; everything else follows in registration order.
+#: query whose code changed since its last driver row.
+#:
+#: This list is GENERATED: run ``python scripts/staleness_ledger.py
+#: --priority`` (which diffs CORRECTNESS_r*.json into latest-round-per-query)
+#: and paste its output here, after setting the script's ``PLAN_CHANGED``
+#: tuple for any query restructured since its last green. Round-8 window
+#: (VERDICT r7 item 1): the 3 queries that landed after the r7 driver run and
+#: have NO external row yet lead, then the two plan-changed graph queries,
+#: then three named-priority r3 joins (VERDICT r7 item 8 — the joins most
+#: likely to drift under Spark upgrades), then the 8 r2 stragglers and the
+#: r3 cohort oldest-first. Names not in the registry are ignored, so this
+#: list is safe across refactors; everything else follows registration order.
 _PRIORITY: tuple[str, ...] = (
-    # new this round / plan changed since last green — highest signal.
-    # (graph_link_prediction_cn / graph_triangle_count changed only by
-    # mask-table memoization — same plan shape, re-proven by the in-suite
-    # parity every run — so they queue BEHIND the stale cohorts rather
-    # than spend window slots; dq_mad_outliers likewise waits just past
-    # the r2 block so the 45-query stale-rotation target holds.)
-    "multimodal_decode_png",
-    "text_bpe_first_merge",
-    "graph_link_prediction_jaccard",
-    "corpus_url_dedup",
-    "graph_kcore",
-    # round-1 cohort: the oldest driver greens (6 rounds stale)
-    "join_inner",
-    "join_left_outer",
-    "join_right_outer",
-    "join_full_outer",
-    "join_left_semi",
-    "join_left_anti",
-    "join_cross",
-    "join_broadcast_dim",
-    "join_range",
-    "dedup_simhash",
-    "dedup_simhash_pairs",
-    "dedup_ngram_jaccard",
-    "scan_jsonlines",
-    "scan_csv_roundtrip",
-    "unpivot_stack",
-    "fn_string_suite",
-    "fn_date_suite",
-    "fn_math_suite",
-    "fn_json_extraction",
-    "fn_array_suite",
-    "fn_regex_extended",
-    "fn_explode_posexplode",
-    "fn_conditional_agg",
-    "fn_null_suite",
-    "fn_string_agg",
-    "fn_date_extended",
-    "fn_string_extended",
-    "fn_bitwise",
-    "fn_map_suite",
-    # round-2 leftovers the r6 window did not reach (5 rounds stale)
-    "funnel_ordered_steps",
-    "retention_cohorts",
-    "event_path_transitions",
-    "stream_stream_interval_join",
-    "layout_zorder_clustering",
-    "incremental_agg_merge",
-    "events_hypertable_rollup",
-    "window_ranking",
-    "window_analytic",
-    "window_row_frames",
-    "window_range_frame",
-    "window_distribution",
-    "topk_per_group",
-    "window_sessionize",
-    "scan_projection_pushdown",
-    "filter_predicates",
-    "project_computed_columns",
-    "null_safe_equality",
-    "sink_partitioned_roundtrip",
-    "cdc_latest_per_key",
-    "scd2_intervals",
-    "setop_union_all",
-    "setop_union_distinct",
-    "setop_intersect",
-    # new/changed r7 entries that didn't fit the 45-stale window budget,
-    # then memo-only-changed graph queries — first in line for round 8
+    # never externally checked (landed after the r7 driver run, plus r8's
+    # new queries):
     "dq_mad_outliers",
     "corpus_cdc_chunk_dedup",
     "window_time_weighted_avg",
+    "corpus_duplicate_spans",
+    "corpus_span_removal",
+    "dq_benford_digits",
+    "window_gap_fill",
+    # plan changed since latest green (r7 twin collapse + memoized masks):
     "graph_link_prediction_cn",
     "graph_triangle_count",
-    # round-3 cohort follows for round 8's window
-    "subquery_scalar",
-    "subquery_in",
-    "subquery_exists_correlated",
-    "subquery_correlated_scalar",
-    "lateral_view_explode",
-    "similarity_topk_bruteforce",
-    "similarity_topk_lsh",
-    "similarity_ann_ivf",
-    "embedding_quantize_int8",
-    "text_token_stats",
-    "text_language_id",
-    "text_language_id_ngram",
-    "text_quality_score",
-    "text_fingerprint",
-    "text_term_scores",
-    "text_top_bigrams",
-    "text_gopher_rules",
-    "text_bpe_pretokenize",
-    "udf_python_scalar",
-    "udf_pandas_scalar",
-    "udf_grouped_map",
-    "udf_grouped_agg",
-    "stream_tumbling_window",
-    "stream_sliding_window",
-    "stream_session_window",
-    "stream_ingest_availablenow",
-    "stream_static_join",
-    "stream_dedup_stateful",
-    "multimodal_binary_meta",
-    "multimodal_feature_extract",
-    "multimodal_frame_sample",
-    "setop_except",
-    "setop_except_all",
-    "setop_intersect_all",
-    "distinct_pairs",
-    "sort_limit_topn",
-    "join_salted_skew",
+    # named priority (VERDICT r7 item 8): non-trivial join plans on r3 greens
     "join_asof",
-    "scan_orc_roundtrip",
-    "corpus_pack_sequences",
-    "text_repetition_ngrams",
-    "similarity_topk_lsh_multitable",
-    "diag_table_stats",
-    "events_anomaly_burst",
-    "udf_arrow_scalar",
-    "fn_higher_order_suite",
+    "join_salted_skew",
     "q9_product_profit",
+    # stale tail, oldest external green first (generated):
+    "project_computed_columns",  # r2
+    "null_safe_equality",  # r2
+    "sink_partitioned_roundtrip",  # r2
+    "cdc_latest_per_key",  # r2
+    "scd2_intervals",  # r2
+    "setop_union_all",  # r2
+    "setop_union_distinct",  # r2
+    "setop_intersect",  # r2
+    "subquery_scalar",  # r3
+    "subquery_in",  # r3
+    "subquery_exists_correlated",  # r3
+    "subquery_correlated_scalar",  # r3
+    "lateral_view_explode",  # r3
+    "similarity_topk_bruteforce",  # r3
+    "similarity_topk_lsh",  # r3
+    "similarity_ann_ivf",  # r3
+    "embedding_quantize_int8",  # r3
+    "text_token_stats",  # r3
+    "text_language_id",  # r3
+    "text_language_id_ngram",  # r3
+    "text_quality_score",  # r3
+    "text_fingerprint",  # r3
+    "text_term_scores",  # r3
+    "text_top_bigrams",  # r3
+    "text_gopher_rules",  # r3
+    "text_bpe_pretokenize",  # r3
+    "udf_python_scalar",  # r3
+    "udf_pandas_scalar",  # r3
+    "udf_grouped_map",  # r3
+    "udf_grouped_agg",  # r3
+    "stream_tumbling_window",  # r3
+    "stream_sliding_window",  # r3
+    "stream_session_window",  # r3
+    "stream_ingest_availablenow",  # r3
+    "stream_static_join",  # r3
+    "stream_dedup_stateful",  # r3
+    "multimodal_binary_meta",  # r3
+    "multimodal_feature_extract",  # r3
+    "multimodal_frame_sample",  # r3
+    "setop_except",  # r3
+    "setop_except_all",  # r3
+    "setop_intersect_all",  # r3
+    "distinct_pairs",  # r3
+    "sort_limit_topn",  # r3
+    "scan_orc_roundtrip",  # r3
+    "corpus_pack_sequences",  # r3
+    "text_repetition_ngrams",  # r3
+    "similarity_topk_lsh_multitable",  # r3
+    "diag_table_stats",  # r3
+    "events_anomaly_burst",  # r3
+    "udf_arrow_scalar",  # r3
+    "fn_higher_order_suite",  # r3
+    "fn_array_advanced",  # r3
+    "fn_struct_collect",  # r3
+    # r5 cohort leads round 9's window
+    "graph_degree_distribution",  # r5
+    "sql_recursive_cte",  # r5
+    "fn_sql_udf",  # r5
+    "fn_sql_table_udf",  # r5
+    "fn_session_variables",  # r5
+    "sql_scripting_block",  # r5
+    "dq_expectations",  # r5
+    "agg_corr_cov",  # r5
+    "agg_histogram",  # r5
+    "agg_heavy_hitter_tokens",  # r5
+    "agg_outliers_iqr",  # r5
+    "diag_key_skew",  # r5
+    "agg_mode_deterministic",  # r5
+    "corpus_budget_select",  # r5
 )
 
 
