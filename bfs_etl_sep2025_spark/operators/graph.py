@@ -1200,6 +1200,7 @@ _KCORE_CHAIN = ",\n".join(
 @query(
     "graph_kcore",
     family="graph",
+    bench=True,
     oracle=f"""
         WITH {_EDGES_CTE},
         sym AS MATERIALIZED (

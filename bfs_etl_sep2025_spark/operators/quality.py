@@ -344,6 +344,7 @@ _KS_PCT_MILLE = 30
 @query(
     "dq_ks_drift",
     family="quality",
+    bench=True,
     oracle=f"""
         WITH c AS (
           SELECT event_type, value,
@@ -593,4 +594,70 @@ def dq_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_abs_dev",
         )
         .orderBy("event_type")
+    )
+
+
+# -- Benford first-digit profile ---------------------------------------------
+
+
+@query(
+    "dq_benford_digits",
+    family="quality",
+    oracle="""
+        WITH v AS (
+          SELECT CAST(substr(CAST(CAST(floor(abs(l_extendedprice)) AS BIGINT)
+                                  AS VARCHAR), 1, 1) AS INT) AS digit
+          FROM lineitem
+          WHERE abs(l_extendedprice) >= 1
+        ),
+        c AS (SELECT digit, count(*) AS n FROM v GROUP BY digit),
+        t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM c)
+        SELECT digit,
+               CAST(n AS BIGINT) AS n_values,
+               CAST(n AS DOUBLE) / CAST(total AS DOUBLE) AS share
+        FROM c, t
+        ORDER BY digit
+    """,
+)
+def dq_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-significant-digit distribution of a monetary fact column —
+    the Benford's-law profile auditors and DQ monitors run on financial
+    facts (fabricated or truncated feeds skew the leading-digit histogram;
+    public forensic-accounting literature). Emits the observed digit
+    histogram and shares; the expected log10(1+1/d) curve is deliberately
+    NOT computed in-engine — libm log10 may differ in the last ulp across
+    engines (the cross-engine float discipline, functions/portable.py),
+    while n/total division of exact BIGINTs is IEEE-identical everywhere.
+
+    Scale: map-only projection (floor/abs/string-head, all codegen'd) into
+    a 9-bucket hash aggregate with map-side combine — the cheapest full
+    scan a 100 TB fact table can host; the total is a 9-row broadcast.
+
+    First digit via the decimal STRING head of floor(abs(x)) — not
+    repeated division — so both engines take the identical integer
+    rendering path."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.abs(F.col("l_extendedprice")) >= 1
+    )
+    v = li.select(
+        F.substring(
+            F.floor(F.abs("l_extendedprice")).cast("bigint").cast("string"),
+            1,
+            1,
+        )
+        .cast("int")
+        .alias("digit")
+    )
+    c = v.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    t = c.agg(F.sum("n").cast("bigint").alias("total"))
+    return (
+        c.crossJoin(F.broadcast(t))
+        .select(
+            "digit",
+            F.col("n").cast("bigint").alias("n_values"),
+            (F.col("n").cast("double") / F.col("total").cast("double")).alias(
+                "share"
+            ),
+        )
+        .orderBy("digit")
     )

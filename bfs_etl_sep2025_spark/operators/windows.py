@@ -643,3 +643,91 @@ def window_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("total_us") > 0)
         .orderBy("user_id")
     )
+
+
+# -- gap fill + LOCF (hypertable continuous-aggregate completion) -----------
+
+
+@query(
+    "window_gap_fill",
+    family="windows",
+    oracle="""
+        WITH obs AS (
+          SELECT user_id, date_trunc('hour', ts) AS bucket_hour,
+                 count(*) AS n, max(value) AS vmax
+          FROM events WHERE user_id % 97 = 0
+          GROUP BY 1, 2
+        ),
+        bounds AS (
+          SELECT user_id, min(bucket_hour) AS lo, max(bucket_hour) AS hi
+          FROM obs GROUP BY user_id
+        ),
+        grid AS (
+          SELECT user_id, CAST(t.s AS TIMESTAMP) AS bucket_hour
+          FROM bounds, UNNEST(generate_series(lo, hi, INTERVAL 1 HOUR))
+            AS t(s)
+        ),
+        j AS (
+          SELECT grid.user_id, grid.bucket_hour,
+                 coalesce(obs.n, 0) AS n, obs.vmax AS observed
+          FROM grid LEFT JOIN obs USING (user_id, bucket_hour)
+        )
+        SELECT user_id, bucket_hour,
+               CAST(n AS BIGINT) AS n_events,
+               CAST(n = 0 AS INT) AS gap_filled,
+               last_value(observed IGNORE NULLS) OVER (
+                 PARTITION BY user_id ORDER BY bucket_hour) AS locf_value
+        FROM j
+        ORDER BY user_id, bucket_hour
+    """,
+)
+def window_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bucket GAP FILL with last-observation-carried-forward — the
+    hypertable completion operator (TimescaleDB ``time_bucket_gapfill`` +
+    ``locf``, public docs): every hour between a user's first and last
+    event exists in the output, missing hours appear with ``n_events = 0``
+    and ``gap_filled = 1``, and ``locf_value`` carries the most recent
+    observed hourly max forward across the gap. Dashboards and
+    training-feature windows need the dense grid; the raw event stream is
+    sparse.
+
+    The per-hour carried value is ``max(value)`` — order-independent and
+    exact on doubles, so cross-engine-safe without the DECIMAL detour
+    (portable.py discipline: never order-dependent float sums).
+
+    Scale notes (100 TB): the raw stream reduces per (user, hour) FIRST
+    (map-side combine; the shuffle ships bucket rows, never events); the
+    dense grid is a codegen'd ``sequence``/``explode`` over per-user
+    bounds — output is O(active hours), generated, not shuffled; the
+    gap-fill join and the LOCF window both key on user_id, so one
+    exchange of the bucket rows serves both (no global window anywhere)."""
+    ev = load(spark, sf_dir, "events").filter(F.col("user_id") % 97 == 0)
+    obs = ev.select(
+        "user_id", F.date_trunc("hour", "ts").alias("bucket_hour"), "value"
+    ).groupBy("user_id", "bucket_hour").agg(
+        F.count(F.lit(1)).alias("n"), F.max("value").alias("vmax")
+    )
+    grid = (
+        obs.groupBy("user_id")
+        .agg(F.min("bucket_hour").alias("lo"), F.max("bucket_hour").alias("hi"))
+        .select(
+            "user_id",
+            F.explode(
+                F.expr("sequence(lo, hi, interval 1 hour)")
+            ).alias("bucket_hour"),
+        )
+    )
+    j = grid.join(obs, ["user_id", "bucket_hour"], "left").select(
+        "user_id",
+        "bucket_hour",
+        F.coalesce(F.col("n"), F.lit(0)).alias("n"),
+        F.col("vmax").alias("observed"),
+    )
+    w = W.partitionBy("user_id").orderBy("bucket_hour")
+    return j.select(
+        "user_id",
+        "bucket_hour",
+        F.col("n").cast("bigint").alias("n_events"),
+        (F.col("n") == 0).cast("int").alias("gap_filled"),
+        F.last("observed", ignorenulls=True).over(w).alias("locf_value"),
+    ).orderBy("user_id", "bucket_hour")

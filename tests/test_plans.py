@@ -543,6 +543,7 @@ _SANCTIONED_BNLJ = {
     "agg_heavy_hitter_tokens": "corpus-total scalar attach",
     "text_zipf_rank": "corpus-total scalar attach",
     "graph_pagerank": "dangling-mass + node-count scalar attaches",
+    "dq_benford_digits": "9-bucket histogram x 1-row total scalar attach",
     "similarity_ann_pq": "broadcast ADC lookup-table attach",
     "sql_recursive_cte": "UnionLoop internals join the anchor scalar",
     # bounded-query broadcast scans (|Q| fixed, heavy expr OUT of the
