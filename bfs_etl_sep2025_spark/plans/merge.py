@@ -599,6 +599,27 @@ def run_merge(spark, stmt: str) -> None:
     decision = _partition_pruning(spark, spec)
     pruning = decision is not None and decision[0] is not None
     pin_view = decision[4] if decision is not None else None
+    try:
+        _run_merge_body(spark, spec, decision, pruning, pin_view)
+    finally:
+        # unconditional: _check_deterministic/_rewrite/CREATE TABLE stage
+        # can raise BEFORE the success path's cleanup, and the
+        # localCheckpointed __merge_src_pin_* view pins RDD blocks for the
+        # session lifetime if it survives (ADVICE r7)
+        view = "__merge_pruned_" + re.sub(r"\W", "_", spec.target)
+        for v in (pin_view, view):
+            if v is not None:
+                try:
+                    spark.catalog.dropTempView(v)
+                except Exception:
+                    pass
+    # drop cached file listings for the overwritten target: a reader that
+    # scanned the table before this MERGE would otherwise chase deleted
+    # part files (FAILED_READ_FILE on the second upsert of a stream sink)
+    spark.sql(f"REFRESH TABLE {spec.target}")
+
+
+def _run_merge_body(spark, spec, decision, pruning, pin_view) -> None:
     view = None
     if pruning:
         pred, touched, pcols, names, _ = decision
@@ -667,13 +688,5 @@ def run_merge(spark, stmt: str) -> None:
             )
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {stage}")
-        # the stage table is materialized, so the pin/pruned temp views are
-        # no longer referenced — drop them so the localCheckpointed source
-        # blocks don't stay pinned for the session lifetime (ADVICE r6)
-        for v in (pin_view, view):
-            if v is not None:
-                spark.catalog.dropTempView(v)
-    # drop cached file listings for the overwritten target: a reader that
-    # scanned the table before this MERGE would otherwise chase deleted
-    # part files (FAILED_READ_FILE on the second upsert of a stream sink)
-    spark.sql(f"REFRESH TABLE {spec.target}")
+        # pin/pruned temp view cleanup lives in run_merge's outer finally,
+        # which also covers failures raised before this point

@@ -465,7 +465,18 @@ def _resolve_time_travel(
                 dt.replace(tzinfo=timezone.utc).timestamp() * 1_000_000
             )
         v = vt.version_at(ts_us, strict_before=strict)
-    view = "__tt_" + re.sub(r"\W", "_", name) + f"_v{v}"
+    # keyed on the registered ROOT, not the SQL name (ADVICE r7): the same
+    # snapshot queried twice — or under a re-registered alias — reuses ONE
+    # catalog entry (createOrReplaceTempView of identical content), so a
+    # long-lived session's catalog grows only with DISTINCT snapshots read,
+    # and a later re-registration of the name to a different root can never
+    # be masked by a stale view. The view must NOT be dropped eagerly:
+    # statements like CREATE VIEW x AS SELECT ... AT(...) re-resolve it
+    # lazily on every read of x.
+    import hashlib
+
+    root_key = hashlib.md5(vt.root.encode()).hexdigest()[:12]
+    view = "__tt_" + re.sub(r"\W", "_", name) + f"_{root_key}_v{v}"
     vt.read(v).createOrReplaceTempView(view)
     return view
 

@@ -4,6 +4,7 @@ the 'a reference user can switch' claim, executed."""
 from __future__ import annotations
 
 import importlib
+import re
 import os
 import sys
 
@@ -211,4 +212,4 @@ def test_timetravel_audit_pipeline_runs_end_to_end(spark, tmp_path):
     assert verify.last_result["frozen_rows"] == 3
     assert verify.last_result["ops"] == ["create", "upsert", "delete"]
     # the shim really rewrote the time-travel clauses (not passed through)
-    assert any("__tt_prices_v_v" in s for s in audit.executed)
+    assert any(re.search(r"__tt_prices_v_[0-9a-f]{12}_v\d", s) for s in audit.executed)
