@@ -80,6 +80,7 @@ _PRIORITY: tuple[str, ...] = (
     "corpus_span_removal",
     "dq_benford_digits",
     "window_gap_fill",
+    "multimodal_decode_jpeg_lossless",
     # plan changed since latest green (r7 twin collapse + memoized masks):
     "graph_link_prediction_cn",
     "graph_triangle_count",

@@ -10,8 +10,10 @@ import pytest
 
 from bfs_etl_sep2025_spark.operators.multimodal import (
     decode_image,
+    decode_jpeg_lossless,
     decode_ppm,
     decode_wav_pcm16,
+    encode_jpeg_lossless,
     encode_ppm,
     encode_wav_pcm16,
 )
@@ -40,11 +42,71 @@ def test_decode_image_routes_ppm():
     assert decode_image(encode_ppm(px))[2] == px
 
 
-def test_decode_image_stubs_compressed():
-    """JPEG remains honestly stubbed (its codec is genuinely absent) —
-    PNG no longer is (see the PNG suite below)."""
+def test_decode_image_stubs_lossy_dct():
+    """LOSSY baseline-DCT JPEG remains honestly stubbed (its codec is
+    genuinely absent and its raster is not oracle-recomputable) — PNG and
+    LOSSLESS JPEG no longer are (see their suites below)."""
+    sof0 = b"\xff\xd8\xff\xc0" + struct.pack(">H", 11) + bytes(9)
     with pytest.raises(NotImplementedError, match="STUB"):
-        decode_image(b"\xff\xd8\xff\xe0" + bytes(16))
+        decode_image(sof0)
+
+
+# -- lossless JPEG: real T.81 §H codec, canonical Huffman + predictor --------
+
+
+def test_jpeg_lossless_round_trip_random():
+    import random
+
+    rng = random.Random(7)
+    for _ in range(50):
+        w = rng.choice([1, 3, 8, 24, 31])
+        h = rng.choice([1, 2, 8, 9])
+        px = bytes(rng.randrange(256) for _ in range(w * h))
+        assert decode_jpeg_lossless(encode_jpeg_lossless(px, w, h)) == (
+            w,
+            h,
+            px,
+        )
+
+
+def test_jpeg_lossless_round_trip_extremes():
+    """All-0x00/all-0xFF rasters force maximum-magnitude differences and
+    byte-stuffing-heavy entropy streams; ramps force every category."""
+    for px in (
+        bytes(192),
+        bytes([255]) * 192,
+        bytes(range(192)),
+        bytes(reversed(range(192))),
+    ):
+        assert decode_jpeg_lossless(encode_jpeg_lossless(px))[2] == px
+
+
+def test_jpeg_lossless_is_spec_compliant_container():
+    """The emitted stream is a valid T.81 interchange format: SOI, SOF3
+    with the declared geometry, a DHT carrying the Annex-K DC table, an
+    SOS selecting predictor 1, and a final EOI."""
+    px = bytes(range(192))
+    buf = encode_jpeg_lossless(px)
+    assert buf[:2] == b"\xff\xd8" and buf[-2:] == b"\xff\xd9"
+    assert buf[2:4] == b"\xff\xc3"  # SOF3 immediately after SOI
+    precision, h, w, nf = struct.unpack_from(">BHHB", buf, 6)
+    assert (precision, h, w, nf) == (8, 8, 24, 1)
+    assert b"\xff\xc4" in buf and b"\xff\xda" in buf
+
+
+def test_jpeg_lossless_rejects_malformed():
+    px = bytes(range(24))
+    buf = bytearray(encode_jpeg_lossless(px, 24, 1))
+    with pytest.raises(ValueError, match="SOI"):
+        decode_jpeg_lossless(b"NOPE" + bytes(buf))
+    truncated = bytes(buf[:6])  # SOI + SOF3 marker, no body
+    with pytest.raises(ValueError):
+        decode_jpeg_lossless(truncated)
+
+
+def test_decode_image_routes_jpeg_lossless():
+    px = bytes((i * 37) % 256 for i in range(192))
+    assert decode_image(encode_jpeg_lossless(px)) == (24, 8, px)
 
 
 # -- PNG: real compressed codec, stdlib zlib + unfiltering -------------------
