@@ -871,7 +871,15 @@ def corpus_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunks starting at 1, same as the oracle. A production run caps the
     max chunk length (a second boundary predicate) to bound the tail
     where no window hashes to zero; the fixture's ~300-char docs don't
-    need the cap, and both engines here run the SAME uncapped rule."""
+    need the cap, and both engines here run the SAME uncapped rule.
+
+    Parallelism: the segment projection (text already dropped, bounded
+    ~{_CDC_SEG}-char segs) is ``widen``-ed before the per-position hash
+    scan — one round-robin pass of corpus bytes that balances compute by
+    CONTENT volume, so a 1 MB doc spreads over ~2000 tasks instead of
+    pinning one core (the r8 sf1 finding: the whole scan ran 1-of-32
+    tasks, 26.8 s; widened it is 3.5 s). On a many-split cluster scan the
+    guard makes it a no-op — nothing extra shuffles at 100 TB."""
     d = load(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
     # Candidate scan, SEGMENT-HOISTED (the r8 long-doc fix): Spark's
     # substring(text, p, W) pays an O(p) UTF-8 char-offset scan, so hashing
@@ -887,7 +895,7 @@ def corpus_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # descending-sequence trap (ADVICE r7) can't fabricate positions the
     # oracle's empty range() never sees.
     stop = (F.col("n_chars") - _CDC_W + 1).cast("bigint")
-    segs = (
+    segs = widen(
         d.filter(stop >= 2)
         .select(
             "doc_id",
@@ -1044,7 +1052,9 @@ def corpus_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     through {_CDC_SEG}-position text segments so Spark's O(p)
     char-offset substring scan stays bounded (the corpus_cdc_chunk_dedup
     long-doc fix; straight off ``text`` it is O(doc_len²)). The hash
-    group-by ships only (md5, doc_id, p) — never text — and the island
+    group-by ships only (md5, doc_id, p) — never text (the segment
+    projection is ``widen``-ed so the hash scan balances by content bytes
+    across all cores; no-op on many-split cluster scans) — and the island
     window runs per doc over ONLY the surviving duplicated positions (a
     tiny fraction of chars in real corpora). Production tiers the window:
     a cheap 16-char pre-filter hash first, the {_SPAN_L}-char confirm
@@ -1056,7 +1066,7 @@ def corpus_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     # corpus_cdc_chunk_dedup's candidate scan (stride-1 positions straight
     # off `text` would be O(n_chars²) per doc in Spark's char-offset scan)
     stop = (F.col("n_chars") - _SPAN_L + 1).cast("bigint")
-    segs = (
+    segs = widen(
         d.select(
             "doc_id",
             "text",
@@ -1222,7 +1232,9 @@ def corpus_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     interval merge (runs closer than the window width overlap) → kept-
     interval complement → one text join → ordered splice.
 
-    Scale notes (100 TB): only (md5/doc_id/position) tuples shuffle until
+    Scale notes (100 TB): after the ``widen``-ed segment scan (content-
+    balanced, no-op on many-split inputs), only (md5/doc_id/position)
+    tuples shuffle until
     the FINAL splice, which joins text once and extracts O(regions) kept
     pieces per doc; the ordered reassembly is
     ``concat_ws('', sort_array(collect_list(struct(ks, piece))).piece)``
@@ -1234,7 +1246,7 @@ def corpus_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     dl = d.filter(F.col("n_chars") >= _SPAN_L)
     stop = (F.col("n_chars") - _SPAN_L + 1).cast("bigint")
-    segs = (
+    segs = widen(
         dl.select(
             "doc_id",
             "text",
