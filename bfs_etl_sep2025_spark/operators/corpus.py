@@ -1091,19 +1091,32 @@ def corpus_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("seg"),
         )
     )
-    wins = segs.select(
-        "doc_id",
-        "seg_p",
-        "seg",
-        F.explode(
-            F.sequence(F.lit(1).cast("bigint"), F.col("n_pos"))
-        ).alias("j"),
-    ).select(
-        "doc_id",
-        (F.col("seg_p") + F.col("j") - 1).alias("p"),
-        F.md5(
-            F.expr(f"substring(seg, CAST(j AS INT), {_SPAN_L})")
-        ).alias("h"),
+    wins = (
+        segs.select(
+            "doc_id",
+            "seg_p",
+            "seg",
+            F.explode(
+                F.sequence(F.lit(1).cast("bigint"), F.col("n_pos"))
+            ).alias("j"),
+        )
+        .select(
+            "doc_id",
+            (F.col("seg_p") + F.col("j") - 1).alias("p"),
+            # unhex(md5) = 16-byte BINARY key: md5-equality semantics (the
+            # cross-engine rule), half the shuffle bytes of the hex string.
+            # The hash never reaches the output, so the oracle's hex md5
+            # groups identically.
+            F.unhex(
+                F.md5(F.expr(f"substring(seg, CAST(j AS INT), {_SPAN_L})"))
+            ).alias("h"),
+        )
+        # Materialize the window scan ONCE: both consumers (the dup-hash
+        # aggregate and the position semi-join) need distribution by h, so
+        # an explicit hash repartition lets Catalyst's ReuseExchange serve
+        # both from one shuffle instead of running the 1-row-per-char md5
+        # scan twice.
+        .repartition("h")
     )
     dup_h = (
         wins.groupBy("h")
@@ -1271,19 +1284,29 @@ def corpus_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("seg"),
         )
     )
-    wins = segs.select(
-        "doc_id",
-        "seg_p",
-        "seg",
-        F.explode(
-            F.sequence(F.lit(1).cast("bigint"), F.col("n_pos"))
-        ).alias("j"),
-    ).select(
-        "doc_id",
-        (F.col("seg_p") + F.col("j") - 1).alias("p"),
-        F.md5(
-            F.expr(f"substring(seg, CAST(j AS INT), {_SPAN_L})")
-        ).alias("h"),
+    wins = (
+        segs.select(
+            "doc_id",
+            "seg_p",
+            "seg",
+            F.explode(
+                F.sequence(F.lit(1).cast("bigint"), F.col("n_pos"))
+            ).alias("j"),
+        )
+        .select(
+            "doc_id",
+            (F.col("seg_p") + F.col("j") - 1).alias("p"),
+            # 16-byte BINARY md5 + one explicit hash repartition: same
+            # ReuseExchange trick as corpus_duplicate_spans — the owner
+            # aggregate and the removable-position join both read ONE
+            # materialized shuffle of the per-char window scan.
+            F.unhex(
+                F.md5(
+                    F.expr(f"substring(seg, CAST(j AS INT), {_SPAN_L})")
+                )
+            ).alias("h"),
+        )
+        .repartition("h")
     )
     owner = (
         wins.groupBy("h")
