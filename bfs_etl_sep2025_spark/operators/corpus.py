@@ -1002,6 +1002,7 @@ _SPAN_L = 50
 @query(
     "corpus_duplicate_spans",
     family="corpus",
+    bench=True,
     oracle=f"""
         WITH wins AS (
           SELECT doc_id, CAST(t.p AS BIGINT) AS p,
@@ -1150,6 +1151,7 @@ def corpus_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "corpus_span_removal",
     family="corpus",
+    bench=True,
     oracle=f"""
         WITH wins AS MATERIALIZED (
           SELECT doc_id, CAST(t.p AS BIGINT) AS p,

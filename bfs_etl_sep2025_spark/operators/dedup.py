@@ -734,3 +734,82 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("jaccard") >= 0.3)
         .orderBy("doc_a", "doc_b")
     )
+
+
+@query(
+    "dedup_ngram_containment",
+    family="dedup",
+    oracle=f"""
+        WITH sh AS (
+          SELECT doc_id, {SQL_SHINGLES} AS shingles FROM documents
+        ),
+        ds AS (SELECT doc_id, list_distinct(shingles) AS s FROM sh),
+        ex AS (SELECT doc_id, unnest(s) AS g, len(s) AS n FROM ds),
+        inter AS (
+          SELECT a.doc_id AS contained_doc, b.doc_id AS container_doc,
+                 count(*) AS n_both, any_value(a.n) AS na, any_value(b.n) AS nb
+          FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id <> b.doc_id
+          GROUP BY 1, 2
+        )
+        SELECT contained_doc, container_doc,
+               n_both::DOUBLE / na AS containment,
+               n_both::DOUBLE / (na + nb - n_both) AS jaccard
+        FROM inter
+        WHERE n_both::DOUBLE / na >= 0.5
+        ORDER BY contained_doc, container_doc
+    """,
+)
+def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DIRECTIONAL near-dup detection: containment C(A,B) =
+    |shingles(A) ∩ shingles(B)| / |shingles(A)| — the asymmetric measure
+    (Broder's resemblance-vs-containment split; the dedup criterion
+    RefinedWeb/FineWeb-class pipelines add on top of symmetric Jaccard)
+    that catches a document EMBEDDED in a larger one: a quote, a
+    syndicated article inside a portal page, a doc + boilerplate wrapper.
+    Symmetric Jaccard misses exactly these (the union term is dominated by
+    the container), so pairs here are dedup candidates ``dedup_ngram_jaccard``
+    can never emit. Emits both directions with Jaccard alongside for
+    contrast; downstream keeps the container and drops the contained copy.
+
+    Scale notes (100 TB): identical candidate discipline to
+    ``dedup_ngram_jaccard`` — inverted-index equi-join on distinct
+    shingles (never an all-pairs comparison), per-doc shingle counts from
+    a doc-partitioned window over already-exploded rows (no interpreted
+    HOFs), only (doc_id, gram-hash) width shuffles. The directional join
+    keeps BOTH orientations (a <> b, not a < b): same join cardinality
+    class, each surviving pair read straight off the one aggregate. The
+    division is row-level double arithmetic — bitwise identical across
+    engines per the portability rules (no rounding anywhere)."""
+    d = load(spark, sf_dir, "documents")
+    distinct_grams = exploded_ngrams(widen(d), n=3, out="g").distinct()
+    ex = distinct_grams.withColumn(
+        "n", F.count(F.lit(1)).over(W.partitionBy("doc_id"))
+    )
+    a = ex.select(
+        F.col("doc_id").alias("contained_doc"), "g", F.col("n").alias("na")
+    )
+    b = ex.select(
+        F.col("doc_id").alias("container_doc"), "g", F.col("n").alias("nb")
+    )
+    inter = (
+        a.join(b, "g")
+        .filter(F.col("contained_doc") != F.col("container_doc"))
+        .groupBy("contained_doc", "container_doc")
+        .agg(
+            F.count(F.lit(1)).alias("n_both"),
+            F.first("na").alias("na"),
+            F.first("nb").alias("nb"),
+        )
+    )
+    cont = F.col("n_both") / F.col("na")
+    jac = F.col("n_both") / (F.col("na") + F.col("nb") - F.col("n_both"))
+    return (
+        inter.select(
+            "contained_doc",
+            "container_doc",
+            cont.cast("double").alias("containment"),
+            jac.cast("double").alias("jaccard"),
+        )
+        .filter(F.col("containment") >= 0.5)
+        .orderBy("contained_doc", "container_doc")
+    )

@@ -1274,3 +1274,97 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("s").alias("user_id"), "core_degree")
         .orderBy("user_id")
     )
+
+
+#: multi-source BFS: seed count and hop cap. The cap is part of the QUERY
+#: SEMANTICS ("distance within _BFS_MAX hops"), shared verbatim by the
+#: oracle's recursion guard, so both engines cut the same frontier.
+_BFS_SEEDS = 5
+_BFS_MAX = 6
+
+
+@query(
+    "graph_bfs_distances",
+    family="graph",
+    bench=True,
+    oracle=f"""
+        WITH RECURSIVE {_EDGES_CTE},
+        sym AS MATERIALIZED (
+          SELECT u AS s, v AS d FROM edges
+          UNION ALL
+          SELECT v AS s, u AS d FROM edges
+        ),
+        deg AS (SELECT s AS node, count(*) AS dg FROM sym GROUP BY s),
+        seeds AS (
+          SELECT node FROM deg ORDER BY dg DESC, node LIMIT {_BFS_SEEDS}
+        ),
+        reach(node, dist) AS (
+          SELECT node, 0 FROM seeds
+          UNION
+          SELECT e.d, r.dist + 1
+          FROM reach r JOIN sym e ON e.s = r.node
+          WHERE r.dist < {_BFS_MAX}
+        )
+        SELECT node AS user_id, CAST(min(dist) AS BIGINT) AS dist
+        FROM reach GROUP BY node ORDER BY user_id
+    """,
+)
+def graph_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS over the co-occurrence graph: hop distance from
+    the NEAREST of the {_BFS_SEEDS} highest-degree hubs (degree desc,
+    user_id tie-break), capped at {_BFS_MAX} hops — the "how far is every
+    user from the influencer core" primitive behind influence radius,
+    notification fan-out tiers, and landmark-based distance sketches.
+
+    Fourth fixpoint engine in the family (PageRank: power iteration;
+    components: min-label; k-core: monotone shrink; here: FRONTIER
+    EXPANSION). The frontier formulation is the scale-correct BFS: each
+    round joins only the NEWLY settled nodes (not the whole distance
+    table) against the symmetric edge list, left-anti-joins out already
+    settled nodes, and unions one (node, k) layer — every edge is relaxed
+    at most once per endpoint settle, so total shuffle across all rounds
+    is O(E + V) ids, not O(rounds * E). Lineage truncated per round via
+    localCheckpoint; early exit on an empty frontier. The oracle's
+    recursive CTE does the same expansion with UNION dedup and the same
+    {_BFS_MAX}-hop guard, so nodes farther than the cap (or unreachable)
+    are absent from BOTH engines. Integers everywhere; agreement exact."""
+    from pyspark.sql import Window as W
+
+    e = _edges(spark, sf_dir)
+    sym = (
+        e.select(F.col("u").alias("s"), F.col("v").alias("d"))
+        .unionAll(e.select(F.col("v").alias("s"), F.col("u").alias("d")))
+        .localCheckpoint()
+    )
+    deg = sym.groupBy("s").agg(F.count(F.lit(1)).alias("dg"))
+    seeds = (
+        deg.withColumn(
+            "rn",
+            F.row_number().over(
+                W.orderBy(F.col("dg").desc(), F.col("s").asc())
+            ),
+        )
+        .filter(F.col("rn") <= _BFS_SEEDS)
+        .select(F.col("s").alias("node"))
+    )
+    settled = seeds.select(
+        "node", F.lit(0).cast("bigint").alias("dist")
+    ).localCheckpoint()
+    frontier = settled.select("node")
+    for k in range(1, _BFS_MAX + 1):
+        nxt = (
+            sym.join(frontier.withColumnRenamed("node", "s"), "s")
+            .select(F.col("d").alias("node"))
+            .distinct()
+            .join(settled.select("node"), "node", "left_anti")
+            .localCheckpoint()
+        )
+        if nxt.isEmpty():
+            break
+        settled = settled.unionByName(
+            nxt.select("node", F.lit(k).cast("bigint").alias("dist"))
+        ).localCheckpoint()
+        frontier = nxt
+    return settled.select(
+        F.col("node").alias("user_id"), "dist"
+    ).orderBy("user_id")

@@ -81,6 +81,8 @@ _PRIORITY: tuple[str, ...] = (
     "dq_benford_digits",
     "window_gap_fill",
     "multimodal_decode_jpeg_lossless",
+    "dedup_ngram_containment",
+    "graph_bfs_distances",
     # plan changed since latest green (r7 twin collapse + memoized masks):
     "graph_link_prediction_cn",
     "graph_triangle_count",
