@@ -411,3 +411,106 @@ def join_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("name_a", "name_b")
     )
+
+
+@query(
+    "join_asof_tolerance",
+    family="joins",
+    oracle="""
+        WITH clicks AS (
+          SELECT user_id, ts, max(event_id) AS click_id
+          FROM events WHERE event_type = 'click'
+          GROUP BY user_id, ts
+        ),
+        purchases AS (
+          SELECT event_id AS purchase_id, user_id, ts
+          FROM events WHERE event_type = 'purchase'
+        ),
+        matched AS (
+          SELECT p.purchase_id, p.user_id, p.ts AS pts,
+                 c.click_id, c.ts AS cts
+          FROM purchases p
+          ASOF LEFT JOIN clicks c
+            ON p.user_id = c.user_id AND p.ts >= c.ts
+        )
+        SELECT purchase_id, user_id,
+               CASE WHEN cts >= pts - INTERVAL 1 HOUR THEN click_id END
+                 AS attributed_click_id,
+               CASE WHEN cts >= pts - INTERVAL 1 HOUR
+                    THEN CAST(date_diff('microsecond', cts, pts)
+                              // 1000000 AS BIGINT) END
+                 AS click_age_s
+        FROM matched
+        ORDER BY purchase_id
+    """,
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a STALENESS BOUND: each purchase is attributed to
+    the user's nearest at-or-before click only if that click is at most
+    one hour old, else NULL — the standard attribution-window semantics
+    (ad-click attribution, sensor-reading validity, quote staleness in
+    tick data). ``join_asof`` answers "what was the last click"; this
+    answers "was there a RECENT click", which is the business question.
+
+    Same scalable formulation as ``join_asof`` (union + one
+    user-partitioned window pass carrying the last click struct forward —
+    one shuffle, one sort, no per-key pandas), plus a codegen'd interval
+    comparison to null out stale matches. The tolerance is applied AFTER
+    nearest-match selection in both engines (DuckDB: ASOF then CASE), so
+    a purchase whose nearest click is stale attributes to NOTHING — not
+    to an older in-window click, which cannot exist (nearest is newest).
+    Age arrives as exact integer seconds (both engines difference the
+    same microsecond timestamps); no floats anywhere."""
+    ev = load(spark, sf_dir, "events")
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("click_id"))
+        .select(
+            "user_id",
+            "ts",
+            "click_id",
+            F.lit(None).cast("long").alias("purchase_id"),
+            F.lit(0).alias("is_probe"),
+        )
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.lit(None).cast("long").alias("click_id"),
+        F.col("event_id").alias("purchase_id"),
+        F.lit(1).alias("is_probe"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "is_probe")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    click_mark = F.when(F.col("is_probe") == 0, F.struct("ts", "click_id"))
+    carried = clicks.unionByName(purchases).select(
+        "*",
+        F.last(click_mark, ignorenulls=True).over(w).alias("last_click"),
+    )
+    fresh = F.col("last_click.ts") >= F.expr("ts - INTERVAL '1' HOUR")
+    return (
+        carried.filter(F.col("is_probe") == 1)
+        .select(
+            "purchase_id",
+            "user_id",
+            F.when(fresh, F.col("last_click.click_id")).alias(
+                "attributed_click_id"
+            ),
+            F.when(
+                fresh,
+                # full-microsecond difference then integer-divide: Spark's
+                # timestampdiff(SECOND) truncates elapsed seconds while
+                # DuckDB's date_diff('second') counts boundary crossings —
+                # µs DIV 1e6 is the same floor on both engines.
+                F.expr(
+                    "CAST(timestampdiff(MICROSECOND, last_click.ts, ts) "
+                    "DIV 1000000 AS BIGINT)"
+                ),
+            ).alias("click_age_s"),
+        )
+        .orderBy("purchase_id")
+    )

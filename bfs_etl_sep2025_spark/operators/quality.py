@@ -661,3 +661,78 @@ def dq_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("digit")
     )
+
+
+#: the warehouse's declared FK graph — child table, FK column, parent
+#: table, PK column. One check row per edge.
+_FK_EDGES = (
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("events", "user_id", "customer", "c_custkey"),
+)
+
+
+@query(
+    "dq_referential_integrity",
+    family="quality",
+    oracle="\nUNION ALL\n".join(
+        f"""
+        SELECT '{child}.{fk} -> {parent}.{pk}' AS relationship,
+               CAST(count(*) AS BIGINT) AS child_rows,
+               CAST(count(*) FILTER (WHERE p.{pk} IS NULL) AS BIGINT)
+                 AS orphan_rows,
+               CAST(count(DISTINCT c.{fk})
+                    FILTER (WHERE p.{pk} IS NULL) AS BIGINT) AS orphan_keys
+        FROM {child} c LEFT JOIN (SELECT DISTINCT {pk} FROM {parent}) p
+          ON c.{fk} = p.{pk}
+        """
+        for child, fk, parent, pk in _FK_EDGES
+    )
+    + "\nORDER BY relationship",
+)
+def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit over the warehouse's FK graph: for each
+    declared child.fk -> parent.pk edge, the child row count, the rows
+    whose key has no parent (orphans), and how many distinct keys are
+    broken — the first gate a migration/backfill pipeline checks before
+    publishing a layer (the reference's staged prestg->stg flow,
+    ``dags/s3_data_copy_test.py``, implies exactly these edges but the
+    warehouse enforced nothing).
+
+    Scale notes (100 TB): one LEFT join per edge against the parent's
+    DISTINCT key projection — key columns only ever shuffle (the scan
+    prunes to the two key columns; parents like nation/customer broadcast
+    under AQE, fact-fact edges sort-merge on the key). The five edge
+    checks are independent plans unioned after aggregation — each is one
+    shuffle, no edge blocks another, and a clean warehouse returns five
+    all-zero rows rather than an empty result (absence of evidence made
+    explicit)."""
+    rows = []
+    for child, fk, parent, pk in _FK_EDGES:
+        c = load(spark, sf_dir, child)
+        p = load(spark, sf_dir, parent).select(F.col(pk)).distinct()
+        joined = c.select(F.col(fk)).join(
+            p, c[fk] == p[pk], "left"
+        )
+        rows.append(
+            joined.agg(
+                F.lit(f"{child}.{fk} -> {parent}.{pk}").alias(
+                    "relationship"
+                ),
+                F.count(F.lit(1)).cast("bigint").alias("child_rows"),
+                F.count(F.when(F.col(pk).isNull(), 1))
+                .cast("bigint")
+                .alias("orphan_rows"),
+                F.count_distinct(
+                    F.when(F.col(pk).isNull(), F.col(fk))
+                )
+                .cast("bigint")
+                .alias("orphan_keys"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("relationship")

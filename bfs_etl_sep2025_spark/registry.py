@@ -83,6 +83,8 @@ _PRIORITY: tuple[str, ...] = (
     "multimodal_decode_jpeg_lossless",
     "dedup_ngram_containment",
     "graph_bfs_distances",
+    "join_asof_tolerance",
+    "dq_referential_integrity",
     # plan changed since latest green (r7 twin collapse + memoized masks):
     "graph_link_prediction_cn",
     "graph_triangle_count",
