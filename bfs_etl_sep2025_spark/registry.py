@@ -85,6 +85,7 @@ _PRIORITY: tuple[str, ...] = (
     "graph_bfs_distances",
     "join_asof_tolerance",
     "dq_referential_integrity",
+    "multimodal_decode_jpeg_baseline",
     # plan changed since latest green (r7 twin collapse + memoized masks):
     "graph_link_prediction_cn",
     "graph_triangle_count",

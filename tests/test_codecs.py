@@ -10,9 +10,11 @@ import pytest
 
 from bfs_etl_sep2025_spark.operators.multimodal import (
     decode_image,
+    decode_jpeg_baseline,
     decode_jpeg_lossless,
     decode_ppm,
     decode_wav_pcm16,
+    encode_jpeg_baseline,
     encode_jpeg_lossless,
     encode_ppm,
     encode_wav_pcm16,
@@ -42,13 +44,12 @@ def test_decode_image_routes_ppm():
     assert decode_image(encode_ppm(px))[2] == px
 
 
-def test_decode_image_stubs_lossy_dct():
-    """LOSSY baseline-DCT JPEG remains honestly stubbed (its codec is
-    genuinely absent and its raster is not oracle-recomputable) — PNG and
-    LOSSLESS JPEG no longer are (see their suites below)."""
-    sof0 = b"\xff\xd8\xff\xc0" + struct.pack(">H", 11) + bytes(9)
-    with pytest.raises(NotImplementedError, match="STUB"):
-        decode_image(sof0)
+def test_decode_image_rejects_progressive_dct():
+    """Progressive DCT (SOF2) stays unsupported and fails loudly —
+    baseline (SOF0) and lossless (SOF3) both decode for real now."""
+    sof2 = b"\xff\xd8\xff\xc2" + struct.pack(">H", 11) + bytes(9)
+    with pytest.raises(ValueError, match="unsupported JPEG process"):
+        decode_image(sof2)
 
 
 # -- lossless JPEG: real T.81 §H codec, canonical Huffman + predictor --------
@@ -331,3 +332,104 @@ def test_dhash56_hamming_locality():
     far = bin(dhash56(a) ^ dhash56(raster("doc-b"))).count("1")
     assert near <= 2
     assert far > 10
+
+
+# -- baseline JPEG: real T.81 process-1 codec (DCT/quant/zigzag/Huffman) -----
+
+
+def _block_constant_raster(vals, w=32, h=32):
+    px = bytearray(w * h)
+    bw = w // 8
+    for by in range(h // 8):
+        for bx in range(bw):
+            v = vals[(by * bw + bx) % len(vals)]
+            for y in range(8):
+                row = (by * 8 + y) * w + bx * 8
+                for x in range(8):
+                    px[row + x] = v
+    return bytes(px)
+
+
+def test_jpeg_baseline_exact_on_dc_only_blocks():
+    """Block-constant rasters are the lossy process's exactness window
+    (DC-only blocks, all-ones quant): decode(encode(x)) == x bit-for-bit.
+    This is the contract the multimodal_decode_jpeg_baseline oracle
+    relies on."""
+    px = _block_constant_raster([0, 255, 97, 48, 102, 128, 1, 254])
+    w, h, out = decode_jpeg_baseline(encode_jpeg_baseline(px, 32, 32))
+    assert (w, h) == (32, 32)
+    assert out == px
+
+
+def test_jpeg_baseline_bounded_error_on_arbitrary_raster():
+    """General rasters at quality 100 (all-ones quant): every AC/DC path
+    in the entropy coder fires (ZRL runs, every size class), and the only
+    loss is DCT round-off — max abs error <= 1."""
+    import hashlib
+
+    px = bytes(
+        hashlib.md5(str(i // 16).encode()).digest()[i % 16]
+        for i in range(64 * 64)
+    )
+    jp = encode_jpeg_baseline(px, 64, 64)
+    assert len(jp) != len(px)  # actually entropy-coded, not stored
+    w, h, out = decode_jpeg_baseline(jp)
+    assert (w, h) == (64, 64)
+    assert max(abs(a - b) for a, b in zip(px, out)) <= 1
+
+
+def test_jpeg_baseline_quantization_is_real():
+    """A coarser quant table must shrink the stream and introduce real
+    loss — proving the quantizer actually divides (and the decoder
+    multiplies back) rather than passing coefficients through."""
+    import hashlib
+
+    px = bytes(
+        hashlib.md5(str(i // 32).encode()).digest()[i % 16]
+        for i in range(32 * 32)
+    )
+    fine = encode_jpeg_baseline(px, 32, 32, quant=1)
+    coarse = encode_jpeg_baseline(px, 32, 32, quant=16)
+    assert len(coarse) < len(fine)
+    _, _, out = decode_jpeg_baseline(coarse)
+    err = max(abs(a - b) for a, b in zip(px, out))
+    assert 1 < err <= 16 + 1  # lossy, but bounded by the quant step
+
+
+def test_jpeg_baseline_is_spec_compliant_container():
+    """Marker layout a third-party decoder would check: SOI, DQT, SOF0,
+    two DHTs (DC class then AC class), SOS, EOI; entropy bytes 0xFF
+    stuffed."""
+    px = _block_constant_raster([200, 255])
+    jp = encode_jpeg_baseline(px, 32, 32)
+    assert jp[:2] == b"\xff\xd8" and jp[-2:] == b"\xff\xd9"
+    assert b"\xff\xdb" in jp and b"\xff\xc0" in jp and b"\xff\xda" in jp
+    assert jp.count(b"\xff\xc4") >= 2
+    scan = jp[jp.index(b"\xff\xda") + 2 :][:-2]
+    i = jp.index(b"\xff\xda")
+    (ln,) = struct.unpack_from(">H", jp, i + 2)
+    entropy = jp[i + 2 + ln : -2]
+    for k, b in enumerate(entropy[:-1]):
+        if b == 0xFF:
+            assert entropy[k + 1] == 0x00, "unstuffed 0xFF in entropy data"
+
+
+def test_jpeg_baseline_rejects_malformed():
+    px = _block_constant_raster([10])
+    jp = encode_jpeg_baseline(px, 32, 32)
+    with pytest.raises(ValueError, match="SOI"):
+        decode_jpeg_baseline(b"\x00\x01" + jp)
+    with pytest.raises(ValueError, match="multiples of 8"):
+        encode_jpeg_baseline(px[:30], 10, 3)
+    # scan referencing a table the stream never declared
+    i = jp.index(b"\xff\xc4")
+    (ln,) = struct.unpack_from(">H", jp, i + 2)
+    stripped = jp[:i] + jp[i + 2 + ln :]  # drop the DC DHT
+    with pytest.raises(ValueError, match="undeclared table"):
+        decode_jpeg_baseline(stripped)
+
+
+def test_decode_image_routes_jpeg_baseline():
+    px = _block_constant_raster([7, 250, 130])
+    w, h, out = decode_image(encode_jpeg_baseline(px, 32, 32))
+    assert (w, h, out) == (32, 32, px)
