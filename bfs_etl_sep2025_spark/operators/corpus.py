@@ -1419,3 +1419,187 @@ def corpus_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# -- deterministic epoch shuffle + weighted mixture interleave ---------------
+
+_EPOCH_SHARDS = 8
+
+
+@query(
+    "corpus_epoch_shuffle",
+    family="corpus",
+    oracle=f"""
+        WITH keyed AS (
+          SELECT doc_id,
+                 md5('epoch1:' || CAST(doc_id AS VARCHAR)) AS k
+          FROM documents
+        ),
+        sharded AS (
+          SELECT doc_id, k,
+                 ('0x' || substr(k, 1, 7))::BIGINT % {_EPOCH_SHARDS} AS shard
+          FROM keyed
+        )
+        SELECT doc_id, shard,
+               CAST(row_number() OVER (PARTITION BY shard ORDER BY k)
+                    AS BIGINT) AS pos
+        FROM sharded
+        ORDER BY shard, pos
+    """,
+)
+def corpus_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic TRAINING-EPOCH shuffle: every document gets a
+    pseudorandom but reproducible position — shard and within-shard order
+    are pure functions of (epoch, doc_id) via md5 — so any worker, any
+    rerun, any engine derives the same epoch-1 data order with no RNG
+    state to distribute (the property that makes checkpoint-resume and
+    elastic re-sharding of a 100 TB training run safe). Emits
+    (doc_id, shard, pos): shard = top-28-bits-of-md5 mod {_EPOCH_SHARDS},
+    pos = rank of the md5 key within the shard.
+
+    Scale notes: ONE hash-shuffle on the shard id (exactly the exchange a
+    sharded epoch write needs anyway — the window rides it), keys are
+    32-byte hex strings and the payload never moves; a real run writes
+    ``partitionBy(shard)`` files straight from this frame. Per-shard
+    ordering is a sort of ~N/{_EPOCH_SHARDS} keys, not a global sort."""
+    from pyspark.sql import Window as W
+
+    d = load(spark, sf_dir, "documents")
+    keyed = d.select(
+        "doc_id",
+        F.md5(
+            F.concat(F.lit("epoch1:"), F.col("doc_id").cast("string"))
+        ).alias("k"),
+    )
+    sharded = keyed.select(
+        "doc_id",
+        "k",
+        (
+            F.conv(F.substring("k", 1, 7), 16, 10).cast("bigint")
+            % _EPOCH_SHARDS
+        ).alias("shard"),
+    )
+    return (
+        sharded.select(
+            "doc_id",
+            "shard",
+            F.row_number()
+            .over(W.partitionBy("shard").orderBy("k"))
+            .cast("bigint")
+            .alias("pos"),
+        )
+        .orderBy("shard", "pos")
+    )
+
+
+#: interleave schedule: weight in {1,2,3} per source (hash-assigned,
+#: deterministic), LCM(1,2,3)=6 keeps virtual time integral.
+_MIX_LCM = 6
+_MIX_TAKE = 200
+
+
+@query(
+    "corpus_mixture_interleave",
+    family="corpus",
+    oracle=f"""
+        WITH w AS (
+          SELECT doc_id, source,
+                 md5('mix:' || CAST(doc_id AS VARCHAR)) AS k,
+                 1 + {_sql_bucket('source', 3)} AS weight
+          FROM documents
+        ),
+        ranked AS (
+          SELECT doc_id, source, weight,
+                 row_number() OVER (PARTITION BY source ORDER BY k)
+                   AS rank_in_source
+          FROM w
+        ),
+        vt AS (
+          SELECT doc_id, source, rank_in_source,
+                 rank_in_source * ({_MIX_LCM} / weight) AS vtime
+          FROM ranked
+        ),
+        sched AS (
+          SELECT doc_id, source, rank_in_source,
+                 CAST(vtime AS BIGINT) AS vtime,
+                 row_number() OVER (ORDER BY vtime, source) AS global_pos
+          FROM vt
+        )
+        SELECT CAST(global_pos AS BIGINT) AS global_pos, doc_id, source,
+               CAST(rank_in_source AS BIGINT) AS rank_in_source, vtime
+        FROM sched
+        WHERE global_pos <= {_MIX_TAKE}
+        ORDER BY global_pos
+    """,
+)
+def corpus_mixture_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic WEIGHTED INTERLEAVING of corpus sources — the
+    mixture SCHEDULER that turns per-domain weights into an actual
+    training-data order (``corpus_mixture_sample`` rates domains;
+    ``corpus_budget_select`` caps them; this one sequences them): each
+    source is a queue ordered by a reproducible md5 key, a source of
+    weight w is visited w times per round (virtual time = rank ·
+    LCM/w — the classic weighted-fair-queueing schedule with integral
+    timestamps), and the merged stream's first {_MIX_TAKE} slots are
+    emitted. A weight-3 source appears 3x as often as a weight-1 source,
+    evenly spread rather than in bursts — what mixture training actually
+    wants.
+
+    Scale notes: one shuffle per window (source-partitioned rank, then
+    the schedule order); virtual times are exact integers (LCM/w for
+    w∈{{1,2,3}} is 6/3/2) so the interleave is engine-portable with no
+    float scheduling drift. The global row_number is the only global
+    sort, and production bounds it the same way this query does — the
+    schedule is consumed streamingly (first K slots), never fully
+    materialized."""
+    from pyspark.sql import Window as W
+
+    d = load(spark, sf_dir, "documents")
+    w = d.select(
+        "doc_id",
+        "source",
+        F.md5(
+            F.concat(F.lit("mix:"), F.col("doc_id").cast("string"))
+        ).alias("k"),
+        (F.lit(1) + _bucket(F.col("source"), 3)).alias("weight"),
+    )
+    ranked = w.select(
+        "doc_id",
+        "source",
+        "weight",
+        F.row_number()
+        .over(W.partitionBy("source").orderBy("k"))
+        .alias("rank_in_source"),
+    )
+    vt = ranked.select(
+        "doc_id",
+        "source",
+        "rank_in_source",
+        (
+            F.col("rank_in_source")
+            * (F.lit(_MIX_LCM) / F.col("weight")).cast("bigint")
+        )
+        .cast("bigint")
+        .alias("vtime"),
+    )
+    sched = vt.select(
+        "doc_id",
+        "source",
+        "rank_in_source",
+        "vtime",
+        F.row_number()
+        .over(W.orderBy("vtime", "source"))
+        .cast("bigint")
+        .alias("global_pos"),
+    )
+    return (
+        sched.filter(F.col("global_pos") <= _MIX_TAKE)
+        .select(
+            "global_pos",
+            "doc_id",
+            "source",
+            F.col("rank_in_source").cast("bigint").alias("rank_in_source"),
+            "vtime",
+        )
+        .orderBy("global_pos")
+    )

@@ -259,3 +259,68 @@ def scan_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .load(out)
         .orderBy("n_nationkey")
     )
+
+
+@query(
+    "scan_schema_evolution",
+    family="formats",
+    oracle="""
+        SELECT CAST(p_partkey % 2 AS BIGINT) AS key_parity,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(count(*) FILTER (WHERE p_partkey % 2 = 1) AS BIGINT)
+                 AS n_with_price,
+               CAST(sum(CASE WHEN p_partkey % 2 = 1
+                             THEN CAST(p_retailprice AS DECIMAL(38,4))
+                        END) AS DOUBLE) AS price_sum
+        FROM part
+        GROUP BY 1
+        ORDER BY key_parity
+    """,
+)
+def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCHEMA EVOLUTION on a parquet directory — the lakehouse reality
+    where old files lack columns newer files carry: generation-1 files
+    (even part keys) have (p_partkey, p_name); generation-2 files (odd
+    keys) add p_retailprice. A ``mergeSchema`` read reconstructs the
+    superset schema with NULLs where a file predates the column, and the
+    aggregate proves it: generation-1 rows count but contribute no
+    prices, generation-2 prices survive exactly (DECIMAL sum). The oracle
+    recomputes from the ORIGINAL table, so dropped rows, misaligned
+    columns, or type mangling across generations all fail the hash.
+
+    Scale notes: schema merging is a FOOTER-only operation (Spark reads
+    each file's footer schema and unions them; column data is untouched),
+    so the read cost is the same columnar scan — this is why additive
+    schema evolution is free at 100 TB while column renames are not.
+    Mirrors the versioned-table shim's additive evolution
+    (plans/versioned.py) at the raw-file layer the reference's COPY INTO
+    stage (dags/s3_data_copy_test.py:32-41) would hit after a source
+    system adds a field."""
+    out = os.path.join(
+        tempfile.gettempdir(),
+        f"bfs_schema_evo_{os.getpid()}",
+        os.path.basename(sf_dir.rstrip("/")),
+    )
+    p = load(spark, sf_dir, "part")
+    gen1 = p.filter(F.col("p_partkey") % 2 == 0).select("p_partkey", "p_name")
+    gen2 = p.filter(F.col("p_partkey") % 2 == 1).select(
+        "p_partkey", "p_name", "p_retailprice"
+    )
+    gen1.write.mode("overwrite").parquet(os.path.join(out, "gen=1"))
+    gen2.write.mode("overwrite").parquet(os.path.join(out, "gen=2"))
+    merged = (
+        spark.read.option("mergeSchema", "true")
+        .option("recursiveFileLookup", "true")
+        .parquet(out)
+    )
+    return (
+        merged.groupBy((F.col("p_partkey") % 2).cast("bigint").alias("key_parity"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.count("p_retailprice").cast("bigint").alias("n_with_price"),
+            F.sum(F.col("p_retailprice").cast("decimal(38,4)"))
+            .cast("double")
+            .alias("price_sum"),
+        )
+        .orderBy("key_parity")
+    )

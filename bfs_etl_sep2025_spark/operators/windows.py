@@ -731,3 +731,64 @@ def window_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n") == 0).cast("int").alias("gap_filled"),
         F.last("observed", ignorenulls=True).over(w).alias("locf_value"),
     ).orderBy("user_id", "bucket_hour")
+
+
+@query(
+    "window_period_over_period",
+    family="windows",
+    oracle="""
+        WITH daily AS (
+          SELECT CAST(o_orderdate AS DATE) AS day,
+                 CAST(sum(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE)
+                   AS revenue,
+                 CAST(count(*) AS BIGINT) AS n_orders
+          FROM orders GROUP BY 1
+        )
+        SELECT day, revenue, n_orders,
+               lag(revenue) OVER (ORDER BY day) AS prev_revenue,
+               revenue - lag(revenue) OVER (ORDER BY day) AS delta,
+               (revenue - lag(revenue) OVER (ORDER BY day))
+                 / lag(revenue) OVER (ORDER BY day) AS pct_change
+        FROM daily
+        ORDER BY day
+    """,
+)
+def window_period_over_period(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Period-over-period reporting: daily revenue with the previous
+    period's value, absolute delta, and relative change — the lag-window
+    idiom behind every DoD/WoW/MoM dashboard and the alert rule "did
+    revenue move more than X% vs yesterday".
+
+    Cross-engine exactness: the daily totals aggregate through exact
+    DECIMAL(38,4) (order-independent — double summation would drift with
+    partitioning), and the delta/ratio are then ROW-LEVEL double
+    arithmetic on those pinned values, bitwise identical on both engines
+    (the portable-float rules). First day's lag is NULL in both.
+
+    Scale notes: one shuffle for the daily rollup (map-side combined);
+    the lag window orders the ~days-sized rollup, never the fact table —
+    a global window over a dimension-sized frame is fine at any corpus
+    size."""
+    o = load(spark, sf_dir, "orders")
+    daily = (
+        o.groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(38,4)"))
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        )
+    )
+    w = W.orderBy("day")
+    prev = F.lag("revenue").over(w)
+    return (
+        daily.select(
+            "day",
+            "revenue",
+            "n_orders",
+            prev.alias("prev_revenue"),
+            (F.col("revenue") - prev).alias("delta"),
+            ((F.col("revenue") - prev) / prev).alias("pct_change"),
+        )
+        .orderBy("day")
+    )

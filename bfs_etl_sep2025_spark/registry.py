@@ -86,6 +86,10 @@ _PRIORITY: tuple[str, ...] = (
     "join_asof_tolerance",
     "dq_referential_integrity",
     "multimodal_decode_jpeg_baseline",
+    "corpus_epoch_shuffle",
+    "corpus_mixture_interleave",
+    "window_period_over_period",
+    "scan_schema_evolution",
     # plan changed since latest green (r7 twin collapse + memoized masks):
     "graph_link_prediction_cn",
     "graph_triangle_count",
