@@ -1271,3 +1271,79 @@ def text_repetition_dup_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+_SQL_SHINGLES_3 = """
+        CASE WHEN len(string_split(text, ' ')) >= 3
+             THEN list_transform(range(1, len(string_split(text, ' ')) - 1),
+                    i -> string_split(text, ' ')[i] || ' ' ||
+                         string_split(text, ' ')[i+1] || ' ' ||
+                         string_split(text, ' ')[i+2])
+             ELSE [text] END
+"""
+
+
+@query(
+    "text_ngram_novelty",
+    family="text",
+    oracle=f"""
+        WITH ex AS (
+          SELECT DISTINCT doc_id, md5(g) AS gh
+          FROM documents, UNNEST({_SQL_SHINGLES_3}) AS t(g)
+        ),
+        firsts AS (
+          SELECT gh, min(doc_id) AS first_doc FROM ex GROUP BY gh
+        )
+        SELECT e.doc_id,
+               CAST(count(*) AS BIGINT) AS n_grams,
+               CAST(count(*) FILTER (WHERE f.first_doc = e.doc_id)
+                    AS BIGINT) AS n_novel,
+               count(*) FILTER (WHERE f.first_doc = e.doc_id)
+                 / CAST(count(*) AS DOUBLE) AS novelty
+        FROM ex e JOIN firsts f ON e.gh = f.gh
+        GROUP BY e.doc_id
+        ORDER BY e.doc_id
+    """,
+)
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-GRAM NOVELTY scoring — per document, the share of its distinct
+    3-gram shingles that appear for the FIRST time in corpus order
+    (doc_id): the curation signal that separates documents contributing
+    new content from documents restating what the corpus already has
+    (near-copies score ~0, fresh material ~1). The ingestion-order twin
+    of dedup: instead of pairing duplicates it prices each document's
+    marginal information, which is what budget-constrained data selection
+    ranks on.
+
+    Scale notes (100 TB): the gram table ships 16-byte binary md5s
+    (``unhex``), never gram text; first-claimant is ONE min-aggregate per
+    gram hash (map-side combinable), and the claim check is an equi-join
+    on the same hash distribution, so the exchange planted by
+    ``repartition`` serves both consumers (the corpus_span_removal
+    ReuseExchange discipline). Integer counts, one row-level double
+    division at the end."""
+    from pyspark.sql import Window as W  # noqa: F401  (family convention)
+
+    d = load(spark, sf_dir, "documents")
+    ex = (
+        exploded_ngrams(widen(d), n=3, out="g")
+        .select("doc_id", F.unhex(F.md5("g")).alias("gh"))
+        .distinct()
+        .repartition("gh")
+    )
+    firsts = ex.groupBy("gh").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        ex.join(firsts, "gh")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+            F.count(F.when(F.col("first_doc") == F.col("doc_id"), 1))
+            .cast("bigint")
+            .alias("n_novel"),
+            (
+                F.count(F.when(F.col("first_doc") == F.col("doc_id"), 1))
+                / F.count(F.lit(1)).cast("double")
+            ).alias("novelty"),
+        )
+        .orderBy("doc_id")
+    )

@@ -90,6 +90,7 @@ _PRIORITY: tuple[str, ...] = (
     "corpus_mixture_interleave",
     "window_period_over_period",
     "scan_schema_evolution",
+    "text_ngram_novelty",
     # plan changed since latest green (r7 twin collapse + memoized masks):
     "graph_link_prediction_cn",
     "graph_triangle_count",
