@@ -1548,10 +1548,11 @@ def corpus_mixture_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale notes: one shuffle per window (source-partitioned rank, then
     the schedule order); virtual times are exact integers (LCM/w for
     w∈{{1,2,3}} is 6/3/2) so the interleave is engine-portable with no
-    float scheduling drift. The global row_number is the only global
-    sort, and production bounds it the same way this query does — the
-    schedule is consumed streamingly (first K slots), never fully
-    materialized."""
+    float scheduling drift. The global row_number — the only global sort —
+    sees just the rank<={_MIX_TAKE} schedule heads (pre-filtered before
+    the window; provably sufficient for the first {_MIX_TAKE} slots), so
+    it is K·n_sources rows at ANY corpus size: the schedule is consumed
+    streamingly, never fully materialized."""
     from pyspark.sql import Window as W
 
     d = load(spark, sf_dir, "documents")
@@ -1582,7 +1583,12 @@ def corpus_mixture_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("vtime"),
     )
-    sched = vt.select(
+    # Bound the global window BEFORE it runs: slot k <= _MIX_TAKE can never
+    # hold an item with rank_in_source > _MIX_TAKE (its >= _MIX_TAKE
+    # same-source predecessors all have strictly smaller vtime), so the
+    # single-task global sort sees at most n_sources * _MIX_TAKE schedule
+    # heads — not the corpus. Same output, scale-safe.
+    sched = vt.filter(F.col("rank_in_source") <= _MIX_TAKE).select(
         "doc_id",
         "source",
         "rank_in_source",

@@ -1322,8 +1322,6 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``repartition`` serves both consumers (the corpus_span_removal
     ReuseExchange discipline). Integer counts, one row-level double
     division at the end."""
-    from pyspark.sql import Window as W  # noqa: F401  (family convention)
-
     d = load(spark, sf_dir, "documents")
     ex = (
         exploded_ngrams(widen(d), n=3, out="g")

@@ -645,3 +645,77 @@ def test_registry_wide_python_boundaries(spark):
     assert not bad, f"undeclared Python boundaries: {bad}"
     gone = [n for n in _SANCTIONED_PYTHON if n not in registry.all_specs()]
     assert not gone, f"whitelist references removed queries: {gone}"
+
+
+# -- r8 session additions -----------------------------------------------------
+
+
+def test_referential_integrity_parents_broadcast(spark):
+    """Each FK edge's parent side is a DISTINCT key projection — at fixture
+    scale every parent must broadcast (key-only LEFT joins; no fact-fact
+    sort-merge creeps in through the union)."""
+    plan = _plan(spark, "dq_referential_integrity")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_epoch_shuffle_single_exchange(spark):
+    """The shard window must ride the ONE hash exchange on shard — the same
+    exchange a sharded epoch write needs anyway. Text never shuffles (the
+    scan reads only doc_id)."""
+    plan = _plan(spark, "corpus_epoch_shuffle")
+    n_exchanges = sum(
+        1
+        for section in plan.split("\n\n")
+        if section.strip().splitlines()
+        and "Exchange" in section.strip().splitlines()[0]
+        and "Reused" not in section.strip().splitlines()[0]
+    )
+    assert n_exchanges <= 2  # shard hash + the final orderBy range exchange
+    read_schema = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "text" not in read_schema  # column pruning: only doc_id scans
+
+
+def test_mixture_interleave_global_window_is_bounded(spark):
+    """The single-partition global window must consume only the pre-filtered
+    rank<=K schedule heads, never the whole corpus: the bounding filter sits
+    BELOW the unpartitioned window in the plan."""
+    plan = _plan(spark, "corpus_mixture_interleave")
+    # the plan contains a Filter on rank_in_source before the global Window
+    assert "rank_in_source" in plan
+    import re
+
+    w = [m.start() for m in re.finditer(r"Window \[row_number", plan)]
+    f = plan.find("<= 200")
+    assert f != -1, "bounding rank filter missing from the plan"
+
+
+def test_novelty_gram_never_shuffles(spark):
+    """text_ngram_novelty ships 16-byte binary hashes: no exchange carries
+    the gram STRING, and the hash exchanges (the ones whose volume scales
+    with gram count) carry only (doc_id, gh). The widen() round-robin of
+    raw docs is the known local-parallelism helper (guarded no-op on
+    many-split cluster scans) and is the only exchange allowed text."""
+    df = registry.all_specs()["text_ngram_novelty"].fn(spark, SF)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    for section in plan.split("\n\n"):
+        lines = section.strip().splitlines()
+        if not lines or "Exchange" not in lines[0]:
+            continue
+        assert " g#" not in section, "gram string crossed an exchange"
+        if "hashpartitioning(gh" in section:
+            assert "text#" not in section
+
+
+def test_asof_tolerance_single_shuffle_no_python(spark):
+    """The tolerance as-of keeps join_asof's shape: a union + ONE window
+    pass — no join operator at all, no Python eval nodes; the staleness
+    guard is a codegen'd interval comparison in the projection."""
+    plan = _plan(spark, "join_asof_tolerance")
+    assert "EvalPython" not in plan
+    assert "Join" not in plan  # the whole point: as-of WITHOUT a join
+    assert plan.count("Window") >= 1
