@@ -279,7 +279,10 @@ _SNOW_SET_VAR = re.compile(
 )
 _SNOW_UNSET_VAR = re.compile(r"(?is)^\s*UNSET\s+(?P<name>[A-Za-z_]\w*)\s*;?\s*$")
 #: ``$name`` variable references (Snowflake) -> bare name (Spark).
-_DOLLAR_VAR = re.compile(r"\$([A-Za-z_]\w*)")
+#: Snowflake session-variable references are STANDALONE ``$name`` tokens —
+#: the lookbehind keeps object-name dollars intact (``SYSTEM$STREAM_HAS_DATA``,
+#: ``METADATA$ACTION``), which the stream shim resolves at execution time.
+_DOLLAR_VAR = re.compile(r"(?<![\w$])\$([A-Za-z_]\w*)")
 #: Snowflake colon path extraction on VARIANT columns: ``col:a.b[0].c`` or
 #: ``alias.col:a.b`` -> ``variant_get(col, '$.a.b[0].c')`` (2-arg form:
 #: stays VARIANT, like Snowflake's GET_PATH). Guards: the left side is a
@@ -480,6 +483,13 @@ def _resolve_time_travel(
     vt.read(v).createOrReplaceTempView(view)
     return view
 
+
+#: Snowflake stream metadata columns — '$' is not a bare-identifier
+#: character in Spark SQL, so references are backtick-wrapped in place.
+_METADATA_COL = re.compile(r"(?i)\bMETADATA\$(?:ACTION|ISUPDATE|ROW_ID)\b")
+_STREAM_HAS_DATA = re.compile(
+    r"(?i)\bSYSTEM\$STREAM_HAS_DATA\s*\(\s*'(?P<name>[^']+)'\s*\)"
+)
 
 _RATIO_TO_REPORT = re.compile(r"(?i)\bRATIO_TO_REPORT\s*\(")
 _OVER_HEAD = re.compile(r"(?i)^\s*OVER\s*\(")
@@ -807,6 +817,56 @@ class SqlTask(Task):
             )
             text = text[: cand.start()] + view + text[close:]
 
+    def _rewrite_streams(
+        self, stmt: str, ctx: RunContext
+    ) -> tuple[str, list[tuple[str, int]]]:
+        """Resolve Snowflake STREAM references at EXECUTION time (offsets
+        must see every earlier statement's commits, so this cannot run in
+        the upfront translate pass): replace each registered stream name
+        with a temp view over the table's change feed, backtick the
+        ``METADATA$...`` columns (``$`` is not a bare-identifier character
+        in Spark), and fold ``SYSTEM$STREAM_HAS_DATA('s')`` to its exact
+        TRUE/FALSE. Returns the rewritten text plus the (stream, captured
+        version) consumptions to advance if the statement turns out to be
+        a successful DML (plans/streams.py has the semantics contract)."""
+        from bfs_etl_sep2025_spark.plans import streams as _streams
+
+        names = _streams.stream_names()
+        if not names and "$" not in stmt:
+            return stmt, []
+        out = sub_unquoted(
+            _METADATA_COL, lambda m: f"`{m.group(0)}`", stmt
+        )
+        out = sub_unquoted(
+            _STREAM_HAS_DATA,
+            lambda m: (
+                "TRUE"
+                if _streams.stream_has_data(
+                    ctx.spark, m.group("name")
+                )
+                else "FALSE"
+            ),
+            out,
+        )
+        consumed: list[tuple[str, int]] = []
+        target = self._write_target(out)
+        for name in names:
+            pat = re.compile(rf"(?i)(?<![\w.`\"]){re.escape(name)}\b")
+            if not any(
+                m.start() in set(_unquoted_positions(out))
+                for m in pat.finditer(out)
+            ):
+                continue
+            if target is not None and target.strip('`"').lower() == name:
+                raise ValueError(
+                    f"sql task {self.task_id!r}: stream {name!r} is a "
+                    "change feed and cannot be a write target"
+                )
+            view, ver = _streams.resolve_stream_view(ctx.spark, name)
+            out = sub_unquoted(pat, view, out)
+            consumed.append((name, ver))
+        return out, consumed
+
     def _bind(self, stmt: str) -> str:
         def sub(m: re.Match[str]) -> str:
             name = m.group(1)
@@ -859,8 +919,17 @@ class SqlTask(Task):
         if self.schema:
             spark.sql(f"CREATE DATABASE IF NOT EXISTS {self.schema}")
             spark.catalog.setCurrentDatabase(self.schema)
+        from bfs_etl_sep2025_spark.plans import streams as _streams
+
         for stmt in self.statements(ctx):
             self.executed.append(stmt)
+            # Snowflake STREAM DDL and references resolve at EXECUTION
+            # time (offsets must observe earlier statements' commits)
+            if _streams.create_stream(
+                spark, stmt, self.task_id
+            ) or _streams.drop_stream(stmt):
+                continue
+            stmt, consumed = self._rewrite_streams(stmt, ctx)
             target = self._write_target(stmt)
             if target is None:
                 spark.sql(stmt)
@@ -878,3 +947,8 @@ class SqlTask(Task):
                         run_update_or_delete(spark, stmt)
                     else:
                         spark.sql(stmt)
+                # a stream consumed inside a SUCCESSFUL DML advances its
+                # offset to the version captured when the statement read it
+                # (Snowflake's consume-on-commit); a plain SELECT only peeks
+                for sname, ver in consumed:
+                    _streams.advance_stream(sname, ver)

@@ -611,6 +611,8 @@ _SANCTIONED_PYTHON = {
     "dedup_semantic_embedding": {"ArrowEvalPython"},  # same matmul path
     "multimodal_decode_image": {"MapInPandas"},  # real codec boundary
     "multimodal_decode_png": {"MapInPandas"},
+    "multimodal_decode_jpeg_lossless": {"MapInPandas"},
+    "multimodal_decode_jpeg_baseline": {"MapInPandas"},
     "multimodal_decode_audio": {"MapInPandas"},
     "multimodal_feature_extract": {"MapInPandas"},
     "multimodal_phash_neardup": {"MapInPandas"},
