@@ -929,6 +929,12 @@ class SqlTask(Task):
                 spark, stmt, self.task_id
             ) or _streams.drop_stream(stmt):
                 continue
+            # Snowflake TASK objects (CREATE/ALTER/EXECUTE TASK) dispatch
+            # to the Pipeline-backed shim (plans/snowtasks.py)
+            from bfs_etl_sep2025_spark.plans import snowtasks as _snowtasks
+
+            if _snowtasks.handle_statement(spark, stmt, self.task_id):
+                continue
             stmt, consumed = self._rewrite_streams(stmt, ctx)
             target = self._write_target(stmt)
             if target is None:
