@@ -213,3 +213,31 @@ def test_timetravel_audit_pipeline_runs_end_to_end(spark, tmp_path):
     assert verify.last_result["ops"] == ["create", "upsert", "delete"]
     # the shim really rewrote the time-travel clauses (not passed through)
     assert any(re.search(r"__tt_prices_v_[0-9a-f]{12}_v\d", s) for s in audit.executed)
+
+
+def test_stream_task_incremental_pipeline_runs_end_to_end(spark, tmp_path):
+    """The r8 STREAM+TASK surface as a composed DAG: plain Snowflake SQL
+    wires a change stream and a WHEN-gated TASK; each EXECUTE TASK moves
+    exactly the unconsumed delta, a drained stream gates the body off,
+    and the task run-log records both real runs plus the skip."""
+    import stream_task_incremental_pipeline as st
+    from bfs_etl_sep2025_spark.plans.snowtasks import clear_tasks
+    from bfs_etl_sep2025_spark.plans.streams import clear_streams
+    from bfs_etl_sep2025_spark.plans.versioned import (
+        unregister_versioned_table,
+    )
+
+    dag, tasks = st.build(str(tmp_path / "orders_feed"))
+    try:
+        dag.run(spark)
+    finally:
+        unregister_versioned_table("orders_feed")
+        clear_streams()
+        clear_tasks()
+        spark.sql("DROP TABLE IF EXISTS orders_landed")
+    bootstrap, wire, land1, fire1, land2, fire2, verify = tasks
+    assert fire1.last_result["ran"] == ["load_orders"]
+    assert fire2.last_result["ran"] == ["load_orders"]
+    # consumption advanced the offset between fires
+    assert fire2.last_result["offset"] > fire1.last_result["offset"]
+    assert verify.last_result["landed_rows"] == 3
