@@ -128,13 +128,19 @@ def test_ivf_codebook_over_guard_uses_two_level(spark, monkeypatch):
 
 
 def test_multimodal_decode_is_stubbed():
-    """Only genuinely library-less codecs stay stubbed: JPEG raises the
-    honest STUB marker, while PNG (stdlib zlib) decodes for real as of r7
-    (tests/test_codecs.py covers the PNG suite)."""
+    """Only genuinely library-less codecs stay stubbed: an UNKNOWN format
+    raises the honest STUB marker, while PPM/PNG/JPEG (baseline AND
+    lossless, as of r8) decode for real (tests/test_codecs.py), and a
+    JPEG with an unsupported process names the real cause."""
     from bfs_etl_sep2025_spark.operators.multimodal import decode_image
 
     with pytest.raises(NotImplementedError, match="STUB"):
-        decode_image(b"\xff\xd8\xff\xe0" + bytes(16))
+        decode_image(b"ID3\x04" + bytes(16))  # an MP3's tag header
+    with pytest.raises(ValueError, match="no frame header"):
+        # valid JPEG APP0 prologue but the stream ends before any SOF
+        decode_image(
+            b"\xff\xd8\xff\xe0" + (16).to_bytes(2, "big") + bytes(14)
+        )
 
 
 def test_clusters_consistent_with_pairs(spark):
