@@ -91,9 +91,11 @@ _PRIORITY: tuple[str, ...] = (
     "window_period_over_period",
     "scan_schema_evolution",
     "text_ngram_novelty",
-    # plan changed since latest green (r7 twin collapse + memoized masks):
+    # plan changed since latest green (r7 twin collapse + memoized masks;
+    # r8 GEMM-prefiltered semdedup pair pass):
     "graph_link_prediction_cn",
     "graph_triangle_count",
+    "dedup_semantic_embedding",
     # named priority (VERDICT r7 item 8): non-trivial join plans on r3 greens
     "join_asof",
     "join_salted_skew",

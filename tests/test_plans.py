@@ -608,7 +608,8 @@ _SANCTIONED_PYTHON = {
     "udf_arrow_scalar": {"ArrowEvalPython"},
     "udf_grouped_map": {"FlatMapGroupsInPandas"},
     "similarity_ann_ivf": {"ArrowEvalPython"},  # BLAS matmul assignment
-    "dedup_semantic_embedding": {"ArrowEvalPython"},  # same matmul path
+    # matmul assignment + per-cell GEMM pair prefilter (exact rerank after)
+    "dedup_semantic_embedding": {"ArrowEvalPython", "FlatMapGroupsInPandas"},
     "multimodal_decode_image": {"MapInPandas"},  # real codec boundary
     "multimodal_decode_png": {"MapInPandas"},
     "multimodal_decode_jpeg_lossless": {"MapInPandas"},
