@@ -91,6 +91,7 @@ _PRIORITY: tuple[str, ...] = (
     "window_period_over_period",
     "scan_schema_evolution",
     "text_ngram_novelty",
+    "multimodal_scene_cuts",
     # plan changed since latest green (r7 twin collapse + memoized masks;
     # r8 GEMM-prefiltered semdedup pair pass):
     "graph_link_prediction_cn",

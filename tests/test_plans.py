@@ -617,6 +617,7 @@ _SANCTIONED_PYTHON = {
     "multimodal_decode_audio": {"MapInPandas"},
     "multimodal_feature_extract": {"MapInPandas"},
     "multimodal_phash_neardup": {"MapInPandas"},
+    "multimodal_scene_cuts": {"MapInPandas"},
 }
 
 _PY_NODES = (
