@@ -555,6 +555,11 @@ def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: blocked all-pairs tile width: a (BLOCK x DIM) float64 tile is ~2 MB,
+#: so a block-pair group holds ~4 MB regardless of corpus size.
+_NEARDUP_BLOCK = 4096
+
+
 @query(
     "similarity_cosine_neardup",
     family="similarity",
@@ -574,31 +579,104 @@ def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 def similarity_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-level near-duplicate pairs (cosine >= τ=0.45 — chosen to be
     meaningful on the fixture's random vectors, whose max pairwise cosine is
-    ~0.51). Brute-force all-pairs as the oracle-checkable baseline; the
-    production-scale variant runs the identical rerank after the LSH bucket
-    join above."""
+    ~0.51). EXACT all-pairs — the oracle-checkable baseline the LSH bucket
+    join above approximates — executed as a BLOCKED GEMM neighbor join
+    (r8): vectors tile into contiguous-id blocks of {_NEARDUP_BLOCK}, the
+    tiny block-pair table (upper triangle of block ids) replicates each
+    tile to its partners, one numpy A @ B.T per block-pair emits only the
+    (vec_a, vec_b) candidates clearing τ minus a 1e-9 margin (~1e5x the
+    worst float64 summation-order divergence, so the exact survivor set
+    is provably contained), and survivors re-score through the
+    ordered-fold codegen'd dot behind the pushdown barrier — the hashed
+    cosine is the fold value, BLAS order never reaches it (the semdedup
+    contract). The previous shape evaluated the 64-term chain per row of
+    the full N²/2 nested-loop product: 1159 s at sf1 vs ~20 s blocked.
+
+    Scale notes (100 TB): the N²/2 pair COUNT is the definition of the
+    query — blocking changes the constant, not the asymptotics (shuffle
+    is tiles x partner-count, compute is BLAS-rate instead of
+    row-expression-rate; per-group memory is two fixed ~2 MB tiles at any
+    corpus size). Production near-dup runs the LSH candidate path
+    (``similarity_topk_lsh`` machinery) and reranks exactly the same way;
+    this operator is the exact baseline that validates it."""
+    import numpy as np  # noqa: F401  (executors re-import in the UDF)
+
     e = widen(load(spark, sf_dir, "embeddings"))
     n = e.select("vec_id", "embedding", _norm_arr("embedding").alias("nrm"))
-    a = n.select(
+    n_max = n.agg(F.max("vec_id")).collect()[0][0]  # 1-row collect
+    nb = int(n_max // _NEARDUP_BLOCK) + 1
+    bp = spark.createDataFrame(
+        [(i, j) for i in range(nb) for j in range(nb) if i <= j],
+        "ba int, bb int",
+    )
+    blk = (F.col("vec_id") / _NEARDUP_BLOCK).cast("int")
+    tagged_a = (
+        n.select("vec_id", "embedding", blk.alias("ba"))
+        .join(bp, "ba")
+        .select("ba", "bb", "vec_id", "embedding", F.lit(0).alias("side"))
+    )
+    tagged_b = (
+        n.select("vec_id", "embedding", blk.alias("bb"))
+        .join(bp, "bb")
+        .select("ba", "bb", "vec_id", "embedding", F.lit(1).alias("side"))
+    )
+    margin = 1e-9
+
+    def tile_candidates(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as _np
+
+        same = pdf["ba"].iloc[0] == pdf["bb"].iloc[0]
+        sa = pdf[pdf["side"] == 0]
+        sb = pdf if same else pdf[pdf["side"] == 1]
+        if len(sa) == 0 or len(sb) == 0:
+            # sparse id spaces (the sf1 replication offsets ids) can leave
+            # a tile empty on one side of a pair — nothing to compare
+            return pd.DataFrame({"vec_a": [], "vec_b": []}, dtype="int64")
+        ia = sa["vec_id"].to_numpy()
+        ib = sb["vec_id"].to_numpy()
+        oa, ob = _np.argsort(ia), _np.argsort(ib)
+        ia, ib = ia[oa], ib[ob]
+        A = _np.stack(sa["embedding"].to_numpy()[oa]).astype(_np.float64)
+        B = (
+            A
+            if same
+            else _np.stack(sb["embedding"].to_numpy()[ob]).astype(
+                _np.float64
+            )
+        )
+        A = A / _np.linalg.norm(A, axis=1, keepdims=True)
+        Bn = A if same else B / _np.linalg.norm(B, axis=1, keepdims=True)
+        G = A @ Bn.T
+        mask = G >= 0.45 - margin
+        if same:
+            mask = _np.triu(mask, k=1)
+        iu, iv = _np.nonzero(mask)
+        return pd.DataFrame({"vec_a": ia[iu], "vec_b": ib[iv]})
+
+    # ba == bb groups carry each vector once (side 0 row from bp's (i, i));
+    # dedupe the side-1 twin so the diagonal tile is not doubled
+    union = tagged_a.unionByName(
+        tagged_b.filter(F.col("ba") != F.col("bb"))
+    )
+    cand = union.groupBy("ba", "bb").applyInPandas(
+        tile_candidates, "vec_a long, vec_b long"
+    )
+    au = n.select(
         F.col("vec_id").alias("vec_a"),
         F.col("embedding").alias("a_emb"),
         F.col("nrm").alias("nrm_a"),
     )
-    b = n.select(
+    bv = n.select(
         F.col("vec_id").alias("vec_b"),
         F.col("embedding").alias("b_emb"),
         F.col("nrm").alias("nrm_b"),
     )
-    pairs = a.join(b, F.col("vec_a") < F.col("vec_b"))
     cos = _dot_arr("a_emb", "b_emb") / (F.col("nrm_a") * F.col("nrm_b"))
-    # barrier_filter is a deliberate pushdown BARRIER: without it Catalyst
-    # pushes the cosine threshold INTO the nested-loop join condition,
-    # where the 64-term dot runs through the join's bound-condition path
-    # instead of whole-stage codegen (and is recomputed in the projection
-    # for survivors) — the sf1 all-pairs sweep went from a >15 min DNF to
-    # minutes once the dot stayed in a fused codegen'd projection. See
-    # operators/_barrier.py (incl. the debug-mode runtime plan assertion).
-    scored = pairs.select("vec_a", "vec_b", cos.alias("cosine"))
+    scored = (
+        cand.join(au, "vec_a")
+        .join(bv, "vec_b")
+        .select("vec_a", "vec_b", cos.alias("cosine"))
+    )
     return (
         barrier_filter(scored, F.col("cosine") >= 0.45)
         .select("vec_a", "vec_b", "cosine")

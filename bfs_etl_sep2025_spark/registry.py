@@ -97,6 +97,7 @@ _PRIORITY: tuple[str, ...] = (
     "graph_link_prediction_cn",
     "graph_triangle_count",
     "dedup_semantic_embedding",
+    "similarity_cosine_neardup",
     # named priority (VERDICT r7 item 8): non-trivial join plans on r3 greens
     "join_asof",
     "join_salted_skew",

@@ -480,3 +480,32 @@ def test_multitable_lsh_dominates_single_table_recall(spark):
     # and somewhere it strictly improved (the second table caught a
     # neighbor the first table's bucket missed)
     assert any(multi[k] > v for k, v in single.items())
+
+
+def test_cosine_neardup_blocked_path_matches_oracle(spark, duck):
+    """The blocked-GEMM all-pairs rewrite (r8) has TWO tile regimes: the
+    sf0.01 oracle gate only exercises the diagonal tile (one block).
+    Shrink the tile width so the same fixture fans out over many blocks —
+    diagonal AND cross tiles — and the result must still match the
+    brute-force oracle exactly (candidate containment + exact rerank)."""
+    import bfs_etl_sep2025_spark.operators.similarity as sim
+
+    spec = registry.all_specs()["similarity_cosine_neardup"]
+    old = sim._NEARDUP_BLOCK
+    sim._NEARDUP_BLOCK = 257  # 2000 ids -> 8 blocks, 36 tile pairs
+    try:
+        got = spec.fn(spark, SF).toPandas()
+    finally:
+        sim._NEARDUP_BLOCK = old
+    want = duck.execute(spec.oracle).fetchdf()
+    cols = sorted(got.columns)
+    gs = (
+        got.reindex(cols, axis=1).astype(str).sort_values(cols)
+        .reset_index(drop=True)
+    )
+    ws = (
+        want.reindex(cols, axis=1).astype(str).sort_values(cols)
+        .reset_index(drop=True)
+    )
+    assert len(gs) == len(ws)
+    assert gs.equals(ws)

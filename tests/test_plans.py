@@ -610,6 +610,8 @@ _SANCTIONED_PYTHON = {
     "similarity_ann_ivf": {"ArrowEvalPython"},  # BLAS matmul assignment
     # matmul assignment + per-cell GEMM pair prefilter (exact rerank after)
     "dedup_semantic_embedding": {"ArrowEvalPython", "FlatMapGroupsInPandas"},
+    # blocked-GEMM all-pairs tiles (exact rerank after)
+    "similarity_cosine_neardup": {"FlatMapGroupsInPandas"},
     "multimodal_decode_image": {"MapInPandas"},  # real codec boundary
     "multimodal_decode_png": {"MapInPandas"},
     "multimodal_decode_jpeg_lossless": {"MapInPandas"},
