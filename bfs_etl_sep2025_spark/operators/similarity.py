@@ -581,35 +581,53 @@ def similarity_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     meaningful on the fixture's random vectors, whose max pairwise cosine is
     ~0.51). EXACT all-pairs — the oracle-checkable baseline the LSH bucket
     join above approximates — executed as a BLOCKED GEMM neighbor join
-    (r8): vectors tile into contiguous-id blocks of {_NEARDUP_BLOCK}, the
-    tiny block-pair table (upper triangle of block ids) replicates each
-    tile to its partners, one numpy A @ B.T per block-pair emits only the
-    (vec_a, vec_b) candidates clearing τ minus a 1e-9 margin (~1e5x the
-    worst float64 summation-order divergence, so the exact survivor set
-    is provably contained), and survivors re-score through the
-    ordered-fold codegen'd dot behind the pushdown barrier — the hashed
-    cosine is the fold value, BLAS order never reaches it (the semdedup
-    contract). The previous shape evaluated the 64-term chain per row of
-    the full N²/2 nested-loop product: 1159 s at sf1 vs ~20 s blocked.
+    (r8, re-blocked r9): vectors tile into hash-assigned blocks of expected
+    size {_NEARDUP_BLOCK} (``pmod(xxhash64(vec_id), nb)`` with ``nb =
+    ceil(count / block)`` — a dense RANK-shaped assignment that never looks
+    at the id VALUE, so sparse / offset / 64-bit id spaces cost nothing;
+    the r8 shape derived nb from max(vec_id) and materialized all O(nb²)
+    block pairs as a driver-side Python list, which explodes on sparse ids
+    — ADVICE r8), the block-pair table (upper triangle of block ids) is
+    built from ``spark.range`` arithmetic with no driver materialization
+    and replicates each tile to its partners, one numpy A @ B.T per
+    block-pair emits only the (vec_a, vec_b) candidates clearing τ minus a
+    1e-9 margin (~1e5x the worst float64 summation-order divergence, so
+    the exact survivor set is provably contained), and survivors re-score
+    through the ordered-fold codegen'd dot behind the pushdown barrier —
+    the hashed cosine is the fold value, BLAS order never reaches it (the
+    semdedup contract). Hash blocks do not preserve id ordering, so the
+    tile emits each pair min/max-normalized — every unordered pair lands
+    in exactly one (ba <= bb) group, so once globally. The pre-r8 shape
+    evaluated the 64-term chain per row of the full N²/2 nested-loop
+    product: 1159 s at sf1 vs ~20 s blocked.
 
     Scale notes (100 TB): the N²/2 pair COUNT is the definition of the
     query — blocking changes the constant, not the asymptotics (shuffle
     is tiles x partner-count, compute is BLAS-rate instead of
-    row-expression-rate; per-group memory is two fixed ~2 MB tiles at any
-    corpus size). Production near-dup runs the LSH candidate path
-    (``similarity_topk_lsh`` machinery) and reranks exactly the same way;
-    this operator is the exact baseline that validates it."""
+    row-expression-rate; per-group memory is two fixed ~2 MB expected
+    tiles at any corpus size, with multiplicative-Chernoff-tight variance
+    at thousands of rows per block). Production near-dup runs the LSH
+    candidate path (``similarity_topk_lsh`` machinery) and reranks exactly
+    the same way; this operator is the exact baseline that validates it."""
     import numpy as np  # noqa: F401  (executors re-import in the UDF)
 
     e = widen(load(spark, sf_dir, "embeddings"))
     n = e.select("vec_id", "embedding", _norm_arr("embedding").alias("nrm"))
-    n_max = n.agg(F.max("vec_id")).collect()[0][0]  # 1-row collect
-    nb = int(n_max // _NEARDUP_BLOCK) + 1
-    bp = spark.createDataFrame(
-        [(i, j) for i in range(nb) for j in range(nb) if i <= j],
-        "ba int, bb int",
+    cnt = n.count()  # 1-row action
+    if cnt == 0:
+        return spark.createDataFrame(
+            [], "vec_a long, vec_b long, cosine double"
+        )
+    nb = max(1, -(-cnt // _NEARDUP_BLOCK))
+    bp = (
+        spark.range(nb * nb)
+        .select(
+            (F.col("id") / nb).cast("int").alias("ba"),
+            (F.col("id") % nb).cast("int").alias("bb"),
+        )
+        .filter(F.col("ba") <= F.col("bb"))
     )
-    blk = (F.col("vec_id") / _NEARDUP_BLOCK).cast("int")
+    blk = F.pmod(F.xxhash64("vec_id"), F.lit(nb)).cast("int")
     tagged_a = (
         n.select("vec_id", "embedding", blk.alias("ba"))
         .join(bp, "ba")
@@ -651,7 +669,12 @@ def similarity_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         if same:
             mask = _np.triu(mask, k=1)
         iu, iv = _np.nonzero(mask)
-        return pd.DataFrame({"vec_a": ia[iu], "vec_b": ib[iv]})
+        # hash blocks carry arbitrary id ranges on both sides — normalize
+        # each pair to (min, max) so the output always has vec_a < vec_b
+        u, v = ia[iu], ib[iv]
+        return pd.DataFrame(
+            {"vec_a": _np.minimum(u, v), "vec_b": _np.maximum(u, v)}
+        )
 
     # ba == bb groups carry each vector once (side 0 row from bp's (i, i));
     # dedupe the side-1 twin so the diagonal tile is not doubled

@@ -509,3 +509,57 @@ def test_cosine_neardup_blocked_path_matches_oracle(spark, duck):
     )
     assert len(gs) == len(ws)
     assert gs.equals(ws)
+
+
+def test_cosine_neardup_sparse_64bit_ids(spark, tmp_path):
+    """ADVICE r8 (medium): the r8 shape derived the block count from
+    max(vec_id) VALUE and materialized O(nb²) block pairs driver-side — a
+    sparse/offset 64-bit id space made that list astronomically large. The
+    r9 rewrite blocks on a count-derived hash assignment, so offsetting
+    every id by 2^40 must change nothing but the id values: same pair set
+    (shifted), nb stays ceil(count/block), and the run completes at
+    fixture scale. Also pins the empty-table early return."""
+    import duckdb
+
+    import bfs_etl_sep2025_spark.operators.similarity as sim
+
+    src = "/root/testdata/sf0.001/embeddings.parquet"
+    sparse = str(tmp_path / "sparse")
+    (tmp_path / "sparse").mkdir()
+    duckdb.execute(
+        f"""
+        COPY (SELECT vec_id + 1099511627776 AS vec_id, embedding
+              FROM read_parquet('{src}'))
+        TO '{sparse}/embeddings.parquet' (FORMAT PARQUET)
+        """
+    )
+    spec = registry.all_specs()["similarity_cosine_neardup"]
+    old = sim._NEARDUP_BLOCK
+    sim._NEARDUP_BLOCK = 101  # force multi-block even at sf0.001
+    try:
+        got = spec.fn(spark, sparse).toPandas()
+        base = spec.fn(spark, "/root/testdata/sf0.001").toPandas()
+    finally:
+        sim._NEARDUP_BLOCK = old
+    assert len(got) == len(base)
+    got_shift = got.assign(
+        vec_a=got.vec_a - 1099511627776, vec_b=got.vec_b - 1099511627776
+    )
+    key = ["vec_a", "vec_b"]
+    gs = got_shift.sort_values(key).reset_index(drop=True)
+    bs = base.sort_values(key).reset_index(drop=True)
+    assert gs[key].equals(bs[key])
+    assert (gs.cosine.to_numpy() == bs.cosine.to_numpy()).all()
+
+    # empty-table guard: zero rows in, schema-stable zero rows out
+    empty = str(tmp_path / "empty")
+    (tmp_path / "empty").mkdir()
+    duckdb.execute(
+        f"""
+        COPY (SELECT vec_id, embedding FROM read_parquet('{src}') WHERE 0=1)
+        TO '{empty}/embeddings.parquet' (FORMAT PARQUET)
+        """
+    )
+    out = spec.fn(spark, empty)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == ["vec_a", "vec_b", "cosine"]
