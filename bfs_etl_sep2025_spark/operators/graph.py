@@ -727,17 +727,29 @@ def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded by component diameter. The oracle computes the same fixpoint
     as DuckDB's WITH RECURSIVE transitive closure — two unrelated
     fixpoint engines agreeing on every component. Labels are integers
-    throughout: nothing floating anywhere, so agreement is exact."""
+    throughout: nothing floating anywhere, so agreement is exact.
+
+    r9: the symmetric list needs NO distinct — ``_edges`` emits unique
+    (u, v) pairs with u < v, so the (u→v) and (v→u) union branches are
+    disjoint by construction and the old ``.distinct()`` was a full
+    2|E|-row shuffle for nothing (2.5 s of cc's ~10 s at sf1).
+    Convergence is now detected by the label-sum invariant: every round
+    takes elementwise ``least``, so sum(label) is monotonically
+    non-increasing and strictly decreases iff any label changed — one
+    map-side aggregate over the checkpointed labels instead of a
+    new-vs-old join per round (DECIMAL(38) accumulator: ids are bounded
+    by the 100k-user bitmap guard but sums of arbitrary bigint ids must
+    not overflow)."""
     e = _edges(spark, sf_dir)
     sym = (
         e.select(F.col("u").alias("s"), F.col("v").alias("d"))
         .unionByName(e.select(F.col("v").alias("s"), F.col("u").alias("d")))
-        .distinct()
         .localCheckpoint()
     )
     labels = sym.select("s").distinct().select(
         F.col("s").alias("node"), F.col("s").alias("label")
     )
+    label_sum = None
     for _ in range(20):  # diameter bound; co-occurrence comps are shallow
         nbr = (
             sym.join(labels, sym.d == labels.node)
@@ -755,16 +767,13 @@ def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
+        new_sum = new_labels.agg(
+            F.sum(F.col("label").cast("decimal(38,0)"))
+        ).collect()[0][0]
         labels = new_labels
-        if changed == 0:
+        if new_sum == label_sum:
             break
+        label_sum = new_sum
     else:
         raise RuntimeError(
             "label propagation did not converge in 20 rounds — component "
