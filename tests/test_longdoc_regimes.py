@@ -211,6 +211,35 @@ def test_span_removal_longdoc_parity(spark, longdoc_dir, longdoc_duck):
     assert len(got[got.removed_chars >= len(_SHARED) - 100]) == 11
 
 
+def test_span_removal_one_text_exchange_no_codegen_fallback(
+    spark, longdoc_dir, longdoc_duck
+):
+    """VERDICT r8 item 7: assert corpus_span_removal's one-text-join claim
+    against the PLAN at the 10-100 KB regime — document text must cross at
+    most the single final-splice join exchange — and prove the splice
+    expressions stay inside codegen. The Janino 64 KB ceiling's only
+    default symptom is an `ERROR CodeGenerator` stderr line (CLAUDE.md), so
+    instead of grepping logs the run here flips
+    ``spark.sql.codegen.fallback=false`` + ``factoryMode=CODEGEN_ONLY``:
+    any expression or whole-stage compile failure then RAISES instead of
+    silently dropping the stage to interpreted mode."""
+    spec = registry.all_specs()["corpus_span_removal"]
+    df = spec.fn(spark, longdoc_dir)
+    assert _exchanges_carrying(spark, df, "text") <= 1
+
+    conf = spark.conf
+    old_fallback = conf.get("spark.sql.codegen.fallback", "true")
+    old_factory = conf.get("spark.sql.codegen.factoryMode", "FALLBACK")
+    conf.set("spark.sql.codegen.fallback", "false")
+    conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    try:
+        n = spec.fn(spark, longdoc_dir).count()
+        assert n > 0
+    finally:
+        conf.set("spark.sql.codegen.fallback", old_fallback)
+        conf.set("spark.sql.codegen.factoryMode", old_factory)
+
+
 def test_pii_redact_longdoc_parity(spark, longdoc_dir, longdoc_duck):
     _parity(spark, longdoc_dir, longdoc_duck, "text_pii_redact")
 
