@@ -64,7 +64,7 @@ _EXECUTE_TASK = re.compile(
 )
 _SCHEDULE = re.compile(r"(?is)\bSCHEDULE\s*=\s*'(?P<sched>[^']+)'")
 _AFTER = re.compile(r"(?is)\bAFTER\s+(?P<parents>[\w.`\"]+(?:\s*,\s*[\w.`\"]+)*)")
-_WHEN = re.compile(r"(?is)\bWHEN\s+(?P<cond>.+?)(?=\bSCHEDULE\s*=|\bAFTER\s+|$)")
+_WHEN_KW = re.compile(r"(?i)\bWHEN\b")
 _N_MINUTE = re.compile(r"(?i)^\s*(?P<n>\d+)\s+MINUTE\s*$")
 _USING_CRON = re.compile(r"(?i)^\s*USING\s+CRON\s+(?P<expr>\S+(?:\s+\S+){4})")
 
@@ -124,8 +124,33 @@ def create_task(stmt: str, task_id: str) -> bool:
         )
     head = rest[: split_at.start()]
     body_text = rest[split_at.end() :]
+
+    # Clause extraction must respect string literals (ADVICE r8): a WHEN
+    # condition containing a quoted 'AFTER x' or 'SCHEDULE =' substring
+    # must not be mis-split. Same unquoted-position filter as the AS split;
+    # WHEN is carved out FIRST, its end bounded by the next UNQUOTED
+    # SCHEDULE/AFTER clause head (the old lookahead stopped at quoted ones).
+    from bfs_etl_sep2025_spark.plans.qualify import _unquoted_positions
+
+    def _unq_search(pattern: re.Pattern, text: str):
+        ok = set(_unquoted_positions(text))
+        return next(
+            (mm for mm in pattern.finditer(text) if mm.start() in ok), None
+        )
+
+    when = None
+    mw = _unq_search(_WHEN_KW, head)
+    if mw:
+        unq = set(_unquoted_positions(head))
+        end = len(head)
+        for pat in (_SCHEDULE, _AFTER):
+            for mm in pat.finditer(head):
+                if mm.start() in unq and mm.start() > mw.end():
+                    end = min(end, mm.start())
+        when = head[mw.end() : end].strip()
+        head = head[: mw.start()] + head[end:]
     sched = None
-    ms = _SCHEDULE.search(head)
+    ms = _unq_search(_SCHEDULE, head)
     if ms:
         raw = ms.group("sched")
         if not (_N_MINUTE.match(raw) or _USING_CRON.match(raw)):
@@ -135,19 +160,14 @@ def create_task(stmt: str, task_id: str) -> bool:
                 "translate)"
             )
         sched = raw
-        head = _SCHEDULE.sub("", head)
+        head = head[: ms.start()] + head[ms.end() :]
     after: tuple[str, ...] = ()
-    ma = _AFTER.search(head)
+    ma = _unq_search(_AFTER, head)
     if ma:
         after = tuple(
             _norm(p) for p in ma.group("parents").split(",")
         )
-        head = _AFTER.sub("", head)
-    when = None
-    mw = _WHEN.search(head)
-    if mw:
-        when = mw.group("cond").strip()
-        head = _WHEN.sub("", head)
+        head = head[: ma.start()] + head[ma.end() :]
     leftover = head.strip()
     if leftover:
         raise ValueError(

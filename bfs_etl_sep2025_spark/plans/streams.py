@@ -33,6 +33,21 @@ semantics where they are well-defined on a plain filesystem:
   TRUE/FALSE literal by probing the feed for one row (exact, not the
   version-counter heuristic — a net-zero commit reports no data).
 
+Documented divergences (ADVICE r8):
+
+- Each stream read materializes ONE temp view (the previous read's view
+  is dropped — a long session no longer leaks a catalog entry per read).
+  Consequently a longer-lived object defined OVER a stream read
+  (``CREATE VIEW v AS SELECT * FROM s``) binds to that read's snapshot
+  view and errors loudly once the stream is read again — Snowflake
+  re-evaluates the stream per query of ``v``. Loud-on-stale is the
+  chosen failure mode; re-derive such views from the stream directly.
+- ``SYSTEM$STREAM_HAS_DATA`` folded inside a ``CREATE VIEW`` body bakes
+  the peek-time TRUE/FALSE literal into the view definition, diverging
+  from Snowflake's per-query re-evaluation (same execution-time-fold
+  mechanics; gate tasks re-translate per run, so the supported
+  WHEN-gated incremental pattern is unaffected).
+
 Scale notes: a stream read IS ``VersionedTable.changes`` — per commit it
 scans only the data dirs that commit added/removed (file-level diff), so
 consuming a stream on a 100 TB table costs the changed files, never the
@@ -173,7 +188,15 @@ def resolve_stream_view(
         f"{info['table']}:{info['offset']}:{cur}".encode()
     ).hexdigest()[:12]
     view = f"__stream_{_norm(name)}_{key}"
+    # one live view per stream: drop the previous (offset, version) view so
+    # a long session does not leak a catalog entry per read (ADVICE r8).
+    # A view embedded in a longer-lived object (CREATE VIEW ... FROM s) is
+    # NOT protected here — see the module-contract note on folding.
+    prev = info.get("last_view")
+    if prev is not None and prev != view:
+        spark.catalog.dropTempView(prev)
     out.createOrReplaceTempView(view)
+    info["last_view"] = view
     return view, cur
 
 

@@ -817,6 +817,43 @@ class SqlTask(Task):
             )
             text = text[: cand.start()] + view + text[close:]
 
+    @staticmethod
+    def _is_table_ref_position(sql: str, pos: int) -> bool:
+        """True iff an identifier starting at ``pos`` sits in a
+        table-reference slot: right after FROM / any-JOIN / MERGE-style
+        USING, or after a comma inside a FROM list (comma-join). ADVICE
+        r8: a column, alias, or unrelated name that merely EQUALS a
+        registered stream name must not be rewritten into the change-feed
+        view — word-boundary matching alone changed query semantics."""
+        unq = set(_unquoted_positions(sql))
+        masked = "".join(
+            ch if i in unq else " " for i, ch in enumerate(sql[:pos])
+        )
+        toks = re.findall(r"[\w$.]+|[(),]", masked)
+        clause_break = {
+            "where", "group", "having", "order", "limit", "qualify",
+            "window", "union", "intersect", "except", "select", "on",
+            "set", "values", "when",
+        }
+        in_from = False
+        stack: list[bool] = []
+        last = None
+        for t in toks:
+            tl = t.lower()
+            if t == "(":
+                stack.append(in_from)
+                in_from = False
+            elif t == ")":
+                in_from = stack.pop() if stack else False
+            elif tl == "from":
+                in_from = True
+            elif tl in clause_break:
+                in_from = False
+            last = tl
+        return last in ("from", "join", "using") or (
+            last == "," and in_from
+        )
+
     def _rewrite_streams(
         self, stmt: str, ctx: RunContext
     ) -> tuple[str, list[tuple[str, int]]]:
@@ -851,19 +888,30 @@ class SqlTask(Task):
         consumed: list[tuple[str, int]] = []
         target = self._write_target(out)
         for name in names:
-            pat = re.compile(rf"(?i)(?<![\w.`\"]){re.escape(name)}\b")
-            if not any(
-                m.start() in set(_unquoted_positions(out))
-                for m in pat.finditer(out)
-            ):
-                continue
             if target is not None and target.strip('`"').lower() == name:
                 raise ValueError(
                     f"sql task {self.task_id!r}: stream {name!r} is a "
                     "change feed and cannot be a write target"
                 )
+            pat = re.compile(rf"(?i)(?<![\w.`\"]){re.escape(name)}\b")
+            unq = set(_unquoted_positions(out))
+            # only matches sitting in TABLE-REFERENCE positions count — a
+            # column/alias sharing the stream's name is left alone
+            hits = [
+                m
+                for m in pat.finditer(out)
+                if m.start() in unq
+                and self._is_table_ref_position(out, m.start())
+            ]
+            if not hits:
+                continue
             view, ver = _streams.resolve_stream_view(ctx.spark, name)
-            out = sub_unquoted(pat, view, out)
+            hit_starts = {m.start() for m in hits}
+            out = sub_unquoted(
+                pat,
+                lambda m: view if m.start() in hit_starts else m.group(0),
+                out,
+            )
             consumed.append((name, ver))
         return out, consumed
 

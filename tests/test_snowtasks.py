@@ -167,3 +167,35 @@ def test_when_with_cast_as_inside_condition(spark, vt_src):
     assert task_def("t_cast").when == "(CAST(1 AS INT) = 1)"
     assert execute_task(spark, "t_cast") == ["t_cast"]
     assert spark.table("tk_cast").collect()[0].x == 7
+
+
+def test_quoted_clause_keywords_inside_when_do_not_mis_split(spark, vt_src):
+    """ADVICE r8: clause extraction respects string literals — a WHEN
+    condition containing quoted 'AFTER x' / 'SCHEDULE =' substrings must
+    survive intact, and the real SCHEDULE clause after it must still
+    parse."""
+    _run_sql(
+        spark,
+        "CREATE TASK t_q SCHEDULE = '5 MINUTE' "
+        "WHEN ('AFTER x' <> 'SCHEDULE =' ) AS "
+        "CREATE OR REPLACE TABLE tk_q AS SELECT 1 AS x",
+    )
+    td = task_def("t_q")
+    assert td.schedule == "5 MINUTE"
+    assert td.when == "('AFTER x' <> 'SCHEDULE =' )".strip()
+    assert td.after == ()
+    assert execute_task(spark, "t_q") == ["t_q"]
+    assert spark.table("tk_q").collect()[0].x == 1
+
+
+def test_when_condition_bounded_by_real_schedule_clause(spark, vt_src):
+    """WHEN ... SCHEDULE = ordering: the condition must stop at the real
+    (unquoted) SCHEDULE clause head, not swallow it."""
+    _run_sql(
+        spark,
+        "CREATE TASK t_wb WHEN (1 = 1) SCHEDULE = '5 MINUTE' AS "
+        "CREATE OR REPLACE TABLE tk_wb AS SELECT 2 AS x",
+    )
+    td = task_def("t_wb")
+    assert td.schedule == "5 MINUTE"
+    assert td.when == "(1 = 1)"

@@ -188,3 +188,71 @@ def test_offset_captured_after_earlier_statements_in_same_task(
         "CREATE OR REPLACE TEMPORARY VIEW st_now AS SELECT * FROM s_t",
     )
     assert spark.table("st_now").count() == 0  # created AFTER the append
+
+
+def test_stream_name_as_column_or_alias_is_not_rewritten(spark, s_table):
+    """ADVICE r8: a column or alias that merely EQUALS a registered stream
+    name must not be rewritten into the change-feed view — only
+    table-reference positions (FROM / JOIN / USING / comma-join) resolve."""
+    _run_sql(spark, "CREATE STREAM colname ON TABLE st_orders")
+    spark.createDataFrame(
+        [(1,), (2,)], "id INT"
+    ).createOrReplaceTempView("plain_src")
+    # 'colname' appears as an output alias and a WHERE operand — neither is
+    # a table reference; the statement must run against the real view
+    _run_sql(
+        spark,
+        "CREATE OR REPLACE TEMPORARY VIEW alias_probe AS "
+        "SELECT id AS colname FROM plain_src WHERE id >= 1",
+    )
+    got = {r.colname for r in spark.table("alias_probe").collect()}
+    assert got == {1, 2}
+    # and the stream itself still resolves in a true FROM position,
+    # carrying the change rows committed after creation
+    s_table.append(spark.createDataFrame([(3, "c")], "id INT, v STRING"))
+    _run_sql(
+        spark,
+        "CREATE OR REPLACE TEMPORARY VIEW s_reads AS "
+        "SELECT id FROM colname",
+    )
+    assert {r.id for r in spark.table("s_reads").collect()} == {3}
+
+
+def test_stream_resolves_in_comma_join(spark, s_table):
+    """Table-reference positions beyond plain FROM: the comma-join slot
+    must still resolve the stream to its change feed."""
+    _run_sql(spark, "CREATE STREAM s_cj ON TABLE st_orders")
+    s_table.append(spark.createDataFrame([(7, "q")], "id INT, v STRING"))
+    spark.createDataFrame(
+        [(7,), (8,)], "id INT"
+    ).createOrReplaceTempView("cj_dim")
+    _run_sql(
+        spark,
+        "CREATE OR REPLACE TEMPORARY VIEW cj AS "
+        "SELECT t.id AS tid, s.id AS sid "
+        "FROM cj_dim t, s_cj s WHERE t.id = s.id",
+    )
+    rows = spark.table("cj").collect()
+    assert {(r.tid, r.sid) for r in rows} == {(7, 7)}
+
+
+def test_stream_views_do_not_leak_across_reads(spark, s_table):
+    """ADVICE r8: each stream keeps ONE live temp view — re-reads (offset
+    or version moved) drop the previous snapshot view instead of leaking a
+    catalog entry per read."""
+    _run_sql(spark, "CREATE STREAM s_leak ON TABLE st_orders")
+    for i in range(3):
+        s_table.append(
+            spark.createDataFrame([(10 + i, "x")], "id INT, v STRING")
+        )
+        _run_sql(
+            spark,
+            "CREATE OR REPLACE TEMPORARY VIEW leak_probe AS "
+            "SELECT * FROM s_leak",
+        )
+    views = [
+        t.name
+        for t in spark.catalog.listTables()
+        if t.name.startswith("__stream_s_leak_")
+    ]
+    assert len(views) == 1, views
