@@ -261,3 +261,81 @@ def stream_dedup_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_unique"),
         F.countDistinct("user_id").alias("n_users"),
     )
+
+
+@query(
+    "stream_typed_state_profile",
+    family="streaming",
+    oracle="""
+        WITH counts AS (
+          SELECT user_id, event_type, count(*) AS cnt
+          FROM events GROUP BY user_id, event_type
+        ), ranked AS (
+          SELECT user_id, event_type,
+                 row_number() OVER (
+                   PARTITION BY user_id
+                   ORDER BY cnt DESC, event_type DESC
+                 ) AS rn
+          FROM counts
+        ), agg AS (
+          SELECT user_id,
+                 CAST(sum(cnt) AS BIGINT) AS n_events,
+                 CAST(count(*) AS INT) AS n_types
+          FROM counts GROUP BY user_id
+        )
+        SELECT a.user_id, a.n_events, a.n_types, r.event_type AS top_type
+        FROM agg a JOIN ranked r ON r.user_id = a.user_id AND r.rn = 1
+        ORDER BY a.user_id
+    """,
+)
+def stream_typed_state_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL ``transformWithStateInPandas`` run (r9 — the protobuf env-gap
+    is closed by ``vendor/protoshim``, so the typed-state server protocol
+    executes in-container): ValueState running totals + MapState per-type
+    counters over the event stream, drained with AvailableNow into a
+    memory sink. Update mode emits one profile row per (user, batch); the
+    LAST update per user is the converged profile (n_events strictly
+    increases whenever a user appears in a batch), which must equal the
+    batch/oracle per-user aggregate — the typed-state twin of
+    ``stream_ingest_availablenow``'s convergence contract. ``total_value``
+    (a float running sum whose addition order is the arrival order) is
+    intentionally not part of the checked columns — cross-engine float
+    policy (functions/portable.py).
+
+    Scale notes: state shuffles by user_id once; the RocksDB provider is
+    required (typed variables are column families), and each state
+    variable updates independently — a MapState bump does not rewrite the
+    ValueState blob."""
+    from pyspark.sql import Window as W
+
+    from bfs_etl_sep2025_spark.streaming.jobs import (
+        stream_events,
+        stream_user_profile_tws,
+    )
+
+    src = _stage_events(spark, sf_dir)
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    old = spark.conf.get(provider_key, None)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        out = _drain(
+            spark,
+            stream_user_profile_tws(stream_events(spark, src)),
+            "update",
+        )
+    finally:
+        if old is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, old)
+    w = W.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (
+        out.select("*", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "n_events", "n_types", "top_type")
+        .orderBy("user_id")
+    )

@@ -365,24 +365,20 @@ def stream_user_profile_tws(events: DataFrame) -> DataFrame:
     per-variable — ``ttlDurationMs``), and MapState avoids rewriting one
     monolithic blob per update when only one event type's counter moved.
 
-    Environment gate: the transformWithState Python protocol talks to the
-    JVM state server over protobuf (``pyspark/sql/streaming/proto``), and
-    ``google.protobuf`` is not installed in this container — the plan
-    compiles but the driver worker dies at PRE_INIT. Raise the standard
-    loud gate here (same policy as the Delta jars / MP3 codec) so a user
-    with protobuf installed runs this unchanged; the cross-batch
-    semantics are covered by the test, which skips without protobuf.
+    Environment note (r9): the transformWithState Python protocol talks
+    to the JVM state server over protobuf (``pyspark/sql/streaming/
+    proto``). ``google.protobuf`` is not installed in this container, so
+    r8 stub-gated this operator; r9 removed the gate by vendoring a
+    minimal pure-Python wire-format runtime
+    (``bfs_etl_sep2025_spark/vendor/protoshim`` — implemented from the
+    public encoding spec) that executes PySpark's generated
+    ``StateMessage_pb2`` unchanged. ``session.build_spark`` activates it
+    (sys.path + worker PYTHONPATH) only when the real package is absent;
+    with protobuf installed nothing changes.
     """
-    try:
-        import google.protobuf  # noqa: F401
-    except ImportError as exc:  # pragma: no cover - environment-dependent
-        raise NotImplementedError(
-            "STUB-GATE: transformWithStateInPandas requires google.protobuf "
-            "(the typed-state server protocol), which is not in this "
-            "container; the operator below is real and runs wherever "
-            "protobuf is installed — applyInPandasWithState "
-            "(stream_running_user_totals) is the dependency-free twin"
-        ) from exc
+    from bfs_etl_sep2025_spark.vendor import ensure_protobuf_on_workers
+
+    ensure_protobuf_on_workers(events.sparkSession)
     import pandas as pd
     from pyspark.sql.streaming.stateful_processor import (
         StatefulProcessor,
