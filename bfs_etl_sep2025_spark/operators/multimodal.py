@@ -91,6 +91,28 @@ def decode_image(payload: bytes) -> tuple[int, int, bytes]:
     raise NotImplementedError("STUB: wire Image.open(BytesIO(payload)) here")
 
 
+def _jpeg_skip_fill(payload: bytes, pos: int) -> int:
+    """Skip spec-legal 0xFF fill bytes before a marker (T.81 B.1.1.2:
+    'any marker may optionally be preceded by any number of fill bytes')
+    — third-party encoders emit them; treating the padding byte as the
+    marker rejected valid streams (ADVICE r8)."""
+    while pos + 2 < len(payload) and payload[pos + 1] == 0xFF:
+        pos += 1
+    return pos
+
+
+def _jpeg_reject_restart(marker: int) -> None:
+    """DRI/RSTn desync a sequential entropy decoder that does not reset DC
+    prediction at restart boundaries — refuse loudly instead of producing
+    garbage (ADVICE r8)."""
+    if marker == 0xDD or 0xD0 <= marker <= 0xD7:
+        raise ValueError(
+            "restart-interval JPEG unsupported (DRI/RSTn would desync "
+            "this sequential entropy decode — re-encode without restart "
+            "markers)"
+        )
+
+
 def decode_jpeg(payload: bytes) -> tuple[int, int, bytes]:
     """JPEG process dispatch: walk the markers to the frame header and
     route SOF0 (baseline DCT) to :func:`decode_jpeg_baseline` and SOF3
@@ -105,7 +127,9 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, bytes]:
     while pos + 4 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError(f"marker expected at {pos}")
+        pos = _jpeg_skip_fill(payload, pos)
         marker = payload[pos + 1]
+        _jpeg_reject_restart(marker)
         if marker == 0xC0:
             return decode_jpeg_baseline(payload)
         if marker == 0xC3:
@@ -437,7 +461,9 @@ def decode_jpeg_lossless(payload: bytes) -> tuple[int, int, bytes]:
     while pos + 4 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError(f"marker expected at {pos}")
+        pos = _jpeg_skip_fill(payload, pos)
         marker = payload[pos + 1]
+        _jpeg_reject_restart(marker)
         (ln,) = struct.unpack_from(">H", payload, pos + 2)
         body = payload[pos + 4 : pos + 2 + ln]
         if len(body) < ln - 2:
@@ -486,10 +512,15 @@ def decode_jpeg_lossless(payload: bytes) -> tuple[int, int, bytes]:
 
     def getbit() -> int:
         nonlocal bitpos, bytepos
+        if bytepos >= len(payload):
+            raise ValueError("truncated entropy stream")
         b = payload[bytepos]
-        if b == 0xFF and payload[bytepos + 1] != 0x00:
-            # a real marker (e.g. EOI) — the scan must not read past it
-            raise ValueError("entropy stream ran into a marker")
+        if b == 0xFF:
+            if bytepos + 1 >= len(payload):
+                raise ValueError("truncated entropy stream")
+            if payload[bytepos + 1] != 0x00:
+                # a real marker (e.g. EOI) — the scan must not read past it
+                raise ValueError("entropy stream ran into a marker")
         bit = (b >> (7 - bitpos)) & 1
         bitpos += 1
         if bitpos == 8:
@@ -736,7 +767,9 @@ def decode_jpeg_baseline(payload: bytes) -> tuple[int, int, bytes]:
     while pos + 4 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError(f"marker expected at {pos}")
+        pos = _jpeg_skip_fill(payload, pos)
         marker = payload[pos + 1]
+        _jpeg_reject_restart(marker)
         (ln,) = struct.unpack_from(">H", payload, pos + 2)
         body = payload[pos + 4 : pos + 2 + ln]
         if len(body) < ln - 2:
@@ -795,9 +828,14 @@ def decode_jpeg_baseline(payload: bytes) -> tuple[int, int, bytes]:
 
     def getbit() -> int:
         nonlocal bitpos, bytepos
+        if bytepos >= len(payload):
+            raise ValueError("truncated entropy stream")
         b = payload[bytepos]
-        if b == 0xFF and payload[bytepos + 1] != 0x00:
-            raise ValueError("entropy stream ran into a marker")
+        if b == 0xFF:
+            if bytepos + 1 >= len(payload):
+                raise ValueError("truncated entropy stream")
+            if payload[bytepos + 1] != 0x00:
+                raise ValueError("entropy stream ran into a marker")
         bit = (b >> (7 - bitpos)) & 1
         bitpos += 1
         if bitpos == 8:

@@ -433,3 +433,54 @@ def test_decode_image_routes_jpeg_baseline():
     px = _block_constant_raster([7, 250, 130])
     w, h, out = decode_image(encode_jpeg_baseline(px, 32, 32))
     assert (w, h, out) == (32, 32, px)
+
+
+# -- JPEG marker-walk robustness (ADVICE r8) ---------------------------------
+
+
+def test_jpeg_fill_bytes_before_markers_are_skipped():
+    """T.81 B.1.1.2: any marker may be preceded by any number of 0xFF fill
+    bytes — third-party encoders emit them. Injecting padding before SOF3
+    and before SOS must not change the decode."""
+    px = bytes((i * 37) % 256 for i in range(192))
+    buf = encode_jpeg_lossless(px)
+    # pad before SOF3 (right after SOI) and before the SOS marker
+    padded = bytearray(buf[:2]) + b"\xff\xff" + bytearray(buf[2:])
+    sos = bytes(padded).index(b"\xff\xda")
+    padded = bytes(padded[:sos]) + b"\xff\xff\xff" + bytes(padded[sos:])
+    assert decode_jpeg_lossless(padded) == decode_jpeg_lossless(buf)
+    from bfs_etl_sep2025_spark.operators.multimodal import decode_jpeg
+
+    assert decode_jpeg(padded) == decode_jpeg(buf)
+
+
+def test_jpeg_dri_rejected_explicitly():
+    """A DRI segment (restart intervals) must refuse with a clear message
+    instead of desyncing the entropy decode into garbage."""
+    px = bytes(range(192))
+    buf = encode_jpeg_lossless(px)
+    # splice a DRI (FFDD len=4 interval=1) right after SOI
+    dri = b"\xff\xdd\x00\x04\x00\x01"
+    spliced = buf[:2] + dri + buf[2:]
+    with pytest.raises(ValueError, match="restart"):
+        decode_jpeg_lossless(spliced)
+    from bfs_etl_sep2025_spark.operators.multimodal import decode_jpeg
+
+    with pytest.raises(ValueError, match="restart"):
+        decode_jpeg(spliced)
+
+
+def test_jpeg_truncated_entropy_stream_raises_value_error():
+    """A stream cut inside the entropy segment must raise the codec's
+    ValueError('truncated entropy stream'), never an IndexError from the
+    bit reader."""
+    px = bytes((i * 11) % 256 for i in range(192))
+    bpx = bytes((i * 11) % 256 for i in range(32 * 32))
+    for buf, dec in (
+        (encode_jpeg_lossless(px), decode_jpeg_lossless),
+        (encode_jpeg_baseline(bpx, 32, 32), decode_jpeg_baseline),
+    ):
+        sos = buf.index(b"\xff\xda")
+        cut = buf[: sos + 10]  # inside the scan, EOI gone
+        with pytest.raises(ValueError, match="truncated entropy stream"):
+            dec(cut)
