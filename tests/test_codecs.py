@@ -44,12 +44,13 @@ def test_decode_image_routes_ppm():
     assert decode_image(encode_ppm(px))[2] == px
 
 
-def test_decode_image_rejects_progressive_dct():
-    """Progressive DCT (SOF2) stays unsupported and fails loudly —
-    baseline (SOF0) and lossless (SOF3) both decode for real now."""
-    sof2 = b"\xff\xd8\xff\xc2" + struct.pack(">H", 11) + bytes(9)
+def test_decode_image_rejects_extended_sequential_dct():
+    """SOF2 (progressive) decodes for real as of r9 — the dispatch now
+    rejects only the genuinely unsupported processes (e.g. SOF1 extended
+    sequential / arithmetic variants)."""
+    sof1 = b"\xff\xd8\xff\xc1" + struct.pack(">H", 11) + bytes(9)
     with pytest.raises(ValueError, match="unsupported JPEG process"):
-        decode_image(sof2)
+        decode_image(sof1)
 
 
 # -- lossless JPEG: real T.81 §H codec, canonical Huffman + predictor --------
@@ -484,3 +485,103 @@ def test_jpeg_truncated_entropy_stream_raises_value_error():
         cut = buf[: sos + 10]  # inside the scan, EOI gone
         with pytest.raises(ValueError, match="truncated entropy stream"):
             dec(cut)
+
+
+# -- progressive JPEG: T.81 Annex G over the baseline machinery (r9) ---------
+
+
+def test_jpeg_progressive_block_constant_exact():
+    """DC-only exactness window: block-constant rasters round-trip
+    bit-exactly through all six progressive scans (spectral selection +
+    successive approximation, quant=1)."""
+    import random
+
+    from bfs_etl_sep2025_spark.operators.multimodal import (
+        decode_jpeg_progressive,
+        encode_jpeg_progressive,
+    )
+
+    rng = random.Random(3)
+    w = h = 32
+    px = bytearray(w * h)
+    for by in range(4):
+        for bx in range(4):
+            v = rng.randrange(256)
+            for y in range(8):
+                for x in range(8):
+                    px[(by * 8 + y) * w + bx * 8 + x] = v
+    px = bytes(px)
+    assert decode_jpeg_progressive(encode_jpeg_progressive(px, w, h)) == (
+        w, h, px,
+    )
+
+
+def test_jpeg_progressive_decodes_identically_to_baseline():
+    """All successive-approximation bits are transmitted, so progressive
+    reconstruction must equal the sequential decode BIT-FOR-BIT on
+    arbitrary rasters at any quantization — the strongest cross-check the
+    two codecs can give each other (different scan machinery, same
+    coefficients). Random rasters exercise ZRL spans and newly-nonzero
+    refinement codes; the gradient raster drives long shared EOB runs
+    with appended correction bits."""
+    import random
+
+    from bfs_etl_sep2025_spark.operators.multimodal import (
+        decode_jpeg_baseline,
+        decode_jpeg_progressive,
+        encode_jpeg_baseline,
+        encode_jpeg_progressive,
+    )
+
+    rng = random.Random(11)
+    w = h = 32
+    rasters = [
+        bytes(rng.randrange(256) for _ in range(w * h)),
+        bytes(((x + y) // 2) % 256 for y in range(h) for x in range(w)),
+    ]
+    for px in rasters:
+        for quant in (1, 4, 16):
+            base = decode_jpeg_baseline(
+                encode_jpeg_baseline(px, w, h, quant=quant)
+            )
+            prog = decode_jpeg_progressive(
+                encode_jpeg_progressive(px, w, h, quant=quant)
+            )
+            assert prog == base
+
+
+def test_jpeg_progressive_container_and_dispatch():
+    """The emitted stream is a valid SOF2 interchange: six SOS segments,
+    the progressive AC Huffman table (EOBn symbols live only here), and
+    decode_jpeg routes it by the frame marker."""
+    from bfs_etl_sep2025_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    px = bytes([77]) * 512
+    buf = encode_jpeg_progressive(px, 64, 8)
+    assert buf[:2] == b"\xff\xd8" and buf[-2:] == b"\xff\xd9"
+    assert b"\xff\xc2" in buf and b"\xff\xc0" not in buf
+    assert buf.count(b"\xff\xda") >= 6
+    assert decode_jpeg(buf) == (64, 8, px)
+
+
+def test_jpeg_progressive_rejects_malformed():
+    from bfs_etl_sep2025_spark.operators.multimodal import (
+        decode_jpeg_progressive,
+        encode_jpeg_baseline,
+        encode_jpeg_progressive,
+    )
+
+    px = bytes(range(64)) * 8
+    with pytest.raises(ValueError, match="SOI"):
+        decode_jpeg_progressive(b"NOPE")
+    # sequential stream must be rejected, not mis-decoded
+    with pytest.raises(ValueError, match="decode_jpeg"):
+        decode_jpeg_progressive(encode_jpeg_baseline(px, 32, 16))
+    # truncation inside a scan raises the codec's error, not IndexError
+    buf = encode_jpeg_progressive(px, 32, 16)
+    cut = buf[: buf.index(b"\xff\xda") + 10]
+    with pytest.raises(ValueError, match="truncated"):
+        decode_jpeg_progressive(cut)
