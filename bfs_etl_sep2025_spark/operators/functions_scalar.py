@@ -15,6 +15,7 @@ differs per platform; those appear in unit tests with tolerance instead).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -848,4 +849,71 @@ def fn_try_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("v_int_sum"),
         )
         .orderBy("event_type")
+    )
+
+
+@query(
+    "sample_stratified",
+    family="functions",
+    oracle=f"""
+        WITH ranked AS (
+          SELECT c_custkey, c_mktsegment,
+                 row_number() OVER (
+                   PARTITION BY c_mktsegment
+                   ORDER BY md5(concat_ws('#', '{SAMPLE_SEED}',
+                                          CAST(c_custkey AS VARCHAR))),
+                            c_custkey
+                 ) AS rn,
+                 count(*) OVER (PARTITION BY c_mktsegment) AS n_seg
+          FROM customer
+        )
+        SELECT c_custkey, c_mktsegment,
+               CAST(rn AS BIGINT) AS strat_rank,
+               CAST(n_seg AS BIGINT) AS stratum_size
+        FROM ranked
+        WHERE rn * 5 <= n_seg + 4
+        ORDER BY c_mktsegment, strat_rank
+    """,
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified deterministic sample: EXACTLY ceil(20%) of every
+    c_mktsegment stratum, selected by md5-hash rank within the stratum —
+    the eval-set carving that guarantees per-stratum representation where
+    plain Bernoulli (``sample_seeded``) only hits 20% in expectation and
+    can starve a small stratum entirely. The hash ranking makes the draw
+    a pure function of (seed, key): identical on any engine, partitioning,
+    or rerun, and stable under appends WITHIN the surviving prefix — the
+    reproducibility contract corpus pipelines need. ``rn * 5 <= n + 4`` is
+    integer-exact ceil(n/5) membership; md5 over a unique key is a total
+    order, c_custkey breaks the impossible tie anyway.
+
+    Scale notes (100 TB): one shuffle on the stratum key; the per-stratum
+    window sorts only a stratum's rows. For strata too large to sort, the
+    threshold flips to the quantile-free two-pass form (count per stratum,
+    then filter on hash < cutoff) — same determinism, no window."""
+    c = load(spark, sf_dir, "customer")
+    h = F.md5(
+        F.concat_ws(
+            "#", F.lit(str(SAMPLE_SEED)), F.col("c_custkey").cast("string")
+        )
+    )
+    w = W.partitionBy("c_mktsegment").orderBy(h, F.col("c_custkey"))
+    wc = W.partitionBy("c_mktsegment")
+    ranked = c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.row_number().over(w).alias("strat_rank"),
+        F.count(F.lit(1)).over(wc).alias("stratum_size"),
+    )
+    return (
+        ranked.filter(
+            F.col("strat_rank") * 5 <= F.col("stratum_size") + 4
+        )
+        .select(
+            "c_custkey",
+            "c_mktsegment",
+            F.col("strat_rank").cast("bigint").alias("strat_rank"),
+            F.col("stratum_size").cast("bigint").alias("stratum_size"),
+        )
+        .orderBy("c_mktsegment", "strat_rank")
     )

@@ -609,15 +609,28 @@ def similarity_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     at thousands of rows per block). Production near-dup runs the LSH
     candidate path (``similarity_topk_lsh`` machinery) and reranks exactly
     the same way; this operator is the exact baseline that validates it."""
+    scored = _blocked_exact_pairs(spark, sf_dir, 0.45)
+    if scored is None:
+        return spark.createDataFrame(
+            [], "vec_a long, vec_b long, cosine double"
+        )
+    return scored.orderBy("vec_a", "vec_b")
+
+
+def _blocked_exact_pairs(spark: SparkSession, sf_dir: str, tau: float):
+    """Shared blocked-GEMM all-pairs engine: every (vec_a < vec_b, cosine)
+    pair with EXACT ordered-fold cosine >= ``tau``, candidate-generated by
+    per-tile numpy GEMM at ``tau`` minus a 1e-9 margin and reranked behind
+    the pushdown barrier (contract and scale notes:
+    :func:`similarity_cosine_neardup`, whose plan this IS). Returns None
+    on an empty embeddings table."""
     import numpy as np  # noqa: F401  (executors re-import in the UDF)
 
     e = widen(load(spark, sf_dir, "embeddings"))
     n = e.select("vec_id", "embedding", _norm_arr("embedding").alias("nrm"))
     cnt = n.count()  # 1-row action
     if cnt == 0:
-        return spark.createDataFrame(
-            [], "vec_a long, vec_b long, cosine double"
-        )
+        return None
     nb = max(1, -(-cnt // _NEARDUP_BLOCK))
     bp = (
         spark.range(nb * nb)
@@ -665,7 +678,7 @@ def similarity_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         A = A / _np.linalg.norm(A, axis=1, keepdims=True)
         Bn = A if same else B / _np.linalg.norm(B, axis=1, keepdims=True)
         G = A @ Bn.T
-        mask = G >= 0.45 - margin
+        mask = G >= tau - margin
         if same:
             mask = _np.triu(mask, k=1)
         iu, iv = _np.nonzero(mask)
@@ -700,10 +713,67 @@ def similarity_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(bv, "vec_b")
         .select("vec_a", "vec_b", cos.alias("cosine"))
     )
+    return barrier_filter(scored, F.col("cosine") >= tau).select(
+        "vec_a", "vec_b", "cosine"
+    )
+
+
+@query(
+    "similarity_threshold_sweep",
+    family="similarity",
+    oracle=f"""
+        WITH n AS (
+          SELECT vec_id, embedding, {_sql_norm('embedding')} AS nrm
+          FROM embeddings
+        ), p AS (
+          SELECT {_sql_dot('a.embedding', 'b.embedding')} / (a.nrm * b.nrm)
+                   AS cosine
+          FROM n a JOIN n b ON a.vec_id < b.vec_id
+          WHERE {_sql_dot('a.embedding', 'b.embedding')} / (a.nrm * b.nrm)
+                >= 0.30
+        )
+        SELECT CASE
+                 WHEN cosine >= 0.50 THEN '0.50+'
+                 WHEN cosine >= 0.45 THEN '0.45-0.50'
+                 WHEN cosine >= 0.40 THEN '0.40-0.45'
+                 WHEN cosine >= 0.35 THEN '0.35-0.40'
+                 ELSE '0.30-0.35'
+               END AS bucket,
+               CAST(count(*) AS BIGINT) AS n_pairs
+        FROM p GROUP BY bucket ORDER BY bucket
+    """,
+)
+def similarity_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-threshold tuning curve: how many near-duplicate pairs each
+    candidate cosine threshold would declare, computed in ONE pass — the
+    question every corpus-dedup rollout asks first ("how aggressive is
+    τ?"), answered without re-running the pair scan per threshold. Reuses
+    the blocked-GEMM exact-pairs engine (:func:`_blocked_exact_pairs`) at
+    the LOWEST threshold of interest (0.30), then buckets the exact
+    ordered-fold cosines with integer-free CASE boundaries — both engines
+    bucket bit-identical doubles, so the histogram is engine-exact.
+
+    Scale notes (100 TB): identical plan to ``similarity_cosine_neardup``
+    plus one map-side-combined aggregate over the surviving pairs — the
+    sweep costs ONE GEMM pass at τ_min instead of one pass per candidate
+    threshold; the N²/2 candidate count is again the question's
+    definition, and a production sweep would ride the LSH candidates the
+    same way."""
+    scored = _blocked_exact_pairs(spark, sf_dir, 0.30)
+    if scored is None:
+        return spark.createDataFrame([], "bucket string, n_pairs long")
+    bucket = (
+        F.when(F.col("cosine") >= 0.50, "0.50+")
+        .when(F.col("cosine") >= 0.45, "0.45-0.50")
+        .when(F.col("cosine") >= 0.40, "0.40-0.45")
+        .when(F.col("cosine") >= 0.35, "0.35-0.40")
+        .otherwise("0.30-0.35")
+    )
     return (
-        barrier_filter(scored, F.col("cosine") >= 0.45)
-        .select("vec_a", "vec_b", "cosine")
-        .orderBy("vec_a", "vec_b")
+        scored.select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy("bucket")
     )
 
 

@@ -792,3 +792,91 @@ def window_period_over_period(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@query(
+    "window_ohlc_downsample",
+    family="windows",
+    oracle="""
+        WITH tagged AS (
+          SELECT make_timestamp((epoch_ms(ts) // 900000) * 900000000)
+                   AS bucket_start,
+                 event_type, value,
+                 row_number() OVER (
+                   PARTITION BY (epoch_ms(ts) // 900000), event_type
+                   ORDER BY ts, event_id
+                 ) AS rn_a,
+                 row_number() OVER (
+                   PARTITION BY (epoch_ms(ts) // 900000), event_type
+                   ORDER BY ts DESC, event_id DESC
+                 ) AS rn_d
+          FROM events
+        )
+        SELECT bucket_start, event_type,
+               max(CASE WHEN rn_a = 1 THEN value END) AS open_v,
+               max(value) AS high_v,
+               min(value) AS low_v,
+               max(CASE WHEN rn_d = 1 THEN value END) AS close_v,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM tagged
+        GROUP BY bucket_start, event_type
+        ORDER BY bucket_start, event_type
+    """,
+)
+def window_ohlc_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC (open/high/low/close) candlestick downsampling — the canonical
+    time-series compaction for dashboards and feature stores: per 15-min
+    bucket and event type, the first and last values by (ts, event_id)
+    (composite tie-break makes open/close deterministic under equal
+    timestamps) plus the min/max envelope and the tick count. open/close
+    are RAW stored doubles and high/low are order statistics — no
+    arithmetic touches any value, so cross-engine agreement is bitwise by
+    construction (the portable-float rules).
+
+    Spark plan: both row_number windows and the final aggregate partition
+    by the same (bucket, event_type) key, so the window sort's exchange is
+    reused by the groupBy — ONE shuffle end-to-end. No min(struct) /
+    max(struct) first-last trick: struct ordering aggregates fall out of
+    whole-stage codegen into SortAggregate (the min(string) rule,
+    CLAUDE.md); conditional MAX over the rn=1 flag stays codegen'd.
+
+    Scale notes (100 TB): the window frame is per (bucket, type) — state
+    is one partition's ticks, never global; at petabyte tick volumes the
+    same query runs incrementally as a streaming window aggregate with
+    the identical F.window bucketing."""
+    ev = load(spark, sf_dir, "events")
+    bucketed = ev.select(
+        F.window("ts", "15 minutes").start.alias("bucket_start"),
+        "event_type",
+        "value",
+        "ts",
+        "event_id",
+    )
+    wa = W.partitionBy("bucket_start", "event_type").orderBy(
+        "ts", "event_id"
+    )
+    wd = W.partitionBy("bucket_start", "event_type").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    tagged = bucketed.select(
+        "bucket_start",
+        "event_type",
+        "value",
+        F.row_number().over(wa).alias("rn_a"),
+        F.row_number().over(wd).alias("rn_d"),
+    )
+    return (
+        tagged.groupBy("bucket_start", "event_type")
+        .agg(
+            F.max(F.when(F.col("rn_a") == 1, F.col("value"))).alias(
+                "open_v"
+            ),
+            F.max("value").alias("high_v"),
+            F.min("value").alias("low_v"),
+            F.max(F.when(F.col("rn_d") == 1, F.col("value"))).alias(
+                "close_v"
+            ),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("bucket_start", "event_type")
+    )

@@ -612,10 +612,13 @@ _SANCTIONED_PYTHON = {
     "dedup_semantic_embedding": {"ArrowEvalPython", "FlatMapGroupsInPandas"},
     # blocked-GEMM all-pairs tiles (exact rerank after)
     "similarity_cosine_neardup": {"FlatMapGroupsInPandas"},
+    # same engine at tau_min, histogram on the exact reranked cosines
+    "similarity_threshold_sweep": {"FlatMapGroupsInPandas"},
     "multimodal_decode_image": {"MapInPandas"},  # real codec boundary
     "multimodal_decode_png": {"MapInPandas"},
     "multimodal_decode_jpeg_lossless": {"MapInPandas"},
     "multimodal_decode_jpeg_baseline": {"MapInPandas"},
+    "multimodal_decode_jpeg_progressive": {"MapInPandas"},
     "multimodal_decode_audio": {"MapInPandas"},
     "multimodal_feature_extract": {"MapInPandas"},
     "multimodal_phash_neardup": {"MapInPandas"},
