@@ -1609,3 +1609,82 @@ def corpus_mixture_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("global_pos")
     )
+
+
+@query(
+    "corpus_soft_dedup_weights",
+    family="corpus",
+    oracle="""
+        WITH sh AS (
+          SELECT doc_id,
+                 unnest(CASE WHEN len(string_split(text, ' ')) >= 3
+                        THEN list_transform(
+                               range(1, len(string_split(text, ' ')) - 1),
+                               i -> string_split(text, ' ')[i] || ' ' ||
+                                    string_split(text, ' ')[i+1] || ' ' ||
+                                    string_split(text, ' ')[i+2])
+                        ELSE [text] END) AS s
+          FROM documents
+        ), df AS (
+          SELECT s, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+          FROM sh GROUP BY s
+        ), agg AS (
+          SELECT sh.doc_id,
+                 CAST(count(*) AS BIGINT) AS n_shingles,
+                 CAST(sum(df.df) AS BIGINT) AS df_sum
+          FROM sh JOIN df USING (s)
+          GROUP BY sh.doc_id
+        )
+        SELECT doc_id, n_shingles, df_sum,
+               CAST(df_sum AS DOUBLE) / n_shingles AS commonness,
+               CAST(n_shingles AS DOUBLE) / df_sum AS soft_weight
+        FROM agg ORDER BY doc_id
+    """,
+)
+def corpus_soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft deduplication by REWEIGHTING instead of removal (the SoftDeDup
+    idea — arXiv 2024): each document keeps every token but its sampling
+    weight shrinks with the commonness of its content, measured as the
+    mean document frequency of its 3-gram shingles. Removal-based dedup is
+    a cliff (a doc is in or out); the weight is the smooth knob curriculum
+    samplers actually consume. ``commonness = df_sum / n_shingles`` and
+    ``soft_weight`` are SINGLE divisions of exact BIGINT aggregates —
+    row-level double arithmetic on pinned integers, bitwise identical on
+    both engines (no float ever enters an aggregation).
+
+    Plan: shingles explode once via the codegen'd index form
+    (``_ngrams``), carried as 16-byte ``unhex(md5(s))`` BINARY keys (never
+    shingle text) through ONE planted ``repartition(key)`` — the df
+    aggregate and the df-back join are both keyed on the shingle, so AQE
+    materializes the exploded subtree once (the ``corpus_span_removal``
+    exchange-reuse shape). Final rollup shuffles (doc_id, two longs).
+
+    Scale notes (100 TB): cost is one pass over corpus shingles + one
+    int-only join — strictly cheaper than the MinHash pipeline that would
+    REMOVE the same documents; df fits a broadcast only for small corpora,
+    so the shuffle join on the hashed key is the scale plan, with AQE
+    handling the head-shingle skew (stopword-heavy grams)."""
+    docs = widen(load(spark, sf_dir, "documents"))
+    sh = exploded_ngrams(docs, n=3).select(
+        "doc_id", F.unhex(F.md5("s")).alias("k")
+    )
+    sh_r = sh.repartition(F.col("k"))
+    df_tab = sh_r.groupBy("k").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    joined = sh_r.join(df_tab, "k")
+    agg = joined.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        F.sum("df").alias("df_sum"),
+    )
+    return agg.select(
+        "doc_id",
+        "n_shingles",
+        "df_sum",
+        (F.col("df_sum").cast("double") / F.col("n_shingles")).alias(
+            "commonness"
+        ),
+        (F.col("n_shingles").cast("double") / F.col("df_sum")).alias(
+            "soft_weight"
+        ),
+    ).orderBy("doc_id")
