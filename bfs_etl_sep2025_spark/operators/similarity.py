@@ -719,6 +719,91 @@ def _blocked_exact_pairs(spark: SparkSession, sf_dir: str, tau: float):
 
 
 @query(
+    "similarity_lsh_neardup",
+    family="similarity",
+    oracle=f"""
+        WITH n AS (
+          SELECT vec_id, embedding, {_sql_norm('embedding')} AS nrm,
+                 {_sql_bucket('embedding', PLANES[:4])} AS band1,
+                 {_sql_bucket('embedding', PLANES[4:])} AS band2
+          FROM embeddings
+        ), cand AS (
+          SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                 a.embedding AS ea, b.embedding AS eb,
+                 a.nrm AS na, b.nrm AS nb
+          FROM n a JOIN n b ON a.band1 = b.band1 AND a.vec_id < b.vec_id
+          UNION
+          SELECT a.vec_id, b.vec_id, a.embedding, b.embedding, a.nrm, b.nrm
+          FROM n a JOIN n b ON a.band2 = b.band2 AND a.vec_id < b.vec_id
+        )
+        SELECT vec_a, vec_b,
+               {_sql_dot('ea', 'eb')} / (na * nb) AS cosine
+        FROM cand
+        WHERE {_sql_dot('ea', 'eb')} / (na * nb) >= 0.45
+        ORDER BY vec_a, vec_b
+    """,
+)
+def similarity_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION near-duplicate route: BANDED random-hyperplane LSH
+    candidates + exact rerank at τ=0.45 — the plan the exact blocked-GEMM
+    baseline (:func:`similarity_cosine_neardup`) exists to validate, now
+    oracled in its own right. The 8 sign bits split into two 4-bit bands;
+    a pair is a candidate if it agrees on EITHER band (minhash-style
+    banding — the single 8-bit bucket catches ~(1-θ/π)^8 ≈ 3% of τ=0.45
+    pairs, the 2x4 OR ≈ 33%, and the fixture measures 9 of the exact 14).
+    Candidates come from two EQUI-JOINS on the band keys unioned and
+    de-duplicated (the hot-path rule: never a cross join, never an
+    OR-join — Spark would plan OR as BroadcastNestedLoopJoin); survivors
+    re-score through the codegen'd ordered-fold dot behind the pushdown
+    barrier, so every emitted cosine is bit-identical to the exact
+    baseline's — LSH changes RECALL (which pairs are seen), never a
+    value. Both engines compute identical band strings (sign of the same
+    left-folded plane dots), hence identical candidate sets.
+
+    Scale notes (100 TB): shuffle is one exchange per band key;
+    within-band pairing is quadratic in band size — the standard LSH
+    bargain, tuned by widening bands (smaller buckets, lower recall) or
+    adding bands (higher recall, more candidates).
+    ``test_llm_ops`` pins containment: every LSH pair is an exact-baseline
+    pair with an equal cosine."""
+    e = widen(load(spark, sf_dir, "embeddings"))
+    n = e.select(
+        "vec_id",
+        "embedding",
+        _norm_arr("embedding").alias("nrm"),
+        _bucket_arr("embedding", PLANES[:4]).alias("band1"),
+        _bucket_arr("embedding", PLANES[4:]).alias("band2"),
+    )
+
+    def side(prefix: str, band: str):
+        return n.select(
+            F.col("vec_id").alias(f"vec_{prefix}"),
+            F.col("embedding").alias(f"{prefix}_emb"),
+            F.col("nrm").alias(f"nrm_{prefix}"),
+            F.col(band).alias("band"),
+        )
+
+    def band_pairs(band: str):
+        return (
+            side("a", band)
+            .join(side("b", band), "band")
+            .filter(F.col("vec_a") < F.col("vec_b"))
+            .select("vec_a", "vec_b", "a_emb", "b_emb", "nrm_a", "nrm_b")
+        )
+
+    cand = band_pairs("band1").unionByName(band_pairs("band2")).dropDuplicates(
+        ["vec_a", "vec_b"]
+    )
+    cos = _dot_arr("a_emb", "b_emb") / (F.col("nrm_a") * F.col("nrm_b"))
+    scored = cand.select("vec_a", "vec_b", cos.alias("cosine"))
+    return (
+        barrier_filter(scored, F.col("cosine") >= 0.45)
+        .select("vec_a", "vec_b", "cosine")
+        .orderBy("vec_a", "vec_b")
+    )
+
+
+@query(
     "similarity_threshold_sweep",
     family="similarity",
     oracle=f"""

@@ -563,3 +563,28 @@ def test_cosine_neardup_sparse_64bit_ids(spark, tmp_path):
     out = spec.fn(spark, empty)
     assert out.count() == 0
     assert [f.name for f in out.schema.fields] == ["vec_a", "vec_b", "cosine"]
+
+
+def test_lsh_neardup_contained_in_exact_with_equal_cosines(spark):
+    """The production LSH route's contract against its exact baseline:
+    every pair similarity_lsh_neardup emits must appear in
+    similarity_cosine_neardup with a BIT-IDENTICAL cosine (same ordered
+    fold re-scores both), and on the fixture the 8-bit bucket must
+    actually find at least one of the exact pairs (non-vacuous recall)."""
+    exact = (
+        registry.all_specs()["similarity_cosine_neardup"]
+        .fn(spark, SF)
+        .toPandas()
+    )
+    lsh = (
+        registry.all_specs()["similarity_lsh_neardup"]
+        .fn(spark, SF)
+        .toPandas()
+    )
+    exact_map = {
+        (r.vec_a, r.vec_b): r.cosine for r in exact.itertuples()
+    }
+    assert len(lsh) > 0, "8-bit bucket found no near-dup pair at all"
+    for r in lsh.itertuples():
+        assert (r.vec_a, r.vec_b) in exact_map
+        assert exact_map[(r.vec_a, r.vec_b)] == r.cosine
