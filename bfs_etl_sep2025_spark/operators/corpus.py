@@ -1112,20 +1112,23 @@ def corpus_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.md5(F.expr(f"substring(seg, CAST(j AS INT), {_SPAN_L})"))
             ).alias("h"),
         )
-        # Materialize the window scan ONCE: both consumers (the dup-hash
-        # aggregate and the position semi-join) need distribution by h, so
-        # an explicit hash repartition lets Catalyst's ReuseExchange serve
-        # both from one shuffle instead of running the 1-row-per-char md5
-        # scan twice.
-        .repartition("h")
     )
-    dup_h = (
-        wins.groupBy("h")
-        .agg(F.count_distinct("doc_id").alias("nd"))
-        .filter(F.col("nd") > 1)
-        .select("h")
+    # a window hash is cross-doc duplicated iff min(doc_id) != max(doc_id)
+    # over its partition — ONE windowed pass over ONE exchange of the
+    # per-char scan. The r8 shape (count_distinct aggregate + semi-join
+    # back, ReuseExchange) read that exchange twice and paid a
+    # count_distinct expansion + a 17M-row probe: 10.4 s -> 5.3 s at sf1.
+    wh = W.partitionBy("h")
+    dup_pos = (
+        wins.select(
+            "doc_id",
+            "p",
+            F.min("doc_id").over(wh).alias("mn"),
+            F.max("doc_id").over(wh).alias("mx"),
+        )
+        .filter(F.col("mn") != F.col("mx"))
+        .select("doc_id", "p")
     )
-    dup_pos = wins.join(dup_h, "h", "left_semi").select("doc_id", "p")
     grp = F.col("p") - F.row_number().over(
         W.partitionBy("doc_id").orderBy("p")
     )
@@ -1298,29 +1301,29 @@ def corpus_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             (F.col("seg_p") + F.col("j") - 1).alias("p"),
-            # 16-byte BINARY md5 + one explicit hash repartition: same
-            # ReuseExchange trick as corpus_duplicate_spans — the owner
-            # aggregate and the removable-position join both read ONE
-            # materialized shuffle of the per-char window scan.
+            # 16-byte BINARY md5, one exchange (the window below demands
+            # hash distribution by h) — same single-pass shape as
+            # corpus_duplicate_spans.
             F.unhex(
                 F.md5(
                     F.expr(f"substring(seg, CAST(j AS INT), {_SPAN_L})")
                 )
             ).alias("h"),
         )
-        .repartition("h")
     )
-    owner = (
-        wins.groupBy("h")
-        .agg(
-            F.min("doc_id").alias("owner"),
-            F.count_distinct("doc_id").alias("nd"),
-        )
-        .filter(F.col("nd") > 1)
-        .select("h", "owner")
-    )
+    # owner = min(doc_id) over the hash partition; a position is removable
+    # iff an EARLIER doc carries the same window (owner < doc_id — which
+    # already implies the cross-doc duplication the r8 shape checked with
+    # a separate count_distinct). ONE windowed pass over one exchange
+    # replaces the owner aggregate + removable-position join that r8
+    # served from a ReuseExchange (28 -> 10.7 s then; this takes the same
+    # step again).
     rem = (
-        wins.join(owner, "h")
+        wins.select(
+            "doc_id",
+            "p",
+            F.min("doc_id").over(W.partitionBy("h")).alias("owner"),
+        )
         .filter(F.col("owner") < F.col("doc_id"))
         .select("doc_id", "p")
     )
