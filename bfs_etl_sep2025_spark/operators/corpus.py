@@ -1691,3 +1691,101 @@ def corpus_soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             "soft_weight"
         ),
     ).orderBy("doc_id")
+
+
+@query(
+    "corpus_quality_prune_curve",
+    family="corpus",
+    oracle="""
+        WITH m AS (
+          SELECT doc_id, length(text) AS n_chars,
+                 len(string_split(text, ' ')) AS n_tok,
+                 len(list_distinct(string_split(text, ' '))) AS n_uniq,
+                 len(list_filter(string_split(text, ' '),
+                       t -> t IN ('the','a','of','and','to','in','is','it')))
+                   AS n_stop
+          FROM documents
+        ), q AS (
+          SELECT doc_id, n_chars,
+                 (n_uniq::DOUBLE / n_tok)
+                   * CASE WHEN n_tok BETWEEN 20 AND 1000
+                          THEN 1.0 ELSE 0.0 END
+                   * (1.0 - n_stop::DOUBLE / n_tok) AS quality
+          FROM m
+        ), b AS (
+          SELECT CAST(floor(quality * 10) AS INT) AS bucket,
+                 CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(sum(n_chars) AS BIGINT) AS n_chars
+          FROM q GROUP BY bucket
+        )
+        SELECT bucket::DOUBLE / 10.0 AS threshold,
+               CAST(sum(n_docs) OVER (
+                 ORDER BY bucket DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS docs_retained,
+               CAST(sum(n_chars) OVER (
+                 ORDER BY bucket DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS chars_retained
+        FROM b ORDER BY threshold
+    """,
+)
+def corpus_quality_prune_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-prune tuning curve: documents and characters retained at
+    each quality threshold, in ONE corpus scan — the question asked
+    before every quality-filter rollout ("how much data does τ cost?"),
+    the companion of ``similarity_threshold_sweep`` on the quality axis.
+    The per-doc score is ``text_quality_score``'s exact integer-ratio
+    composite (uniqueness × length-gate × (1 − stopword ratio)), so both
+    engines hold bit-identical doubles; bucketing by ``floor(q·10)`` and
+    a cumulative window over the ≤11 buckets turn the per-threshold
+    retention question into a dimension-sized rollup.
+
+    Scale notes (100 TB): one map-only scoring pass, one ~11-group
+    aggregate (map-side combined), one window over 11 rows — the curve
+    costs the same as scoring once, not once per threshold."""
+    from pyspark.sql import Window as W
+
+    from bfs_etl_sep2025_spark.operators.text import (
+        STOPWORDS,
+        _count_tokens_in,
+        _tokens,
+    )
+
+    d = widen(load(spark, sf_dir, "documents"))
+    t = _tokens(F.col("text"))
+    n_tok = F.size(t)
+    n_uniq = F.size(F.array_distinct(t))
+    n_stop = _count_tokens_in(STOPWORDS)
+    length_ok = F.when(n_tok.between(20, 1000), F.lit(1.0)).otherwise(
+        F.lit(0.0)
+    )
+    quality = (
+        (n_uniq.cast("double") / n_tok)
+        * length_ok
+        * (F.lit(1.0) - n_stop.cast("double") / n_tok)
+    )
+    b = (
+        d.select(
+            F.floor(quality * 10).cast("int").alias("bucket"),
+            F.length("text").alias("n_chars"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("n_chars"),
+        )
+    )
+    w = W.orderBy(F.col("bucket").desc()).rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    return (
+        b.select(
+            (F.col("bucket").cast("double") / 10.0).alias("threshold"),
+            F.sum("n_docs").over(w).cast("bigint").alias("docs_retained"),
+            F.sum("n_chars").over(w).cast("bigint").alias(
+                "chars_retained"
+            ),
+        )
+        .orderBy("threshold")
+    )
