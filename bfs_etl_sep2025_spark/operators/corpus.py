@@ -1617,6 +1617,7 @@ def corpus_mixture_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "corpus_soft_dedup_weights",
     family="corpus",
+    bench=True,
     oracle="""
         WITH sh AS (
           SELECT doc_id,
@@ -1696,6 +1697,7 @@ def corpus_soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "corpus_quality_prune_curve",
     family="corpus",
+    bench=True,
     oracle="""
         WITH m AS (
           SELECT doc_id, length(text) AS n_chars,

@@ -855,6 +855,7 @@ def fn_try_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "sample_stratified",
     family="functions",
+    bench=True,
     oracle=f"""
         WITH ranked AS (
           SELECT c_custkey, c_mktsegment,

@@ -721,6 +721,7 @@ def _blocked_exact_pairs(spark: SparkSession, sf_dir: str, tau: float):
 @query(
     "similarity_lsh_neardup",
     family="similarity",
+    bench=True,
     oracle=f"""
         WITH n AS (
           SELECT vec_id, embedding, {_sql_norm('embedding')} AS nrm,
@@ -806,6 +807,7 @@ def similarity_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "similarity_threshold_sweep",
     family="similarity",
+    bench=True,
     oracle=f"""
         WITH n AS (
           SELECT vec_id, embedding, {_sql_norm('embedding')} AS nrm

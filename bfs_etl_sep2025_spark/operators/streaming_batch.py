@@ -266,6 +266,7 @@ def stream_dedup_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "stream_typed_state_profile",
     family="streaming",
+    bench=True,
     oracle="""
         WITH counts AS (
           SELECT user_id, event_type, count(*) AS cnt

@@ -797,6 +797,7 @@ def window_period_over_period(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "window_ohlc_downsample",
     family="windows",
+    bench=True,
     oracle="""
         WITH tagged AS (
           SELECT make_timestamp((epoch_ms(ts) // 900000) * 900000000)
