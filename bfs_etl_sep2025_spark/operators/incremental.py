@@ -1,0 +1,257 @@
+"""Incremental dedup against a persisted fingerprint store (Tier C).
+
+The one production dedup shape the full-rescan queries in ``dedup.py``
+don't model: a 100 TB pipeline dedups each NEW crawl batch against the
+EXISTING corpus without rescanning it. Pieces composed here:
+
+- fingerprints: the exact content hash + the 16-hash minhash signature +
+  the 4 LSH band hashes from ``dedup.py`` (same constants, same
+  Kirsch-Mitzenmacher double hashing — so the verdicts are comparable
+  with the full-rescan queries and oracle-recomputable);
+- a ``VersionedTable`` signature store (``plans/versioned.py``)
+  maintained via MERGE-upsert on ``doc_id`` — re-syncing a batch after a
+  failure is idempotent, and every sync is a time-travelable version;
+- band equi-joins of ONLY the delta batch against the store — the store
+  is never rescanned for pair enumeration, and no all-pairs comparison
+  ever happens.
+
+Dup rule (the batch twin the oracle checks): a doc is a duplicate iff
+some doc with a SMALLER ``doc_id`` among everything seen so far (the
+store plus earlier rows of its own batch) is byte-identical
+(``exact_dup``) or agrees on >= half the minhash signature after an LSH
+band collision (``near_dup``) — the same "smaller id wins"
+deterministic-survivor policy as ``dedup_exact`` and
+``dedup_minhash_lsh_pairs``. Because the rule orders on ``doc_id`` and
+crawl ids are assigned monotonically, the verdicts are INDEPENDENT of
+how the stream is batched — one batch, N batches, or one doc at a time
+give identical answers, which is exactly the property the equivalence
+test pins (incremental over N syncs == full rescan).
+
+Scale notes (100 TB):
+- per-batch fingerprinting is the same embarrassingly-parallel shingle
+  pipeline as the full-scan queries, but over the DELTA only;
+- the store side of the candidate join streams (shuffle-hash on
+  (band, band_hash)); the batch side is the small delta. The heavy
+  signature-agreement count happens AFTER a per-doc aggregate barrier,
+  never inside the join condition (the r8 BroadcastHashJoin
+  extra-condition lesson);
+- the store's MERGE prunes untouched data dirs by the ``doc_id`` footer
+  range (``plans/versioned.py::upsert``), so appending a new id range
+  never rewrites old signatures.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bfs_etl_sep2025_spark.operators.dedup import (
+    N_BANDS,
+    N_HASHES,
+    ROWS_PER_BAND,
+    SQL_SHINGLES,
+    SQL_SIG,
+    minhash_signatures,
+)
+from bfs_etl_sep2025_spark.plans.versioned import VersionedTable
+from bfs_etl_sep2025_spark.registry import query
+from bfs_etl_sep2025_spark.tables import load
+
+#: signature-agreement threshold shared with dedup_minhash_lsh_pairs:
+#: est-Jaccard >= 0.5 <=> >= half the minhashes agree
+AGREE_MIN = N_HASHES // 2
+
+
+def fingerprint_batch(docs: DataFrame) -> DataFrame:
+    """(doc_id, text) -> (doc_id, h_exact, sig, bands): the exact md5,
+    the minhash signature, and the 4 LSH band hashes — one store row per
+    document. Bands are kept as a width-4 array (exploded only at join
+    time) so the store stays one-row-per-doc and the MERGE key is just
+    ``doc_id``."""
+    sigs = minhash_signatures(docs)
+    band_cols = [
+        F.md5(
+            F.concat(
+                *[
+                    F.element_at("sig", b * ROWS_PER_BAND + i).cast("string")
+                    for i in range(1, ROWS_PER_BAND + 1)
+                ]
+            )
+        )
+        for b in range(N_BANDS)
+    ]
+    return (
+        docs.select("doc_id", F.md5("text").alias("h_exact"))
+        .join(sigs, "doc_id")
+        .select("doc_id", "h_exact", "sig", F.array(*band_cols).alias("bands"))
+    )
+
+
+def sync_batch(
+    spark: SparkSession, batch_docs: DataFrame, store: VersionedTable
+) -> DataFrame:
+    """Dedup one delta batch against the persisted fingerprint store,
+    commit the batch's fingerprints (MERGE-upsert on ``doc_id`` —
+    idempotent under re-sync), and return per-doc verdicts
+    ``(doc_id, exact_dup, near_dup, keep)``.
+
+    The batch's fingerprints are localCheckpoint'd once: they feed the
+    store join, the within-batch join, and the store MERGE — without the
+    checkpoint the shingle/minhash pipeline (the dominant cost) would run
+    three times."""
+    fp = fingerprint_batch(batch_docs).localCheckpoint(eager=True)
+
+    # everything seen so far that may outrank a batch doc: the store
+    # (strictly earlier syncs) plus this batch itself (within-batch dups);
+    # the doc_id < filter makes double-listing harmless and the verdicts
+    # batching-invariant
+    pool = store.read().unionByName(fp) if store.exists() else fp
+    prior = pool.select(
+        F.col("doc_id").alias("prior_id"),
+        F.col("h_exact").alias("prior_h"),
+        F.col("sig").alias("prior_sig"),
+        "bands",
+    )
+
+    # exact dups: equi-join on the 128-bit content hash, ids only
+    ex_ids = (
+        fp.select("doc_id", "h_exact")
+        .hint("shuffle_hash")
+        .join(prior.select("prior_id", F.col("prior_h").alias("h_exact")),
+              "h_exact")
+        .filter(F.col("prior_id") < F.col("doc_id"))
+        .select("doc_id")
+        .distinct()
+        .withColumn("exact_dup", F.lit(True))
+    )
+
+    # near dups: band equi-join (delta side vs store-plus-batch side),
+    # signature agreement scored AFTER the join behind a per-pair
+    # aggregate — the unrolled 16-term chain must never ride inside the
+    # join condition (r8: extra-condition chains run before the cheap
+    # conjuncts for every key-matched pair)
+    bb = fp.select(
+        "doc_id", "sig", F.posexplode("bands").alias("b", "bh")
+    )
+    pb = prior.select(
+        "prior_id", "prior_sig", F.posexplode("bands").alias("b", "bh")
+    )
+    eqs = [
+        F.when(
+            F.element_at("sig", j) == F.element_at("prior_sig", j), 1
+        ).otherwise(0)
+        for j in range(1, N_HASHES + 1)
+    ]
+    n_eq = eqs[0]
+    for e_j in eqs[1:]:
+        n_eq = n_eq + e_j
+    near_ids = (
+        bb.hint("shuffle_hash")
+        .join(pb, ["b", "bh"])
+        .filter(F.col("prior_id") < F.col("doc_id"))
+        .select("doc_id", n_eq.alias("n_eq"))
+        .groupBy("doc_id")
+        .agg(F.max("n_eq").alias("n_eq"))
+        .filter(F.col("n_eq") >= AGREE_MIN)
+        .select("doc_id")
+        .withColumn("near_dup", F.lit(True))
+    )
+
+    verdicts = (
+        fp.select("doc_id")
+        .join(ex_ids, "doc_id", "left")
+        .join(near_ids, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("exact_dup", F.lit(False)).alias("exact_dup"),
+            F.coalesce("near_dup", F.lit(False)).alias("near_dup"),
+        )
+        .withColumn(
+            "keep", ~F.col("exact_dup") & ~F.col("near_dup")
+        )
+    )
+
+    # commit the batch's fingerprints — MERGE semantics: a re-run of the
+    # same batch replaces its own rows instead of double-inserting
+    if store.exists():
+        store.upsert(fp, keys=["doc_id"])
+    else:
+        store.create(fp)
+    return verdicts
+
+
+@query(
+    "dedup_incremental_minhash",
+    family="dedup",
+    bench=True,
+    oracle=f"""
+        WITH sh AS (
+          SELECT doc_id, {SQL_SHINGLES} AS shingles FROM documents
+        ),
+        mh AS (SELECT doc_id, {SQL_SIG} AS sig FROM sh),
+        bands AS (
+          SELECT doc_id, b.b,
+                 md5(sig[4*b.b+1]::VARCHAR || sig[4*b.b+2]::VARCHAR ||
+                     sig[4*b.b+3]::VARCHAR || sig[4*b.b+4]::VARCHAR) AS bh
+          FROM mh, (SELECT unnest([0,1,2,3]) AS b) b
+        ),
+        near AS (
+          SELECT DISTINCT l.doc_id
+          FROM bands l JOIN bands r ON l.b = r.b AND l.bh = r.bh
+                                   AND r.doc_id < l.doc_id
+          JOIN mh ma ON ma.doc_id = l.doc_id
+          JOIN mh mb ON mb.doc_id = r.doc_id
+          WHERE len(list_filter(range(1, {N_HASHES} + 1),
+                                i -> ma.sig[i] = mb.sig[i])) >= {AGREE_MIN}
+        ),
+        exact AS (
+          SELECT DISTINCT d.doc_id
+          FROM documents d
+          JOIN documents e ON md5(e.text) = md5(d.text)
+                          AND e.doc_id < d.doc_id
+        )
+        SELECT d.doc_id,
+               (x.doc_id IS NOT NULL) AS exact_dup,
+               (n.doc_id IS NOT NULL) AS near_dup,
+               (x.doc_id IS NULL AND n.doc_id IS NULL) AS keep
+        FROM documents d
+        LEFT JOIN exact x ON x.doc_id = d.doc_id
+        LEFT JOIN near n ON n.doc_id = d.doc_id
+        ORDER BY d.doc_id
+    """,
+)
+def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental crawl dedup, END TO END through the REAL machinery:
+    the corpus arrives as three crawl batches (contiguous ``doc_id``
+    ranges — the arrival-order simulation; production batches are just
+    "today's crawl"), each batch is fingerprinted, deduped against the
+    persisted signature store via band equi-joins, and MERGE-committed
+    into the store — the store is never rescanned. The oracle is the
+    batch twin: the same smaller-id-wins verdicts computed relationally
+    over the whole corpus in one pass, which equals the incremental
+    result BECAUSE the dup rule is batching-invariant (module
+    docstring). Exact-string parity here is therefore an equivalence
+    proof of the incremental path against a full rescan, re-checked by
+    the external driver every round it's sampled."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    # arrival simulation: three contiguous id ranges; exact percentile
+    # (sort-based, deterministic) — two scalars to the driver, nothing
+    # about the OPERATOR is driver-side
+    t1, t2 = d.agg(
+        F.expr("percentile(doc_id, array(0.3333333333, 0.6666666666))")
+    ).first()[0]
+    store = VersionedTable(
+        spark, tempfile.mkdtemp(prefix="sig_store_")
+    )
+    parts = (
+        d.filter(F.col("doc_id") <= t1),
+        d.filter((F.col("doc_id") > t1) & (F.col("doc_id") <= t2)),
+        d.filter(F.col("doc_id") > t2),
+    )
+    verdicts = None
+    for batch in parts:
+        v = sync_batch(spark, batch, store)
+        verdicts = v if verdicts is None else verdicts.unionByName(v)
+    return verdicts.orderBy("doc_id")

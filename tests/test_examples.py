@@ -241,3 +241,60 @@ def test_stream_task_incremental_pipeline_runs_end_to_end(spark, tmp_path):
     # consumption advanced the offset between fires
     assert fire2.last_result["offset"] > fire1.last_result["offset"]
     assert verify.last_result["landed_rows"] == 3
+
+
+def test_crawl_dedup_pipeline_incremental_equals_full_rescan(spark, tmp_path):
+    """The incremental-dedup contract (VERDICT r9 item 5), executed:
+
+    1. the DAG runs end-to-end — three batch syncs against the persisted
+       signature store, then publish;
+    2. EQUIVALENCE: the corpus after N incremental syncs equals the
+       full-rescan dedup (one sync of the whole corpus against an empty
+       store) — the dup rule is batching-invariant, so the answers must
+       be identical sets, not merely similar;
+    3. MERGE idempotence: re-syncing an already-committed batch leaves
+       the store row-count unchanged and returns the same verdicts.
+    """
+    import crawl_dedup_pipeline as cd
+    from bfs_etl_sep2025_spark.operators.incremental import sync_batch
+    from bfs_etl_sep2025_spark.plans.versioned import VersionedTable
+    from bfs_etl_sep2025_spark.tables import load
+
+    dag, tasks = cd.build(
+        str(tmp_path / "sig_store"), str(tmp_path / "corpus")
+    )
+    dag.run(spark)
+    publish = tasks[-1].last_result
+    ingested = sum(t.last_result["total"] for t in tasks[:-1])
+    kept = sum(t.last_result["kept"] for t in tasks[:-1])
+    assert publish["fingerprints"] == ingested  # every doc fingerprinted
+    assert publish["corpus_docs"] == kept
+    assert len(publish["store_versions"]) == cd.N_BATCHES
+
+    # full rescan: ONE sync of everything against an empty store
+    docs = load(spark, cd.SF_DIR, "documents").select("doc_id", "text")
+    rescan_store = VersionedTable(spark, str(tmp_path / "rescan_store"))
+    rescan = sync_batch(spark, docs, rescan_store)
+    rescan_kept = sorted(
+        r["doc_id"] for r in rescan.filter("keep").collect()
+    )
+    corpus = VersionedTable(spark, str(tmp_path / "corpus"))
+    incr_kept = sorted(r["doc_id"] for r in corpus.read().collect())
+    assert incr_kept == rescan_kept
+
+    # MERGE idempotence: re-sync batch 0 against the already-full store
+    store = VersionedTable(spark, str(tmp_path / "sig_store"))
+    n_before = store.read().count()
+    bounds = cd._batch_bounds(spark, cd.SF_DIR, cd.N_BATCHES)
+    batch0 = docs.filter(F.col("doc_id") <= bounds[1])
+    again = sync_batch(spark, batch0, store)
+    assert store.read().count() == n_before  # replaced, not double-inserted
+    verd0 = {
+        r["doc_id"]: (r["exact_dup"], r["near_dup"])
+        for r in again.collect()
+    }
+    orig0 = {
+        r["doc_id"]: (r["exact_dup"], r["near_dup"])
+        for r in rescan.filter(F.col("doc_id") <= bounds[1]).collect()
+    }
+    assert verd0 == orig0
