@@ -411,6 +411,10 @@ def test_transform_with_state_typed_profile(stream_env):
         (1, datetime(2024, 1, 1, 10, 0), 1, "click", 1.0, "{}"),
         (2, datetime(2024, 1, 1, 10, 5), 1, "view", 1.0, "{}"),
         (3, datetime(2024, 1, 1, 10, 6), 1, "view", 1.0, "{}"),
+        # user 2 appears ONLY in this first file: their state must sit
+        # untouched through batch 2 and the checkpoint restart, then
+        # still be there when they return (r10: untouched-key durability)
+        (7, datetime(2024, 1, 1, 10, 7), 2, "view", 1.0, "{}"),
     ]
     rows2 = [
         (4, datetime(2024, 1, 1, 11, 0), 1, "click", 1.0, "{}"),
@@ -439,18 +443,31 @@ def test_transform_with_state_typed_profile(stream_env):
         assert len(per_batch) == 2  # maxFilesPerTrigger=1 -> one per file
         # after file 1: 3 events, 2 types, 'view' leads 2-1
         assert per_batch[0][1] == (3, 2, "view")
+        assert per_batch[0][2] == (1, 1, "view")
         # after file 2: 5 events, clicks now lead 3-2 — MapState accumulated
         assert per_batch[1][1] == (5, 2, "click")
-        # restart from checkpoint: a tie (view=3 vs click=3) breaks by NAME
+        # update mode emits only TOUCHED keys: user 2 had no batch-2 rows,
+        # so re-emitting (or worse, recomputing) their profile here would
+        # mean the operator walks all state per batch instead of per key
+        assert 2 not in per_batch[1]
+        # restart from checkpoint: a tie (view=3 vs click=3) breaks by NAME;
+        # user 2 returns after sitting out a batch AND a restart — their
+        # ValueState/MapState must have survived untouched (not been
+        # recomputed from the visible micro-batch, which would give (1,1))
         _write_batch(
             spark,
             src,
-            [(6, datetime(2024, 1, 1, 12, 0), 1, "view", 1.0, "{}")],
+            [
+                (6, datetime(2024, 1, 1, 12, 0), 1, "view", 1.0, "{}"),
+                (8, datetime(2024, 1, 1, 12, 1), 2, "click", 1.0, "{}"),
+            ],
         )
         more = run_stream_collect(job, ckpt, output_mode="update")
         got = {r.user_id: (r.n_events, r.n_types, r.top_type)
                for _, rows in more for r in rows}
         assert got[1] == (6, 2, "view")
+        # 2 events, 2 types, view/click tie at 1-1 -> same name tie-break
+        assert got[2] == (2, 2, "view")
     finally:
         if old_provider is None:
             spark.conf.unset(provider_key)
