@@ -30,6 +30,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from bfs_etl_sep2025_spark.functions.portable import exact_sum
 from bfs_etl_sep2025_spark.operators._ngrams import exploded_ngrams
 from bfs_etl_sep2025_spark.registry import query
 from bfs_etl_sep2025_spark.tables import load, widen
@@ -1791,3 +1792,68 @@ def corpus_quality_prune_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("threshold")
     )
+
+
+@query(
+    "corpus_language_temperature_weights",
+    family="corpus",
+    oracle="""
+        WITH m AS (
+          SELECT lang,
+                 CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+                   AS n_tokens
+          FROM documents GROUP BY lang
+        ),
+        t AS (
+          SELECT sum(CAST(sqrt(n_tokens) AS DECIMAL(30,12))) AS tot_w,
+                 CAST(sum(n_tokens) AS BIGINT) AS tot_tok
+          FROM m
+        )
+        SELECT lang, n_docs, n_tokens,
+               sqrt(n_tokens) / CAST(tot_w AS DOUBLE) AS samp_weight,
+               (sqrt(n_tokens) / CAST(tot_w AS DOUBLE))
+                 / (CAST(n_tokens AS DOUBLE) / CAST(tot_tok AS DOUBLE))
+                 AS boost
+        FROM m, t
+        ORDER BY lang
+    """,
+)
+def corpus_language_temperature_weights(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Temperature-scaled multilingual sampling weights (the XLM-R /
+    mT5 recipe): weight_l ∝ n_tokens_l^α with α=0.5, normalized — high-
+    resource languages are down-weighted, low-resource ones up-weighted,
+    and ``boost`` reports the factor vs proportional sampling. α is
+    pinned to 0.5 because sqrt is IEEE-correctly-rounded in BOTH engines
+    (general pow() is not — a last-ulp divergence would break the hash);
+    the weight denominator is an exact-DECIMAL sum (order-independent at
+    any parallelism), then ONE double division of identical values.
+
+    Scale: one map-side-combined aggregate to ~languages rows, one
+    broadcast of the 1-row totals — corpus-size work is the token count
+    already being scanned."""
+    d = load(spark, sf_dir, "documents")
+    m = d.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).cast("bigint").alias("n_tokens"),
+    ).localCheckpoint(eager=True)  # ~languages rows; scanned twice below
+    # the totals are two scalars — fold them in as literals (a 1-row
+    # crossJoin would plan a BroadcastNestedLoopJoin, tripping the
+    # registry-wide nested-loop audit for no benefit at any scale)
+    tot = m.agg(
+        exact_sum(F.sqrt("n_tokens"), scale=12).alias("tot_w"),
+        F.sum("n_tokens").cast("bigint").alias("tot_tok"),
+    ).first()
+    w = F.sqrt("n_tokens") / F.lit(tot["tot_w"])
+    return m.select(
+        "lang",
+        "n_docs",
+        "n_tokens",
+        w.alias("samp_weight"),
+        (
+            w / (F.col("n_tokens").cast("double")
+                 / F.lit(tot["tot_tok"]).cast("double"))
+        ).alias("boost"),
+    ).orderBy("lang")

@@ -512,6 +512,125 @@ def dedup_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
     ).orderBy("doc_id")
 
+
+@query(
+    "dedup_cluster_canonical",
+    family="dedup",
+    oracle=f"""
+        WITH RECURSIVE sh AS (SELECT doc_id, {SQL_SHINGLES} AS shingles FROM documents),
+        mh AS (SELECT doc_id, {SQL_SIG} AS sig FROM sh),
+        bands AS (
+          SELECT doc_id, b.b,
+                 md5(sig[4*b.b+1]::VARCHAR || sig[4*b.b+2]::VARCHAR ||
+                     sig[4*b.b+3]::VARCHAR || sig[4*b.b+4]::VARCHAR) AS bh
+          FROM mh, (SELECT unnest([0,1,2,3]) AS b) b
+        ),
+        pairs AS (
+          SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+          FROM bands l JOIN bands r ON l.b = r.b AND l.bh = r.bh
+                                   AND l.doc_id < r.doc_id
+          JOIN mh ma ON ma.doc_id = l.doc_id
+          JOIN mh mb ON mb.doc_id = r.doc_id
+          WHERE len(list_filter(range(1, {N_HASHES} + 1),
+                                i -> ma.sig[i] = mb.sig[i])) >= {N_HASHES} // 2
+        ),
+        edges AS (
+          SELECT doc_a AS s, doc_b AS d FROM pairs
+          UNION SELECT doc_b, doc_a FROM pairs
+        ),
+        reach(s, d) AS (
+          SELECT doc_id, doc_id FROM documents
+          UNION
+          SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s
+        ),
+        clusters AS (
+          SELECT s AS doc_id, min(d) AS cluster_id
+          FROM reach
+          GROUP BY s
+          HAVING min(d) < s OR EXISTS (SELECT 1 FROM edges e WHERE e.s = reach.s)
+        ),
+        m AS (
+          SELECT doc_id,
+                 len(string_split(text, ' ')) AS n_tok,
+                 len(list_distinct(string_split(text, ' '))) AS n_uniq,
+                 len(list_filter(string_split(text, ' '),
+                       t -> t IN ('the','a','of','and','to','in','is','it')))
+                   AS n_stop
+          FROM documents
+        ),
+        q AS (
+          SELECT doc_id,
+                 (n_uniq::DOUBLE / n_tok)
+                   * CASE WHEN n_tok BETWEEN 20 AND 1000
+                          THEN 1.0 ELSE 0.0 END
+                   * (1.0 - n_stop::DOUBLE / n_tok) AS quality
+          FROM m
+        ),
+        ranked AS (
+          SELECT c.cluster_id, c.doc_id, q.quality,
+                 row_number() OVER (PARTITION BY c.cluster_id
+                                    ORDER BY q.quality DESC, c.doc_id) AS rn,
+                 count(*) OVER (PARTITION BY c.cluster_id) AS n_members
+          FROM clusters c JOIN q ON q.doc_id = c.doc_id
+        )
+        SELECT cluster_id, doc_id AS canonical_doc,
+               quality AS canonical_quality,
+               CAST(n_members AS BIGINT) AS n_members
+        FROM ranked WHERE rn = 1
+        ORDER BY cluster_id
+    """,
+)
+def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-aware canonical selection: within each TRANSITIVE near-dup
+    cluster keep the HIGHEST-QUALITY member (tie: smallest doc_id) — the
+    production survivor policy when dup clusters mix a clean original
+    with boilerplate-wrapped mirrors, versus the min-id policy of
+    ``llm_corpus_clean`` (which keeps whichever copy crawled first).
+    Quality is ``text_quality_score``'s exact integer-ratio composite,
+    so both engines rank bit-identical doubles.
+
+    Scale: clusters come from the label-propagation engine above (band
+    equi-joins, never all-pairs); the canonical pick is ONE exchange on
+    ``cluster_id`` shared by the rank window and the member count — the
+    window-over-key idiom (r9) instead of an agg + join back."""
+    clusters = dedup_minhash_clusters(spark, sf_dir)
+    d = load(spark, sf_dir, "documents")
+    t = _tokens(F.col("text"))
+    n_tok = F.size(t)
+    n_uniq = F.size(F.array_distinct(t))
+    n_stop = F.regexp_count(
+        F.concat(F.lit(" "), F.col("text"), F.lit(" ")),
+        F.lit("(?<= )(the|a|of|and|to|in|is|it)(?= )"),
+    )
+    q = (
+        (n_uniq.cast("double") / n_tok)
+        * F.when(n_tok.between(20, 1000), F.lit(1.0)).otherwise(F.lit(0.0))
+        * (1.0 - n_stop.cast("double") / n_tok)
+    )
+    qual = d.select("doc_id", q.alias("quality"))
+    w_rank = W.partitionBy("cluster_id").orderBy(
+        F.col("quality").desc(), "doc_id"
+    )
+    w_all = W.partitionBy("cluster_id")
+    return (
+        clusters.join(qual, "doc_id")
+        .select(
+            "cluster_id",
+            "doc_id",
+            "quality",
+            F.row_number().over(w_rank).alias("rn"),
+            F.count(F.lit(1)).over(w_all).alias("n_members"),
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            "cluster_id",
+            F.col("doc_id").alias("canonical_doc"),
+            F.col("quality").alias("canonical_quality"),
+            F.col("n_members").cast("bigint").alias("n_members"),
+        )
+        .orderBy("cluster_id")
+    )
+
 # --------------------------------------------------------------------------
 # 3. SimHash
 # --------------------------------------------------------------------------

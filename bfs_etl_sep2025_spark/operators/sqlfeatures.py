@@ -253,3 +253,38 @@ def sql_scripting_block(spark: SparkSession, sf_dir: str) -> DataFrame:
         END
         """
     )
+
+
+@query(
+    "sql_group_by_all",
+    family="sql",
+    oracle="""
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(30,4))) AS DOUBLE)
+                 AS revenue
+        FROM orders
+        GROUP BY ALL
+        ORDER BY o_orderstatus, o_orderpriority
+    """,
+)
+def sql_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``GROUP BY ALL`` (Spark 3.4+/Snowflake/DuckDB all speak it): the
+    grouping key list is inferred from the non-aggregate select items —
+    the dialect idiom analysts reach for constantly, and a pure
+    analysis-time rewrite (the optimized plan is identical to the
+    explicit GROUP BY, so nothing changes at any scale). The oracle runs
+    the SAME text modulo the view name — three engines, one statement.
+    Revenue is the exact-DECIMAL portable sum."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("gba_orders_v")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               count(*) AS n,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(30,4))) AS DOUBLE)
+                 AS revenue
+        FROM gba_orders_v
+        GROUP BY ALL
+        ORDER BY o_orderstatus, o_orderpriority
+        """
+    )

@@ -608,6 +608,8 @@ _SANCTIONED_PYTHON = {
     "udf_arrow_scalar": {"ArrowEvalPython"},
     "udf_grouped_map": {"FlatMapGroupsInPandas"},
     "similarity_ann_ivf": {"ArrowEvalPython"},  # BLAS matmul assignment
+    # same BLAS assignment boundary, batched per delta sync (r10)
+    "similarity_incremental_ivf": {"ArrowEvalPython"},
     # matmul assignment + per-cell GEMM pair prefilter (exact rerank after)
     "dedup_semantic_embedding": {"ArrowEvalPython", "FlatMapGroupsInPandas"},
     # blocked-GEMM all-pairs tiles (exact rerank after)
