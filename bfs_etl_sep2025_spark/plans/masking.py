@@ -1,0 +1,185 @@
+"""Snowflake dynamic-data-masking shim (column masking policies).
+
+Reference parity: masking policies are reachable through the reference's
+arbitrary-SQL chokepoint (``dags/dev_db_test.py:41-70``) — the standard
+governance pattern a migrating Snowflake shop runs is
+
+    CREATE MASKING POLICY email_mask AS (val STRING) RETURNS STRING ->
+      CASE WHEN CURRENT_ROLE() IN ('ANALYST') THEN val
+           ELSE '***MASKED***' END;
+    ALTER TABLE users MODIFY COLUMN email SET MASKING POLICY email_mask;
+    USE ROLE reporting;
+    SELECT email FROM users;        -- masked for this role
+
+Semantics mapped onto Spark:
+
+- ``CREATE [OR REPLACE] MASKING POLICY <p> AS (<arg> <type>) RETURNS
+  <type> -> <body>`` registers the body as a SQL expression template
+  (the body text has already been through the task's dialect translate
+  pass, so IFF/NVL/... spellings work inside policies like anywhere
+  else).
+- ``ALTER TABLE <t> MODIFY|ALTER COLUMN <c> SET MASKING POLICY <p>``
+  binds the policy; ``... UNSET MASKING POLICY`` unbinds.
+- ``USE ROLE <r>`` sets the session role; ``CURRENT_ROLE()`` inside a
+  policy body folds to that role as a literal AT READ TIME (the same
+  execution-time-fold mechanics as ``SYSTEM$STREAM_HAS_DATA`` — the
+  masked view is rebuilt per read, so a role change between statements
+  is always observed).
+- Reads of a masked table are rewritten (table-reference positions only,
+  same machinery as stream references) to ONE live temp view per table
+  whose bound columns run their policy bodies; unbound columns pass
+  through. Row count and schema are unchanged — only values mask.
+
+Documented divergences:
+
+- WRITE targets are never rewritten: an INSERT/MERGE into a masked table
+  hits the base table raw (Snowflake's ETL-owner pattern). Consequently
+  a statement that both WRITES a masked table and READS it sees its own
+  reads unmasked — spell such maintenance as two statements under an
+  authorized role if masking matters there.
+- There is no privilege model: ``USE ROLE`` is honored verbatim. The
+  shim enforces the POLICY EXPRESSION, not authentication.
+
+Scale notes: the masked view is a projection over the base table —
+Catalyst inlines it, so filters/pruning still push down to the scan and
+the policy CASE runs codegen'd per row; zero extra shuffles.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import SparkSession
+
+#: policy name (lowercased) -> {"arg": str, "body": str}
+_POLICIES: dict[str, dict] = {}
+#: table name (lowercased) -> {column (lowercased): policy name}
+_BINDINGS: dict[str, dict[str, str]] = {}
+#: session role, set by USE ROLE (Snowflake default role spelling)
+_ROLE: str = "PUBLIC"
+#: one live masked view per table (previous read's view is replaced)
+_LIVE_VIEWS: dict[str, str] = {}
+
+CREATE_POLICY = re.compile(
+    r"(?is)^\s*CREATE\s+(?:OR\s+REPLACE\s+)?MASKING\s+POLICY\s+"
+    r"(?P<name>[\w.`\"]+)\s+AS\s*\(\s*(?P<arg>\w+)\s+(?P<atype>\w+)\s*\)\s*"
+    r"RETURNS\s+\w+\s*->\s*(?P<body>.+?)\s*$"
+)
+DROP_POLICY = re.compile(
+    r"(?is)^\s*DROP\s+MASKING\s+POLICY\s+(?:IF\s+EXISTS\s+)?"
+    r"(?P<name>[\w.`\"]+)\s*$"
+)
+SET_POLICY = re.compile(
+    r"(?is)^\s*ALTER\s+TABLE\s+(?P<table>[\w.`\"]+)\s+"
+    r"(?:MODIFY|ALTER)\s+COLUMN\s+(?P<col>[\w`\"]+)\s+"
+    r"SET\s+MASKING\s+POLICY\s+(?P<policy>[\w.`\"]+)\s*$"
+)
+UNSET_POLICY = re.compile(
+    r"(?is)^\s*ALTER\s+TABLE\s+(?P<table>[\w.`\"]+)\s+"
+    r"(?:MODIFY|ALTER)\s+COLUMN\s+(?P<col>[\w`\"]+)\s+"
+    r"UNSET\s+MASKING\s+POLICY\s*$"
+)
+USE_ROLE = re.compile(r"(?is)^\s*USE\s+ROLE\s+(?P<role>[\w`\"]+)\s*$")
+_CURRENT_ROLE = re.compile(r"(?i)\bCURRENT_ROLE\s*\(\s*\)")
+
+
+def _norm(name: str) -> str:
+    return name.strip('`"').lower()
+
+
+def handle_statement(spark: SparkSession, stmt: str, task_id: str) -> bool:
+    """Consume masking DDL / USE ROLE. True = statement fully handled."""
+    global _ROLE
+    m = CREATE_POLICY.match(stmt)
+    if m:
+        _POLICIES[_norm(m.group("name"))] = {
+            "arg": m.group("arg"),
+            "body": m.group("body").rstrip("; \n"),
+        }
+        return True
+    m = DROP_POLICY.match(stmt)
+    if m:
+        name = _norm(m.group("name"))
+        bound = [
+            (t, c)
+            for t, cols in _BINDINGS.items()
+            for c, p in cols.items()
+            if p == name
+        ]
+        if bound:
+            raise ValueError(
+                f"sql task {task_id!r}: masking policy {name!r} is still "
+                f"bound to {bound} — UNSET it first (Snowflake refuses too)"
+            )
+        _POLICIES.pop(name, None)
+        return True
+    m = SET_POLICY.match(stmt)
+    if m:
+        pol = _norm(m.group("policy"))
+        if pol not in _POLICIES:
+            raise ValueError(
+                f"sql task {task_id!r}: unknown masking policy {pol!r}"
+            )
+        _BINDINGS.setdefault(_norm(m.group("table")), {})[
+            _norm(m.group("col"))
+        ] = pol
+        return True
+    m = UNSET_POLICY.match(stmt)
+    if m:
+        t = _norm(m.group("table"))
+        _BINDINGS.get(t, {}).pop(_norm(m.group("col")), None)
+        if not _BINDINGS.get(t):
+            _BINDINGS.pop(t, None)
+        return True
+    m = USE_ROLE.match(stmt)
+    if m:
+        _ROLE = m.group("role").strip('`"').upper()
+        return True
+    return False
+
+
+def masked_tables() -> list[str]:
+    return list(_BINDINGS)
+
+
+def current_role() -> str:
+    return _ROLE
+
+
+def clear_masking() -> None:
+    global _ROLE
+    _POLICIES.clear()
+    _BINDINGS.clear()
+    _LIVE_VIEWS.clear()
+    _ROLE = "PUBLIC"
+
+
+def resolve_masked_view(spark: SparkSession, table: str) -> str:
+    """Build (or rebuild) the masked temp view for ``table`` and return
+    its name. Rebuilt per read so a ``USE ROLE`` between statements is
+    always observed; the previous view is replaced, never leaked."""
+    cols = spark.table(table).columns
+    bindings = _BINDINGS[_norm(table)]
+    items = []
+    for c in cols:
+        pol = bindings.get(c.lower())
+        if pol is None:
+            items.append(f"`{c}`")
+            continue
+        spec = _POLICIES[pol]
+        body = _CURRENT_ROLE.sub(f"'{_ROLE}'", spec["body"])
+        # the policy argument is an identifier token; swap it for the
+        # bound column (word-boundary — arg names inside string literals
+        # are data, but policy bodies are short trusted expressions and
+        # Snowflake forbids quotes around the arg anyway)
+        body = re.sub(
+            rf"(?i)\b{re.escape(spec['arg'])}\b", f"`{c}`", body
+        )
+        items.append(f"({body}) AS `{c}`")
+    view = f"__masked_{_norm(table).replace('.', '_')}_v"
+    spark.sql(
+        f"CREATE OR REPLACE TEMPORARY VIEW {view} AS "
+        f"SELECT {', '.join(items)} FROM {table}"
+    )
+    _LIVE_VIEWS[_norm(table)] = view
+    return view

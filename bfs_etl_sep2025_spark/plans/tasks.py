@@ -915,6 +915,41 @@ class SqlTask(Task):
             consumed.append((name, ver))
         return out, consumed
 
+    def _rewrite_masked(self, stmt: str, ctx: RunContext) -> str:
+        """Route reads of masked tables through their policy views
+        (plans/masking.py), at EXECUTION time so ``USE ROLE`` changes are
+        observed. Same table-reference-position discipline as the stream
+        rewrite; the WRITE target is never rewritten (ETL writes hit the
+        base table raw — documented divergence in plans/masking.py)."""
+        from bfs_etl_sep2025_spark.plans import masking as _masking
+
+        tables = _masking.masked_tables()
+        if not tables:
+            return stmt
+        out = stmt
+        target = self._write_target(out)
+        for t in tables:
+            if target is not None and target.strip('`"').lower() == t:
+                continue
+            pat = re.compile(rf"(?i)(?<![\w.`\"]){re.escape(t)}\b")
+            unq = set(_unquoted_positions(out))
+            hits = [
+                m
+                for m in pat.finditer(out)
+                if m.start() in unq
+                and self._is_table_ref_position(out, m.start())
+            ]
+            if not hits:
+                continue
+            view = _masking.resolve_masked_view(ctx.spark, t)
+            hit_starts = {m.start() for m in hits}
+            out = sub_unquoted(
+                pat,
+                lambda m: view if m.start() in hit_starts else m.group(0),
+                out,
+            )
+        return out
+
     def _bind(self, stmt: str) -> str:
         def sub(m: re.Match[str]) -> str:
             name = m.group(1)
@@ -983,7 +1018,14 @@ class SqlTask(Task):
 
             if _snowtasks.handle_statement(spark, stmt, self.task_id):
                 continue
+            # Snowflake masking policies: DDL + USE ROLE are consumed;
+            # reads of masked tables are rewritten after the stream pass
+            from bfs_etl_sep2025_spark.plans import masking as _masking
+
+            if _masking.handle_statement(spark, stmt, self.task_id):
+                continue
             stmt, consumed = self._rewrite_streams(stmt, ctx)
+            stmt = self._rewrite_masked(stmt, ctx)
             target = self._write_target(stmt)
             if target is None:
                 spark.sql(stmt)
