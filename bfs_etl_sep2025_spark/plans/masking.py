@@ -29,6 +29,12 @@ Semantics mapped onto Spark:
   same machinery as stream references) to ONE live temp view per table
   whose bound columns run their policy bodies; unbound columns pass
   through. Row count and schema are unchanged — only values mask.
+- ``CREATE ROW ACCESS POLICY <p> AS (<args>) RETURNS BOOLEAN -> <body>``
+  plus ``ALTER TABLE <t> ADD ROW ACCESS POLICY <p> ON (<cols>)`` — row-
+  level security, Snowflake's one-per-table rule enforced. The policy
+  body becomes the view's WHERE over the RAW stored columns (evaluated
+  before column masks, as in Snowflake), so Catalyst pushes it down to
+  the scan like any user predicate.
 
 Documented divergences:
 
@@ -55,6 +61,10 @@ from pyspark.sql import SparkSession
 _POLICIES: dict[str, dict] = {}
 #: table name (lowercased) -> {column (lowercased): policy name}
 _BINDINGS: dict[str, dict[str, str]] = {}
+#: row-access policy name (lowercased) -> {"args": [str], "body": str}
+_ROW_POLICIES: dict[str, dict] = {}
+#: table name (lowercased) -> (policy name, [bound column names])
+_ROW_BINDINGS: dict[str, tuple[str, list[str]]] = {}
 #: session role, set by USE ROLE (Snowflake default role spelling)
 _ROLE: str = "PUBLIC"
 #: one live masked view per table (previous read's view is replaced)
@@ -64,6 +74,24 @@ CREATE_POLICY = re.compile(
     r"(?is)^\s*CREATE\s+(?:OR\s+REPLACE\s+)?MASKING\s+POLICY\s+"
     r"(?P<name>[\w.`\"]+)\s+AS\s*\(\s*(?P<arg>\w+)\s+(?P<atype>\w+)\s*\)\s*"
     r"RETURNS\s+\w+\s*->\s*(?P<body>.+?)\s*$"
+)
+CREATE_ROW_POLICY = re.compile(
+    r"(?is)^\s*CREATE\s+(?:OR\s+REPLACE\s+)?ROW\s+ACCESS\s+POLICY\s+"
+    r"(?P<name>[\w.`\"]+)\s+AS\s*\((?P<args>[^)]+)\)\s*"
+    r"RETURNS\s+BOOLEAN\s*->\s*(?P<body>.+?)\s*$"
+)
+DROP_ROW_POLICY = re.compile(
+    r"(?is)^\s*DROP\s+ROW\s+ACCESS\s+POLICY\s+(?:IF\s+EXISTS\s+)?"
+    r"(?P<name>[\w.`\"]+)\s*$"
+)
+ADD_ROW_POLICY = re.compile(
+    r"(?is)^\s*ALTER\s+TABLE\s+(?P<table>[\w.`\"]+)\s+"
+    r"ADD\s+ROW\s+ACCESS\s+POLICY\s+(?P<policy>[\w.`\"]+)\s+"
+    r"ON\s*\((?P<cols>[^)]+)\)\s*$"
+)
+DETACH_ROW_POLICY = re.compile(
+    r"(?is)^\s*ALTER\s+TABLE\s+(?P<table>[\w.`\"]+)\s+"
+    r"DROP\s+ROW\s+ACCESS\s+POLICY\s+(?P<policy>[\w.`\"]+)\s*$"
 )
 DROP_POLICY = re.compile(
     r"(?is)^\s*DROP\s+MASKING\s+POLICY\s+(?:IF\s+EXISTS\s+)?"
@@ -131,6 +159,54 @@ def handle_statement(spark: SparkSession, stmt: str, task_id: str) -> bool:
         if not _BINDINGS.get(t):
             _BINDINGS.pop(t, None)
         return True
+    m = CREATE_ROW_POLICY.match(stmt)
+    if m:
+        args = [
+            a.strip().split()[0] for a in m.group("args").split(",")
+        ]
+        _ROW_POLICIES[_norm(m.group("name"))] = {
+            "args": args,
+            "body": m.group("body").rstrip("; \n"),
+        }
+        return True
+    m = DROP_ROW_POLICY.match(stmt)
+    if m:
+        name = _norm(m.group("name"))
+        bound = [t for t, (p, _) in _ROW_BINDINGS.items() if p == name]
+        if bound:
+            raise ValueError(
+                f"sql task {task_id!r}: row access policy {name!r} is "
+                f"still bound to {bound} — detach it first"
+            )
+        _ROW_POLICIES.pop(name, None)
+        return True
+    m = ADD_ROW_POLICY.match(stmt)
+    if m:
+        pol = _norm(m.group("policy"))
+        if pol not in _ROW_POLICIES:
+            raise ValueError(
+                f"sql task {task_id!r}: unknown row access policy {pol!r}"
+            )
+        t = _norm(m.group("table"))
+        if t in _ROW_BINDINGS:
+            raise ValueError(
+                f"sql task {task_id!r}: table {t!r} already has a row "
+                "access policy (Snowflake allows one per table)"
+            )
+        cols = [c.strip().strip('`"') for c in m.group("cols").split(",")]
+        if len(cols) != len(_ROW_POLICIES[pol]["args"]):
+            raise ValueError(
+                f"sql task {task_id!r}: row access policy {pol!r} takes "
+                f"{len(_ROW_POLICIES[pol]['args'])} args, got {len(cols)}"
+            )
+        _ROW_BINDINGS[t] = (pol, cols)
+        return True
+    m = DETACH_ROW_POLICY.match(stmt)
+    if m:
+        t = _norm(m.group("table"))
+        if _ROW_BINDINGS.get(t, (None,))[0] == _norm(m.group("policy")):
+            _ROW_BINDINGS.pop(t)
+        return True
     m = USE_ROLE.match(stmt)
     if m:
         _ROLE = m.group("role").strip('`"').upper()
@@ -139,7 +215,8 @@ def handle_statement(spark: SparkSession, stmt: str, task_id: str) -> bool:
 
 
 def masked_tables() -> list[str]:
-    return list(_BINDINGS)
+    """Tables needing a read rewrite: column-masked OR row-filtered."""
+    return list({**_BINDINGS, **dict.fromkeys(_ROW_BINDINGS)})
 
 
 def current_role() -> str:
@@ -150,16 +227,21 @@ def clear_masking() -> None:
     global _ROLE
     _POLICIES.clear()
     _BINDINGS.clear()
+    _ROW_POLICIES.clear()
+    _ROW_BINDINGS.clear()
     _LIVE_VIEWS.clear()
     _ROLE = "PUBLIC"
 
 
 def resolve_masked_view(spark: SparkSession, table: str) -> str:
-    """Build (or rebuild) the masked temp view for ``table`` and return
-    its name. Rebuilt per read so a ``USE ROLE`` between statements is
-    always observed; the previous view is replaced, never leaked."""
+    """Build (or rebuild) the policy temp view for ``table`` and return
+    its name: column masks in the SELECT list, the row access policy (if
+    any) as a WHERE clause — the filter sits directly over the scan, so
+    Catalyst pushes it down like any user predicate. Rebuilt per read so
+    a ``USE ROLE`` between statements is always observed; the previous
+    view is replaced, never leaked."""
     cols = spark.table(table).columns
-    bindings = _BINDINGS[_norm(table)]
+    bindings = _BINDINGS.get(_norm(table), {})
     items = []
     for c in cols:
         pol = bindings.get(c.lower())
@@ -176,10 +258,19 @@ def resolve_masked_view(spark: SparkSession, table: str) -> str:
             rf"(?i)\b{re.escape(spec['arg'])}\b", f"`{c}`", body
         )
         items.append(f"({body}) AS `{c}`")
+    where = ""
+    row_bind = _ROW_BINDINGS.get(_norm(table))
+    if row_bind is not None:
+        pol, bound_cols = row_bind
+        spec = _ROW_POLICIES[pol]
+        body = _CURRENT_ROLE.sub(f"'{_ROLE}'", spec["body"])
+        for arg, c in zip(spec["args"], bound_cols):
+            body = re.sub(rf"(?i)\b{re.escape(arg)}\b", f"`{c}`", body)
+        where = f" WHERE ({body})"
     view = f"__masked_{_norm(table).replace('.', '_')}_v"
     spark.sql(
         f"CREATE OR REPLACE TEMPORARY VIEW {view} AS "
-        f"SELECT {', '.join(items)} FROM {table}"
+        f"SELECT {', '.join(items)} FROM {table}{where}"
     )
     _LIVE_VIEWS[_norm(table)] = view
     return view

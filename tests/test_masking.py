@@ -143,3 +143,55 @@ def test_drop_bound_policy_refuses_and_aliases_untouched(spark, users):
     assert [e for _, e, _ in _emails(spark, users)] == [
         "*" * len("a@x.com"), "*" * len("b@y.org"),
     ]
+
+
+def test_row_access_policy_filters_and_composes_with_masking(spark, users):
+    _run_sql(
+        spark,
+        [
+            "CREATE ROW ACCESS POLICY pro_only AS (p STRING) "
+            "RETURNS BOOLEAN -> "
+            "CURRENT_ROLE() = 'ADMIN' OR p = 'pro'",
+            f"ALTER TABLE {users} ADD ROW ACCESS POLICY pro_only ON (plan)",
+        ],
+    )
+    # default role: only 'pro' rows visible
+    assert _emails(spark, users) == [(2, "b@y.org", "pro")]
+    # composes with a column mask on the SAME table (filter on RAW rows,
+    # mask on the projected columns)
+    _run_sql(
+        spark,
+        [
+            POLICY,
+            f"ALTER TABLE {users} MODIFY COLUMN email "
+            "SET MASKING POLICY email_mask",
+        ],
+    )
+    assert _emails(spark, users) == [(2, "***MASKED***", "pro")]
+    # the privileged role sees every row and raw values again
+    _run_sql(spark, "USE ROLE admin")
+    rows = _emails(spark, users)
+    assert [r[0] for r in rows] == [1, 2]
+    _run_sql(spark, "USE ROLE analyst")  # analyst: unmasked but filtered
+    assert _emails(spark, users) == [(2, "b@y.org", "pro")]
+    # one row policy per table (Snowflake rule), detach restores
+    with pytest.raises(Exception, match="already has"):
+        _run_sql(
+            spark,
+            [
+                "CREATE ROW ACCESS POLICY other AS (p STRING) "
+                "RETURNS BOOLEAN -> TRUE",
+                f"ALTER TABLE {users} ADD ROW ACCESS POLICY other ON (plan)",
+            ],
+        )
+    with pytest.raises(Exception, match="still bound"):
+        _run_sql(spark, "DROP ROW ACCESS POLICY pro_only")
+    _run_sql(
+        spark,
+        [
+            f"ALTER TABLE {users} DROP ROW ACCESS POLICY pro_only",
+            "DROP ROW ACCESS POLICY pro_only",
+            f"ALTER TABLE {users} MODIFY COLUMN email UNSET MASKING POLICY",
+        ],
+    )
+    assert [r[0] for r in _emails(spark, users)] == [1, 2]
