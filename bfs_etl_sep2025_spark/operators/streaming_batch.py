@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from bfs_etl_sep2025_spark.functions.portable import exact_sum, sql_exact_sum
+from bfs_etl_sep2025_spark.operators.dedup import SQL_SHINGLES, SQL_SIG
 from bfs_etl_sep2025_spark.registry import query
 from bfs_etl_sep2025_spark.tables import load
 
@@ -339,4 +340,90 @@ def stream_typed_state_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("user_id", "n_events", "n_types", "top_type")
         .orderBy("user_id")
+    )
+
+
+@query(
+    "stream_lsh_dedup_gate",
+    family="streaming",
+    oracle=f"""
+        WITH sh AS (
+          SELECT doc_id, {SQL_SHINGLES} AS shingles FROM documents
+        ),
+        mh AS (SELECT doc_id, {SQL_SIG} AS sig FROM sh),
+        bands AS (
+          SELECT doc_id, b.b,
+                 md5(sig[4*b.b+1]::VARCHAR || sig[4*b.b+2]::VARCHAR ||
+                     sig[4*b.b+3]::VARCHAR || sig[4*b.b+4]::VARCHAR) AS bh
+          FROM mh, (SELECT unnest([0,1,2,3]) AS b) b
+        ),
+        hits AS (
+          SELECT DISTINCT l.doc_id
+          FROM bands l JOIN bands r ON l.b = r.b AND l.bh = r.bh
+                                   AND r.doc_id < l.doc_id
+        )
+        SELECT d.doc_id, (h.doc_id IS NOT NULL) AS near_dup
+        FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
+        ORDER BY d.doc_id
+    """,
+)
+def stream_lsh_dedup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING near-dup candidate gate, REAL typed-state run (r10 —
+    the streaming/LLM-ops crossover): per-document LSH band rows stream
+    through ``transformWithStateInPandas`` keyed by band bucket, whose
+    state is ONE BIGINT (smallest doc_id seen); a doc is flagged iff any
+    bucket already holds a smaller id. The job's retroactive-flip
+    emission makes ``bool_or(dup)`` per doc invariant to arrival order
+    and batching, so the drained stream must converge to the batch rule
+    "exists a smaller doc_id sharing a band" — the recall-first gate in
+    front of exact reranking (``dedup_minhash_lsh_pairs`` scores the
+    survivors' pairs; this gate never computes a value, so LSH recall is
+    the only thing at stake and the oracle checks it exactly.)
+
+    Scale notes: band rows are computed batch-side (the same shingle
+    pipeline the batch queries use) and staged as the landing files a
+    crawler would drop; streaming state is 8 bytes/bucket, shuffled once
+    by bucket; the final verdict aggregate runs batch-side on the
+    drained updates."""
+    from bfs_etl_sep2025_spark.operators.incremental import (
+        fingerprint_batch,
+    )
+    from bfs_etl_sep2025_spark.streaming.jobs import stream_lsh_band_dedup
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    bands = fingerprint_batch(d).select(
+        "doc_id", F.posexplode("bands").alias("b", "bh")
+    ).select(
+        F.concat(F.col("b").cast("string"), F.lit(":"), "bh").alias(
+            "bucket"
+        ),
+        "doc_id",
+    )
+    staged = tempfile.mkdtemp(prefix="bfs_stream_bands_")
+    bands.coalesce(2).write.mode("overwrite").parquet(staged)
+    stream = spark.readStream.schema("bucket string, doc_id bigint").parquet(
+        staged
+    )
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    old = spark.conf.get(provider_key, None)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        out = _drain(spark, stream_lsh_band_dedup(stream), "update")
+    finally:
+        if old is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, old)
+    verdicts = out.groupBy("doc_id").agg(F.max("dup").alias("near_dup"))
+    return (
+        d.select("doc_id")
+        .join(verdicts, "doc_id", "left")
+        .select(
+            "doc_id", F.coalesce("near_dup", F.lit(False)).alias("near_dup")
+        )
+        .orderBy("doc_id")
     )

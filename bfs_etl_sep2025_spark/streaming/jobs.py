@@ -436,3 +436,66 @@ def stream_user_profile_tws(events: DataFrame) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+def stream_lsh_band_dedup(band_rows: DataFrame) -> DataFrame:
+    """Streaming NEAR-dup gate over LSH band buckets — typed state via
+    ``transformWithStateInPandas`` (r10): the input stream carries one
+    ``(bucket, doc_id)`` row per (document, minhash band); state per
+    bucket is ONE BIGINT — the smallest doc_id ever seen there — and a
+    document is flagged the moment any of its buckets already holds a
+    smaller id. Emissions are ORDER- AND BATCHING-INVARIANT: if a smaller
+    id arrives later, the previous minimum (the only stored doc that was
+    not already flagged) is retroactively re-emitted as a duplicate, so
+    ``bool_or(dup)`` per doc over the update stream converges to exactly
+    "exists a smaller doc_id sharing a band" under ANY arrival order —
+    which is what lets a relational oracle pin a streaming operator.
+
+    Scale notes: this is the recall-first candidate gate of a streaming
+    ingest (exact rerank happens offline over flagged pairs —
+    ``dedup_minhash_lsh_pairs`` semantics); state is 8 bytes per distinct
+    band bucket regardless of corpus size, shuffled once by bucket; each
+    flip emission is bounded by the number of strict min decreases, so
+    output rows <= input rows x 2. RocksDB provider required (typed
+    state = column families)."""
+    from bfs_etl_sep2025_spark.vendor import ensure_protobuf_on_workers
+
+    ensure_protobuf_on_workers(band_rows.sparkSession)
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class BandMin(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._min = handle.getValueState("min_doc", "min_doc BIGINT")
+
+        def handleInputRows(self, key, rows, timerValues):
+            ids: list[int] = []
+            for pdf in rows:
+                ids.extend(int(x) for x in pdf["doc_id"])
+            old = self._min.get()[0] if self._min.exists() else None
+            new_min = min(ids) if old is None else min(old, min(ids))
+            out = [(d, d > new_min) for d in ids]
+            if old is not None and old > new_min:
+                # the previous minimum was the bucket's only unflagged
+                # doc — retroactively flip it (order invariance)
+                out.append((old, True))
+            self._min.update((new_min,))
+            yield pd.DataFrame(
+                {
+                    "doc_id": [d for d, _ in out],
+                    "dup": [f for _, f in out],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return band_rows.groupBy("bucket").transformWithStateInPandas(
+        statefulProcessor=BandMin(),
+        outputStructType="doc_id bigint, dup boolean",
+        outputMode="Update",
+        timeMode="None",
+    )

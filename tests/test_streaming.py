@@ -521,3 +521,59 @@ def test_protobuf_fallback_activates_and_speaks_the_wire_format():
     assert resp.value == [b"\x01\x02", b"\x03"]
     assert resp.requireNextFetch is True
     assert resp.statusCode == 0 and resp.errorMessage == ""
+
+
+def test_lsh_dedup_gate_retroactive_flip_out_of_order(stream_env):
+    """The streaming LSH gate's order-invariance contract (r10): when a
+    SMALLER doc_id reaches a band bucket in a LATER micro-batch, the
+    previous bucket minimum — the only stored doc that was not already
+    flagged — must be retroactively re-emitted as a duplicate, so
+    bool_or(dup) per doc equals the batch rule under any arrival order."""
+    from bfs_etl_sep2025_spark.streaming.jobs import stream_lsh_band_dedup
+
+    spark, src, ckpt = stream_env
+    schema = "bucket string, doc_id bigint"
+
+    def write(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    # batch 1: docs 5 and 9 share bucket A (9 flagged, 5 kept); doc 7 alone
+    write([("A", 5), ("A", 9), ("B", 7)])
+    # batch 2: doc 3 arrives LATE into bucket A -> 5 must flip to dup
+    write([("A", 3), ("B", 8)])
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    old = spark.conf.get(provider_key, None)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        batches = run_stream_collect(
+            stream_lsh_band_dedup(stream), ckpt, output_mode="update"
+        )
+    finally:
+        if old is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, old)
+    per_batch = [
+        sorted((r.doc_id, r.dup) for r in rows) for _, rows in batches if rows
+    ]
+    assert len(per_batch) == 2
+    assert per_batch[0] == [(5, False), (7, False), (9, True)]
+    # the flip: 3 arrives (kept), 5 re-emitted as dup; 8 flagged behind 7
+    assert per_batch[1] == [(3, False), (5, True), (8, True)]
+    final = {}
+    for b in per_batch:
+        for d, f in b:
+            final[d] = final.get(d, False) or f
+    # batch rule on the union: smaller-id-in-bucket exists
+    assert final == {3: False, 5: True, 7: False, 8: True, 9: True}
