@@ -378,3 +378,76 @@ def agg_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+@query(
+    "agg_weighted_median",
+    family="aggregates",
+    oracle="""
+        WITH w AS (
+          SELECT l_returnflag, l_extendedprice,
+                 CAST(l_quantity AS BIGINT) AS wt
+          FROM lineitem
+        ),
+        c AS (
+          SELECT l_returnflag, l_extendedprice,
+                 sum(wt) OVER (
+                   PARTITION BY l_returnflag
+                   ORDER BY l_extendedprice
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                 ) AS cum_wt,
+                 sum(wt) OVER (PARTITION BY l_returnflag) AS tot_wt
+          FROM w
+        )
+        SELECT l_returnflag,
+               min(l_extendedprice) AS weighted_median,
+               CAST(min(tot_wt) AS BIGINT) AS total_weight
+        FROM c
+        WHERE 2 * cum_wt >= tot_wt
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+    """,
+)
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHTED median per group by order statistics: the smallest value
+    whose cumulative weight (quantity) reaches half the group's total —
+    the lower-weighted-median definition, which never interpolates (the
+    portable-float rule: an order statistic is a STORED value, so both
+    engines return the identical double; ``agg_percentiles`` covers the
+    interpolating kind on identical-arithmetic ground). Weights are the
+    integral TPC-H quantities cast to BIGINT, so the cumulative and
+    total weights are exact integer sums. Result is value-level
+    deterministic under ties: whether the half-total crossing happens at
+    any row of a tied value group, the selected VALUE is the same, and
+    no smaller value can cross first — row order among ties cannot leak
+    into the answer.
+
+    Scale: ONE exchange on the group key serves both windows (cumulative
+    and total), then a tiny min-aggregate — the same window-over-key
+    idiom as the r9 span rewrites; no join, no second shuffle."""
+    from pyspark.sql import Window as W
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        "l_extendedprice",
+        F.col("l_quantity").cast("bigint").alias("wt"),
+    )
+    wc = W.partitionBy("l_returnflag").orderBy("l_extendedprice").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    wt = W.partitionBy("l_returnflag")
+    c = li.select(
+        "l_returnflag",
+        "l_extendedprice",
+        F.sum("wt").over(wc).alias("cum_wt"),
+        F.sum("wt").over(wt).alias("tot_wt"),
+    )
+    return (
+        c.filter(2 * F.col("cum_wt") >= F.col("tot_wt"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.min("l_extendedprice").alias("weighted_median"),
+            F.min("tot_wt").cast("bigint").alias("total_weight"),
+        )
+        .orderBy("l_returnflag")
+    )
