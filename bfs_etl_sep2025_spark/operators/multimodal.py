@@ -46,7 +46,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from bfs_etl_sep2025_spark.registry import query
-from bfs_etl_sep2025_spark.tables import load
+from bfs_etl_sep2025_spark.tables import load, widen
 
 if TYPE_CHECKING:
     import pandas as pd
@@ -1771,9 +1771,16 @@ def image_stats(a: DataFrame, encoder=encode_ppm) -> DataFrame:
                          "max_px", "min_px"],
             )
 
-    encoded = a.select(
-        "asset_id",
-        F.coalesce(F.md5("payload"), F.lit("0" * 32)).alias("digest"),
+    # widen the NARROW digest projection (payload already dropped) before
+    # the codec: a small fixture scans as 1-2 tasks, which ran the whole
+    # pure-Python encode/decode pipeline 1-of-32 cores (409 s at sf1 for
+    # the progressive codec, r10 bench) — the r8 cdc_chunk_dedup lesson;
+    # the guard makes this a no-op on many-split cluster scans
+    encoded = widen(
+        a.select(
+            "asset_id",
+            F.coalesce(F.md5("payload"), F.lit("0" * 32)).alias("digest"),
+        )
     ).mapInPandas(encode, "asset_id long, media binary")
     return encoded.mapInPandas(
         decode,
@@ -1894,9 +1901,16 @@ def audio_stats(a: DataFrame) -> DataFrame:
                          "n_samples", "mean_sample", "peak"],
             )
 
-    encoded = a.select(
-        "asset_id",
-        F.coalesce(F.md5("payload"), F.lit("0" * 32)).alias("digest"),
+    # widen the NARROW digest projection (payload already dropped) before
+    # the codec: a small fixture scans as 1-2 tasks, which ran the whole
+    # pure-Python encode/decode pipeline 1-of-32 cores (409 s at sf1 for
+    # the progressive codec, r10 bench) — the r8 cdc_chunk_dedup lesson;
+    # the guard makes this a no-op on many-split cluster scans
+    encoded = widen(
+        a.select(
+            "asset_id",
+            F.coalesce(F.md5("payload"), F.lit("0" * 32)).alias("digest"),
+        )
     ).mapInPandas(encode, "asset_id long, media binary")
     return encoded.mapInPandas(
         decode,
@@ -2017,9 +2031,11 @@ def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield _pd.DataFrame(rows, columns=["asset_id", "dh"])
 
     sig = (
-        a.select(
-            "asset_id",
-            F.coalesce(F.md5("payload"), F.lit("0" * 32)).alias("digest"),
+        widen(
+            a.select(
+                "asset_id",
+                F.coalesce(F.md5("payload"), F.lit("0" * 32)).alias("digest"),
+            )
         )
         .mapInPandas(encode, "asset_id long, media binary")
         .mapInPandas(hash_img, "asset_id long, dh long")
@@ -2213,9 +2229,16 @@ def multimodal_decode_jpeg_baseline(
                          "mean_px", "max_px", "min_px"],
             )
 
-    encoded = a.select(
-        "asset_id",
-        F.coalesce(F.md5("payload"), F.lit("0" * 32)).alias("digest"),
+    # widen the NARROW digest projection (payload already dropped) before
+    # the codec: a small fixture scans as 1-2 tasks, which ran the whole
+    # pure-Python encode/decode pipeline 1-of-32 cores (409 s at sf1 for
+    # the progressive codec, r10 bench) — the r8 cdc_chunk_dedup lesson;
+    # the guard makes this a no-op on many-split cluster scans
+    encoded = widen(
+        a.select(
+            "asset_id",
+            F.coalesce(F.md5("payload"), F.lit("0" * 32)).alias("digest"),
+        )
     ).mapInPandas(encode, "asset_id long, media binary")
     return encoded.mapInPandas(
         decode,
@@ -2308,9 +2331,16 @@ def multimodal_decode_jpeg_progressive(
                          "mean_px", "max_px", "min_px"],
             )
 
-    encoded = a.select(
-        "asset_id",
-        F.coalesce(F.md5("payload"), F.lit("0" * 32)).alias("digest"),
+    # widen the NARROW digest projection (payload already dropped) before
+    # the codec: a small fixture scans as 1-2 tasks, which ran the whole
+    # pure-Python encode/decode pipeline 1-of-32 cores (409 s at sf1 for
+    # the progressive codec, r10 bench) — the r8 cdc_chunk_dedup lesson;
+    # the guard makes this a no-op on many-split cluster scans
+    encoded = widen(
+        a.select(
+            "asset_id",
+            F.coalesce(F.md5("payload"), F.lit("0" * 32)).alias("digest"),
+        )
     ).mapInPandas(encode, "asset_id long, media binary")
     return encoded.mapInPandas(
         decode,
@@ -2435,9 +2465,11 @@ def multimodal_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ],
             )
 
-    encoded = a.select(
-        "asset_id",
-        F.coalesce(F.md5("payload"), F.lit("0" * 32)).alias("digest"),
+    encoded = widen(
+        a.select(
+            "asset_id",
+            F.coalesce(F.md5("payload"), F.lit("0" * 32)).alias("digest"),
+        )
     ).mapInPandas(encode, "asset_id long, video binary")
     return encoded.mapInPandas(
         detect,

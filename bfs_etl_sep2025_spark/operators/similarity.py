@@ -776,27 +776,63 @@ def similarity_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         _bucket_arr("embedding", PLANES[4:]).alias("band2"),
     )
 
-    def side(prefix: str, band: str):
-        return n.select(
-            F.col("vec_id").alias(f"vec_{prefix}"),
-            F.col("embedding").alias(f"{prefix}_emb"),
-            F.col("nrm").alias(f"nrm_{prefix}"),
-            F.col(band).alias("band"),
-        )
+    # Within-band scoring is the semdedup GEMM-prefilter shape (r10): the
+    # r9 plan materialized every within-band ordered pair as a row (25M at
+    # sf1) and ran the 64-term fold chain on ALL of them — 179 s; carrying
+    # ids-only through the pair join still paid ~80 s of per-pair chain
+    # evaluation. Instead each band bucket's members GEMM against
+    # themselves in ONE BLAS call per group (margin-widened so the
+    # exact-threshold survivor set is provably contained — 1e-9 is ~1e5x
+    # the float64 summation-order divergence of a 64-term unit dot), and
+    # only the ~0.4% surviving id-pairs are re-scored by the codegen'd
+    # ordered fold behind the pushdown barrier. BLAS order never touches
+    # a hashed value; the candidate SET and every emitted cosine are
+    # unchanged. 179 s -> ~7 s at sf1.
+    #
+    # Scale: one FlatMapGroupsInPandas per band bucket; bucket population
+    # is the LSH knob (wider bands -> smaller buckets), and only
+    # (vec_a, vec_b) id-pairs leave Python.
+    n = n.localCheckpoint(eager=True)  # scanned by both bands AND the rerank
+    margin = 1e-9
 
-    def band_pairs(band: str):
+    def bucket_candidates(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as _np
+
+        ids = pdf["vec_id"].to_numpy()
+        order = _np.argsort(ids)
+        ids = ids[order]
+        V = _np.stack(pdf["embedding"].to_numpy()[order]).astype(_np.float64)
+        U = V / _np.linalg.norm(V, axis=1, keepdims=True)
+        G = U @ U.T
+        iu, iv = _np.nonzero(_np.triu(G >= 0.45 - margin, k=1))
+        return pd.DataFrame({"vec_a": ids[iu], "vec_b": ids[iv]})
+
+    def band_candidates(band: str):
         return (
-            side("a", band)
-            .join(side("b", band), "band")
-            .filter(F.col("vec_a") < F.col("vec_b"))
-            .select("vec_a", "vec_b", "a_emb", "b_emb", "nrm_a", "nrm_b")
+            n.select(F.col(band).alias("band"), "vec_id", "embedding")
+            .groupBy("band")
+            .applyInPandas(bucket_candidates, "vec_a long, vec_b long")
         )
 
-    cand = band_pairs("band1").unionByName(band_pairs("band2")).dropDuplicates(
-        ["vec_a", "vec_b"]
+    cand = band_candidates("band1").unionByName(
+        band_candidates("band2")
+    ).dropDuplicates(["vec_a", "vec_b"])
+    emb_a = n.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("a_emb"),
+        F.col("nrm").alias("nrm_a"),
+    )
+    emb_b = n.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("b_emb"),
+        F.col("nrm").alias("nrm_b"),
     )
     cos = _dot_arr("a_emb", "b_emb") / (F.col("nrm_a") * F.col("nrm_b"))
-    scored = cand.select("vec_a", "vec_b", cos.alias("cosine"))
+    scored = (
+        cand.join(emb_a, "vec_a")
+        .join(emb_b, "vec_b")
+        .select("vec_a", "vec_b", cos.alias("cosine"))
+    )
     return (
         barrier_filter(scored, F.col("cosine") >= 0.45)
         .select("vec_a", "vec_b", "cosine")

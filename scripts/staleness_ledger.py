@@ -40,6 +40,21 @@ PLAN_CHANGED: tuple[str, ...] = (
     # its r8 green (decode logic change inside the mapInPandas codec — same
     # plan shape, but the value path changed, so re-verify externally).
     "multimodal_decode_jpeg_baseline",
+    # r10: every codec query's narrow digest projection is now widen()ed
+    # before the mapInPandas boundary (the 1-2-task small-fixture scan ran
+    # the pure-Python codecs 1-of-32 cores: progressive JPEG 409 s -> 38 s
+    # at sf1) — guarded no-op on cluster scans, values unchanged.
+    "multimodal_decode_image",
+    "multimodal_decode_png",
+    "multimodal_decode_jpeg_lossless",
+    "multimodal_decode_audio",
+    "multimodal_decode_jpeg_progressive",
+    "multimodal_scene_cuts",
+    "multimodal_phash_neardup",
+    # r10: within-band scoring rebuilt as the semdedup per-group GEMM
+    # prefilter + exact ordered-fold rerank (179 s -> 7 s at sf1; candidate
+    # set and every emitted cosine unchanged).
+    "similarity_lsh_neardup",
 )
 
 

@@ -616,6 +616,9 @@ _SANCTIONED_PYTHON = {
     "similarity_cosine_neardup": {"FlatMapGroupsInPandas"},
     # same engine at tau_min, histogram on the exact reranked cosines
     "similarity_threshold_sweep": {"FlatMapGroupsInPandas"},
+    # r10: per-band-bucket GEMM prefilter (exact rerank after) — the
+    # semdedup shape applied to the LSH candidate scoring
+    "similarity_lsh_neardup": {"FlatMapGroupsInPandas"},
     "multimodal_decode_image": {"MapInPandas"},  # real codec boundary
     "multimodal_decode_png": {"MapInPandas"},
     "multimodal_decode_jpeg_lossless": {"MapInPandas"},
