@@ -42,7 +42,7 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
-import tempfile
+from bfs_etl_sep2025_spark.session import scratch_dir
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -243,7 +243,7 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("percentile(doc_id, array(0.3333333333, 0.6666666666))")
     ).first()[0]
     store = VersionedTable(
-        spark, tempfile.mkdtemp(prefix="sig_store_")
+        spark, scratch_dir("sig_store_")
     )
     parts = (
         d.filter(F.col("doc_id") <= t1),

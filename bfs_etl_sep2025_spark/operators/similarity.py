@@ -802,7 +802,19 @@ def similarity_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         order = _np.argsort(ids)
         ids = ids[order]
         V = _np.stack(pdf["embedding"].to_numpy()[order]).astype(_np.float64)
-        U = V / _np.linalg.norm(V, axis=1, keepdims=True)
+        nrm = _np.linalg.norm(V, axis=1, keepdims=True)
+        # ADVICE r10: a zero-norm vector makes the cosine NaN, and numpy's
+        # `G >= tau` is False for NaN while Spark/DuckDB order NaN ABOVE
+        # every number in `>=` — the prefilter would silently drop a pair
+        # the oracle (and the exact rerank) emits. No such vector exists in
+        # any fixture; fail loudly if one ever appears rather than diverge.
+        if not (nrm > 0.0).all():
+            raise ValueError(
+                "zero-norm embedding reached a GEMM prefilter bucket: "
+                "cosine undefined; filter degenerate vectors upstream "
+                "(symmetrically in the oracle) first"
+            )
+        U = V / nrm
         G = U @ U.T
         iu, iv = _np.nonzero(_np.triu(G >= 0.45 - margin, k=1))
         return pd.DataFrame({"vec_a": ids[iu], "vec_b": ids[iv]})
@@ -1764,7 +1776,19 @@ def dedup_semantic_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         order = _np.argsort(ids)
         ids = ids[order]
         V = _np.stack(pdf["embedding"].to_numpy()[order]).astype(_np.float64)
-        U = V / _np.linalg.norm(V, axis=1, keepdims=True)
+        nrm = _np.linalg.norm(V, axis=1, keepdims=True)
+        # ADVICE r10: a zero-norm vector makes the cosine NaN, and numpy's
+        # `G >= tau` is False for NaN while Spark/DuckDB order NaN ABOVE
+        # every number in `>=` — the prefilter would silently drop a pair
+        # the oracle (and the exact rerank) emits. No such vector exists in
+        # any fixture; fail loudly if one ever appears rather than diverge.
+        if not (nrm > 0.0).all():
+            raise ValueError(
+                "zero-norm embedding reached a GEMM prefilter bucket: "
+                "cosine undefined; filter degenerate vectors upstream "
+                "(symmetrically in the oracle) first"
+            )
+        U = V / nrm
         G = U @ U.T
         iu, iv = _np.nonzero(_np.triu(G >= SEMDEDUP_TAU - margin, k=1))
         return pd.DataFrame(
@@ -1870,9 +1894,8 @@ def similarity_incremental_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     keyed on ``vec_id`` (file-pruned by the store's footer ranges); the
     search joins probes to members on the cell id — per-query scan cost
     is |probed cells|, independent of corpus size OR sync count."""
-    import tempfile
-
     from bfs_etl_sep2025_spark.plans.versioned import VersionedTable
+    from bfs_etl_sep2025_spark.session import scratch_dir
 
     e = widen(load(spark, sf_dir, "embeddings"))
     n = e.select("vec_id", "embedding", _norm_arr("embedding").alias("nrm"))
@@ -1884,7 +1907,7 @@ def similarity_incremental_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     t1, t2 = n.agg(
         F.expr("percentile(vec_id, array(0.3333333333, 0.6666666666))")
     ).first()[0]
-    store = VersionedTable(spark, tempfile.mkdtemp(prefix="ivf_store_"))
+    store = VersionedTable(spark, scratch_dir("ivf_store_"))
     for batch in (
         n.filter(F.col("vec_id") <= t1),
         n.filter((F.col("vec_id") > t1) & (F.col("vec_id") <= t2)),

@@ -169,7 +169,8 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 import itertools  # noqa: E402
 import os  # noqa: E402
-import tempfile  # noqa: E402
+
+from bfs_etl_sep2025_spark.session import scratch_dir  # noqa: E402
 
 _run_ids = itertools.count()
 
@@ -178,7 +179,7 @@ def _drain(spark: SparkSession, df: DataFrame, mode: str) -> DataFrame:
     from bfs_etl_sep2025_spark.streaming.jobs import run_stream_to_memory
 
     name = f"stream_result_{next(_run_ids)}"
-    ckpt = tempfile.mkdtemp(prefix="bfs_stream_ckpt_")
+    ckpt = scratch_dir("bfs_stream_ckpt_")
     run_stream_to_memory(df, name, ckpt, output_mode=mode)
     return spark.table(name)
 
@@ -189,7 +190,7 @@ def _stage_events(spark: SparkSession, sf_dir: str) -> str:
     the batch loader (which normalizes to microsecond NTZ) rewrites it into
     a temp landing directory — incidentally also giving the file source a
     real directory to monitor."""
-    staged = tempfile.mkdtemp(prefix="bfs_stream_events_")
+    staged = scratch_dir("bfs_stream_events_")
     load(spark, sf_dir, "events").coalesce(2).write.mode("overwrite").parquet(staged)
     return staged
 
@@ -399,7 +400,7 @@ def stream_lsh_dedup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "doc_id",
     )
-    staged = tempfile.mkdtemp(prefix="bfs_stream_bands_")
+    staged = scratch_dir("bfs_stream_bands_")
     bands.coalesce(2).write.mode("overwrite").parquet(staged)
     stream = spark.readStream.schema("bucket string, doc_id bigint").parquet(
         staged

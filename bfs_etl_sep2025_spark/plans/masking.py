@@ -57,6 +57,8 @@ import re
 
 from pyspark.sql import SparkSession
 
+from bfs_etl_sep2025_spark.plans.qualify import sub_unquoted
+
 #: policy name (lowercased) -> {"arg": str, "body": str}
 _POLICIES: dict[str, dict] = {}
 #: table name (lowercased) -> {column (lowercased): policy name}
@@ -249,13 +251,12 @@ def resolve_masked_view(spark: SparkSession, table: str) -> str:
             items.append(f"`{c}`")
             continue
         spec = _POLICIES[pol]
-        body = _CURRENT_ROLE.sub(f"'{_ROLE}'", spec["body"])
-        # the policy argument is an identifier token; swap it for the
-        # bound column (word-boundary — arg names inside string literals
-        # are data, but policy bodies are short trusted expressions and
-        # Snowflake forbids quotes around the arg anyway)
-        body = re.sub(
-            rf"(?i)\b{re.escape(spec['arg'])}\b", f"`{c}`", body
+        # both substitutions are restricted to UNQUOTED positions (ADVICE
+        # r10): a body like IFF(role(), v, 'masked v value') or a literal
+        # containing the text current_role() must keep its literals intact
+        body = sub_unquoted(_CURRENT_ROLE, f"'{_ROLE}'", spec["body"])
+        body = sub_unquoted(
+            re.compile(rf"(?i)\b{re.escape(spec['arg'])}\b"), f"`{c}`", body
         )
         items.append(f"({body}) AS `{c}`")
     where = ""
@@ -263,9 +264,11 @@ def resolve_masked_view(spark: SparkSession, table: str) -> str:
     if row_bind is not None:
         pol, bound_cols = row_bind
         spec = _ROW_POLICIES[pol]
-        body = _CURRENT_ROLE.sub(f"'{_ROLE}'", spec["body"])
+        body = sub_unquoted(_CURRENT_ROLE, f"'{_ROLE}'", spec["body"])
         for arg, c in zip(spec["args"], bound_cols):
-            body = re.sub(rf"(?i)\b{re.escape(arg)}\b", f"`{c}`", body)
+            body = sub_unquoted(
+                re.compile(rf"(?i)\b{re.escape(arg)}\b"), f"`{c}`", body
+            )
         where = f" WHERE ({body})"
     view = f"__masked_{_norm(table).replace('.', '_')}_v"
     spark.sql(

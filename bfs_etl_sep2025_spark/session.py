@@ -25,6 +25,27 @@ import os
 
 from pyspark.sql import SparkSession
 
+#: Per-process scratch root for operator-local stores (incremental-dedup
+#: signature stores, IVF postings, stream staging). ADVICE r10: bare
+#: ``tempfile.mkdtemp`` dirs holding multi-version VersionedTable copies were
+#: never cleaned, so repeated driver/bench runs accumulated unbounded disk —
+#: everything now nests under ONE root removed at interpreter exit.
+_SCRATCH_ROOT: str | None = None
+
+
+def scratch_dir(prefix: str) -> str:
+    """A fresh temp dir under the session's scratch root (cleaned at exit)."""
+    global _SCRATCH_ROOT
+    import atexit
+    import shutil
+    import tempfile
+
+    if _SCRATCH_ROOT is None:
+        _SCRATCH_ROOT = tempfile.mkdtemp(prefix="bfs_scratch_")
+        atexit.register(shutil.rmtree, _SCRATCH_ROOT, ignore_errors=True)
+    return tempfile.mkdtemp(prefix=prefix, dir=_SCRATCH_ROOT)
+
+
 #: Shuffle parallelism. Local tests run tiny data where 200 (the Spark default)
 #: would create mostly-empty tasks; on a real cluster the AQE advisory target
 #: (64 MiB post-shuffle partitions) re-coalesces whatever initial number we

@@ -195,3 +195,29 @@ def test_row_access_policy_filters_and_composes_with_masking(spark, users):
         ],
     )
     assert [r[0] for r in _emails(spark, users)] == [1, 2]
+
+
+def test_policy_body_literals_survive_substitution(spark, users):
+    """ADVICE r10: arg-name and CURRENT_ROLE() substitution must skip string
+    literals — a body whose masked replacement TEXT contains the arg name
+    (or the text current_role()) must emit that literal verbatim."""
+    _run_sql(
+        spark,
+        [
+            # literal contains both the arg name ('val') and 'current_role()'
+            "CREATE MASKING POLICY lit_mask AS (val STRING) RETURNS STRING "
+            "-> CASE WHEN CURRENT_ROLE() IN ('ANALYST') THEN val "
+            "ELSE 'masked val by current_role()' END",
+            f"ALTER TABLE {users} MODIFY COLUMN email "
+            "SET MASKING POLICY lit_mask",
+        ],
+    )
+    assert _emails(spark, users) == [
+        (1, "masked val by current_role()", "free"),
+        (2, "masked val by current_role()", "pro"),
+    ]
+    _run_sql(spark, "USE ROLE analyst")
+    assert _emails(spark, users) == [
+        (1, "a@x.com", "free"),
+        (2, "b@y.org", "pro"),
+    ]
