@@ -578,3 +578,25 @@ def test_lsh_neardup_contained_in_exact_with_equal_cosines(spark):
     for r in lsh.itertuples():
         assert (r.vec_a, r.vec_b) in exact_map
         assert exact_map[(r.vec_a, r.vec_b)] == r.cosine
+
+
+def test_threshold_sweep_lsh_contained_in_exact(spark):
+    """The LSH sweep's histogram is the LSH-visible portion of the exact
+    curve: per-bucket counts never exceed the exact sweep's, and recall
+    concentrates where dedup thresholds actually live (the >=0.45 region
+    — banding probability rises with cosine)."""
+    lsh = {
+        r.bucket: r.n_pairs
+        for r in _q("similarity_threshold_sweep_lsh")(spark, SF).collect()
+    }
+    exact = {
+        r.bucket: r.n_pairs
+        for r in _q("similarity_threshold_sweep")(spark, SF).collect()
+    }
+    assert lsh and exact
+    for b, n in lsh.items():
+        assert n <= exact[b], (b, n, exact[b])
+    hi_lsh = sum(n for b, n in lsh.items() if b in ("0.45-0.50", "0.50+"))
+    hi_exact = sum(n for b, n in exact.items() if b in ("0.45-0.50", "0.50+"))
+    assert hi_exact > 0 and hi_lsh / hi_exact >= 0.5
+    assert sum(lsh.values()) / sum(exact.values()) >= 0.2

@@ -619,6 +619,8 @@ _SANCTIONED_PYTHON = {
     # r10: per-band-bucket GEMM prefilter (exact rerank after) — the
     # semdedup shape applied to the LSH candidate scoring
     "similarity_lsh_neardup": {"FlatMapGroupsInPandas"},
+    # r11: same banded engine at the sweep's floor threshold
+    "similarity_threshold_sweep_lsh": {"FlatMapGroupsInPandas"},
     "multimodal_decode_image": {"MapInPandas"},  # real codec boundary
     "multimodal_decode_png": {"MapInPandas"},
     "multimodal_decode_jpeg_lossless": {"MapInPandas"},
