@@ -276,20 +276,11 @@ def _bpe_ref_merge(sym, l, r):
     return tuple(out)
 
 
-def test_bpe_train_matches_python_reference(spark):
-    """Exact-sequence parity of the distributed BPE trainer with a pure
-    in-memory reference (Sennrich 2016 algorithm, same deterministic
-    tie-break: max count, then lexicographically smallest pair)."""
+def _bpe_load_vocab(sf):
     from collections import Counter
 
     import pyarrow.parquet as pq
 
-    from bfs_etl_sep2025_spark.operators.text import (
-        BPE_N_MERGES,
-        bpe_train_merges,
-    )
-
-    sf = "/root/testdata/sf0.001"
     texts = (
         pq.read_table(sf + "/documents.parquet", columns=["text"])
         .column("text")
@@ -300,8 +291,16 @@ def test_bpe_train_matches_python_reference(spark):
         for w in (t or "").split(" "):
             if w:
                 vocab[tuple(w)] += 1
+    return vocab
+
+
+def _bpe_sequential_reference(vocab, n_merges):
+    """Sennrich 2016 sequential greedy: one merge per pair-stats pass,
+    tie-break (count DESC, lexicographically smallest pair)."""
+    from collections import Counter
+
     expected = []
-    for rank in range(1, BPE_N_MERGES + 1):
+    for rank in range(1, n_merges + 1):
         pairs: Counter = Counter()
         for sym, c in vocab.items():
             for a, b in zip(sym, sym[1:]):
@@ -314,7 +313,68 @@ def test_bpe_train_matches_python_reference(spark):
         for sym, c in vocab.items():
             nv[_bpe_ref_merge(sym, l, r)] += c
         vocab = nv
-    assert bpe_train_merges(spark, sf) == expected
+    return expected
+
+
+def _bpe_batched_reference(vocab, n_merges, batch):
+    """Pure-Python mirror of the r11 batched trainer: per round, rank the
+    pair stats once, accept up to ``batch`` non-conflicting pairs (skip any
+    sharing a symbol with an accepted one), apply them in acceptance order,
+    report round-start counts."""
+    from collections import Counter
+
+    merges = []
+    while len(merges) < n_merges:
+        pairs: Counter = Counter()
+        for sym, c in vocab.items():
+            for a, b in zip(sym, sym[1:]):
+                pairs[(a, b)] += c
+        if not pairs:
+            break
+        ranked = sorted(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        ranked = ranked[: max(64, 8 * batch)]
+        cap = min(batch, n_merges - len(merges))
+        chosen, used = [], set()
+        for (l, r), n in ranked:
+            if len(chosen) >= cap:
+                break
+            if l in used or r in used:
+                continue
+            chosen.append((l, r, n))
+            used.update((l, r))
+        for l, r, n in chosen:
+            merges.append((len(merges) + 1, l, r, l + r, n))
+            nv: Counter = Counter()
+            for sym, c in vocab.items():
+                nv[_bpe_ref_merge(sym, l, r)] += c
+            vocab = nv
+    return merges
+
+
+def test_bpe_train_matches_python_reference(spark):
+    """Exact-sequence parity of the distributed batched BPE trainer with a
+    pure in-memory reference of the SAME locally-greedy batched algorithm
+    (r11), plus the sequential-greedy invariants the batching preserves:
+    the first merge of the run is sequential-greedy's first merge (the
+    text_bpe_first_merge oracle), and batch=1 degenerates to the exact
+    Sennrich sequential sequence."""
+    from bfs_etl_sep2025_spark.operators.text import (
+        BPE_BATCH,
+        BPE_N_MERGES,
+        bpe_train_merges,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    seq = _bpe_sequential_reference(_bpe_load_vocab(sf), BPE_N_MERGES)
+    batched = _bpe_batched_reference(
+        _bpe_load_vocab(sf), BPE_N_MERGES, BPE_BATCH
+    )
+    got = bpe_train_merges(spark, sf)
+    assert got == batched
+    # merge 1 is the global argmax in both regimes
+    assert got[0] == seq[0]
+    # the degenerate batch reproduces sequential greedy exactly
+    assert bpe_train_merges(spark, sf, n_merges=6, batch=1) == seq[:6]
 
 
 def test_pq_codes_structure_and_shortlist_recall(spark):
