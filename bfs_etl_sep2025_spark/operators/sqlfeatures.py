@@ -33,6 +33,7 @@ Scale notes (100 TB):
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from bfs_etl_sep2025_spark.operators.graph import _EDGES_CTE, _edges
 from bfs_etl_sep2025_spark.registry import query
@@ -288,3 +289,142 @@ def sql_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY o_orderstatus, o_orderpriority
         """
     )
+
+
+def _masking_stmts(spark: SparkSession, stmts: list[str]) -> None:
+    from bfs_etl_sep2025_spark.plans import masking as M
+
+    for s in stmts:
+        M.handle_statement(spark, s, "sql_masking_query")
+
+
+@query(
+    "sql_masking_column_policy",
+    family="sql",
+    oracle="""
+        SELECT c_custkey,
+               CASE WHEN 'PUBLIC' IN ('ANALYST', 'ADMIN') THEN c_name
+                    ELSE '***MASKED***' END AS name_out,
+               c_mktsegment
+        FROM customer
+        WHERE c_custkey <= 200
+        ORDER BY c_custkey
+    """,
+)
+def sql_masking_column_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic data masking under the external gate (VERDICT r10 item 8):
+    a CURRENT_ROLE()-gated masking policy bound to ``c_name``, read as
+    role PUBLIC through the shim's masked view. The oracle recomputes the
+    policy CASE relationally with the role folded to the same literal the
+    shim folds at read time — hash parity proves the masked projection,
+    the pass-through columns, and the row count are all unchanged by the
+    governance layer. The masked view is a plain projection over the
+    scan, so Catalyst still pushes ``c_custkey <= 200`` down to parquet
+    (pinned by tests/test_plans.py::test_masked_read_pushes_filters_down);
+    at 100 TB masking costs one codegen'd CASE per row, zero shuffles."""
+    from bfs_etl_sep2025_spark.plans import masking as M
+
+    base = "mask_customer_src"
+    load(spark, sf_dir, "customer").createOrReplaceTempView(base)
+    _masking_stmts(
+        spark,
+        [
+            f"ALTER TABLE {base} MODIFY COLUMN c_name UNSET MASKING POLICY",
+            "CREATE OR REPLACE MASKING POLICY name_mask AS (val STRING) "
+            "RETURNS STRING -> CASE WHEN CURRENT_ROLE() IN "
+            "('ANALYST', 'ADMIN') THEN val ELSE '***MASKED***' END",
+            f"ALTER TABLE {base} MODIFY COLUMN c_name "
+            "SET MASKING POLICY name_mask",
+            "USE ROLE PUBLIC",
+        ],
+    )
+    view = M.resolve_masked_view(spark, base)
+    out = (
+        spark.table(view)
+        .filter(F.col("c_custkey") <= 200)
+        .select(
+            "c_custkey",
+            F.col("c_name").alias("name_out"),
+            "c_mktsegment",
+        )
+        .orderBy("c_custkey")
+    )
+    # teardown so repeated invocations (and the golden masking tests in the
+    # same session) start clean; the resolved view's SQL text is already
+    # baked, so the lazy `out` plan is unaffected
+    _masking_stmts(
+        spark,
+        [
+            f"ALTER TABLE {base} MODIFY COLUMN c_name UNSET MASKING POLICY",
+            "DROP MASKING POLICY name_mask",
+        ],
+    )
+    return out
+
+
+@query(
+    "sql_masking_row_policy",
+    family="sql",
+    oracle="""
+        SELECT c_mktsegment,
+               CAST(count(*) AS BIGINT) AS n_visible,
+               CASE WHEN 'PUBLIC' IN ('ADMIN') THEN min(c_name)
+                    ELSE '***MASKED***' END AS sample_name
+        FROM customer
+        WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+        GROUP BY c_mktsegment
+        ORDER BY c_mktsegment
+    """,
+)
+def sql_masking_row_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-access policy + column mask COMPOSED (the Snowflake governance
+    stack): as role PUBLIC only the policy's allowed segments survive the
+    row filter, and the name column masks — the oracle recomputes both
+    relationally with the role folded. The row predicate sits in the
+    masked view's WHERE over the RAW columns (evaluated before masks, as
+    in Snowflake), so it pushes down to the scan as an ordinary
+    predicate. min(string) runs only on the ADMIN branch, which this
+    query never takes — the masked aggregate stays a literal both sides."""
+    from bfs_etl_sep2025_spark.plans import masking as M
+
+    base = "mask_customer_rows_src"
+    load(spark, sf_dir, "customer").createOrReplaceTempView(base)
+    _masking_stmts(
+        spark,
+        [
+            f"ALTER TABLE {base} DROP ROW ACCESS POLICY seg_policy",
+            f"ALTER TABLE {base} MODIFY COLUMN c_name UNSET MASKING POLICY",
+            "CREATE OR REPLACE ROW ACCESS POLICY seg_policy AS "
+            "(seg STRING) RETURNS BOOLEAN -> CASE WHEN CURRENT_ROLE() "
+            "IN ('ADMIN') THEN TRUE ELSE seg IN ('BUILDING', 'MACHINERY') "
+            "END",
+            f"ALTER TABLE {base} ADD ROW ACCESS POLICY seg_policy "
+            "ON (c_mktsegment)",
+            "CREATE OR REPLACE MASKING POLICY name_mask_r AS (val STRING) "
+            "RETURNS STRING -> CASE WHEN CURRENT_ROLE() IN ('ADMIN') "
+            "THEN val ELSE '***MASKED***' END",
+            f"ALTER TABLE {base} MODIFY COLUMN c_name "
+            "SET MASKING POLICY name_mask_r",
+            "USE ROLE PUBLIC",
+        ],
+    )
+    view = M.resolve_masked_view(spark, base)
+    out = (
+        spark.table(view)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_visible"),
+            F.min("c_name").alias("sample_name"),
+        )
+        .orderBy("c_mktsegment")
+    )
+    _masking_stmts(
+        spark,
+        [
+            f"ALTER TABLE {base} MODIFY COLUMN c_name UNSET MASKING POLICY",
+            "DROP MASKING POLICY name_mask_r",
+            f"ALTER TABLE {base} DROP ROW ACCESS POLICY seg_policy",
+            "DROP ROW ACCESS POLICY seg_policy",
+        ],
+    )
+    return out

@@ -735,3 +735,14 @@ def test_asof_tolerance_single_shuffle_no_python(spark):
     assert "EvalPython" not in plan
     assert "Join" not in plan  # the whole point: as-of WITHOUT a join
     assert plan.count("Window") >= 1
+
+
+def test_masked_read_pushes_filters_down(spark):
+    """Governance must not cost scan efficiency: the masked view is a plain
+    projection, so a user predicate over it still reaches the parquet scan
+    (column-policy query), and the ROW ACCESS policy's own predicate —
+    folded for the session role — pushes down too (row-policy query)."""
+    plan = _plan(spark, "sql_masking_column_policy")
+    assert "LessThanOrEqual(c_custkey,200)" in plan
+    plan = _plan(spark, "sql_masking_row_policy")
+    assert "In(c_mktsegment, [BUILDING,MACHINERY])" in plan
