@@ -678,6 +678,114 @@ def _idct8x8(coef: list[float]) -> list[float]:
     return out
 
 
+# -- batched DCT twins (r11) -------------------------------------------------
+#
+# The scalar DCTs above are the REFERENCE semantics; profiling showed they
+# were ~80% of every codec query's wall time (the entropy coders are cheap
+# on these rasters). The numpy twins below vectorize over the BLOCK axis
+# while replaying the scalar versions' exact IEEE-754 operation order per
+# element — every inner 8-term sum is an explicit left-to-right fold, every
+# product keeps the scalar parenthesization ((C/2)*coef)*cos — so the
+# outputs are BIT-IDENTICAL to the scalar functions (pinned by
+# tests/test_codecs.py::test_batched_dct_bit_identical), and the oracles'
+# pixel digests are untouched. numpy's own dot/einsum reductions are NOT
+# usable here: their pairwise/SIMD summation reorders the adds, which can
+# flip a _round_half_away at an exact .5 boundary.
+
+
+def _fdct_blocks(blocks):
+    """Batched bit-exact twin of :func:`_fdct8x8`: (N, 8, 8) float64
+    spatial blocks -> (N, 8, 8) coefficients indexed [n, v, u]."""
+    import numpy as np
+
+    n = blocks.shape[0]
+    tmp = np.empty((n, 8, 8))  # [n, r, u]
+    for u in range(8):
+        acc = np.zeros((n, 8))
+        for x in range(8):
+            acc = acc + blocks[:, :, x] * _DCT_COS[u][x]
+        tmp[:, :, u] = (_DCT_C[u] / 2) * acc
+    out = np.empty((n, 8, 8))  # [n, v, u]
+    for v in range(8):
+        acc = np.zeros((n, 8))
+        for y in range(8):
+            acc = acc + tmp[:, y, :] * _DCT_COS[v][y]
+        out[:, v, :] = (_DCT_C[v] / 2) * acc
+    return out
+
+
+def _idct_blocks(coefs):
+    """Batched bit-exact twin of :func:`_idct8x8`: (N, 8, 8) float64
+    coefficients indexed [n, v, u] -> (N, 8, 8) spatial [n, y, x]."""
+    import numpy as np
+
+    n = coefs.shape[0]
+    halfv = [(_DCT_C[v] / 2) * coefs[:, v, :] for v in range(8)]  # [n, u]
+    tmp = np.empty((n, 8, 8))  # [n, y, u]
+    for y in range(8):
+        acc = np.zeros((n, 8))
+        for v in range(8):
+            acc = acc + halfv[v] * _DCT_COS[v][y]
+        tmp[:, y, :] = acc
+    halfu = [(_DCT_C[u] / 2) * tmp[:, :, u] for u in range(8)]  # [n, y]
+    out = np.empty((n, 8, 8))  # [n, y, x]
+    for x in range(8):
+        acc = np.zeros((n, 8))
+        for u in range(8):
+            acc = acc + halfu[u] * _DCT_COS[u][x]
+        out[:, :, x] = acc
+    return out
+
+
+def _round_half_away_arr(x):
+    """Vectorized :func:`_round_half_away` (same floor arithmetic)."""
+    import numpy as np
+
+    return np.where(
+        x >= 0, np.floor(x + 0.5), -np.floor(-x + 0.5)
+    ).astype(np.int64)
+
+
+def _pixels_to_quantized_zz(pixels: bytes, width: int, height: int, quant):
+    """Shared encoder front half: raster bytes -> per-block zigzag-ordered
+    quantized coefficient lists (ints), blocks in raster (by, bx) order.
+    Bit-identical to the scalar extract -> _fdct8x8 -> _round_half_away ->
+    zigzag pipeline it replaces."""
+    import numpy as np
+
+    arr = np.frombuffer(pixels, dtype=np.uint8).astype(np.float64)
+    blocks = (
+        arr.reshape(height // 8, 8, width // 8, 8)
+        .transpose(0, 2, 1, 3)
+        .reshape(-1, 8, 8)
+        - 128.0
+    )
+    coefs = _fdct_blocks(blocks).reshape(-1, 64)
+    q = _round_half_away_arr(coefs / quant)
+    return q[:, np.array(_JPEG_ZZ)].tolist()
+
+
+def _zz_to_raster(coefs, quant, w: int, h: int) -> bytes:
+    """Shared decoder back half: per-block zigzag coefficient lists (raster
+    block order) -> reconstructed raster bytes. Bit-identical to the scalar
+    dequantize -> _idct8x8 -> _round_half_away -> clamp pipeline."""
+    import numpy as np
+
+    zz = np.asarray(coefs, dtype=np.int64)  # (N, 64), zigzag order
+    qv = zz * np.asarray(quant, dtype=np.int64)[None, :]
+    natural = np.zeros((zz.shape[0], 64))
+    natural[:, np.array(_JPEG_ZZ)] = qv
+    spatial = _idct_blocks(natural.reshape(-1, 8, 8)).reshape(-1, 64)
+    px = _round_half_away_arr(spatial) + 128
+    px = np.clip(px, 0, 255).astype(np.uint8)
+    return (
+        px.reshape(h // 8, w // 8, 8, 8)
+        .transpose(0, 2, 1, 3)
+        .reshape(h, w)
+        .tobytes()
+    )
+
+
 def encode_jpeg_baseline(
     pixels: bytes,
     width: int,
@@ -740,16 +848,12 @@ def encode_jpeg_baseline(
     pred = 0
     n_blocks = (height // 8) * (width // 8)
     mcu = 0
+    # batched front half (bit-identical to per-block _fdct8x8 — see the
+    # batched-DCT twins); only entropy coding remains per-block Python
+    zz_blocks = _pixels_to_quantized_zz(pixels, width, height, quant)
     for by in range(height // 8):
         for bx in range(width // 8):
-            block = [
-                pixels[(by * 8 + y) * width + bx * 8 + x] - 128
-                for y in range(8)
-                for x in range(8)
-            ]
-            coef = _fdct8x8(block)
-            q = [_round_half_away(coef[i] / quant) for i in range(64)]
-            zz = [q[_JPEG_ZZ[k]] for k in range(64)]
+            zz = zz_blocks[by * (width // 8) + bx]
             diff = zz[0] - pred
             pred = zz[0]
             put_coef(dc_huff, abs(diff).bit_length(), diff,
@@ -972,9 +1076,9 @@ def decode_jpeg_baseline(payload: bytes) -> tuple[int, int, bytes]:
         bytepos += 2
         pred = 0
 
-    out = bytearray(w * h)
     pred = 0
     mcu = 0
+    zz_blocks: list[list[int]] = []  # raster block order
     for by in range(h // 8):
         for bx in range(w // 8):
             if restart_interval and mcu and mcu % restart_interval == 0:
@@ -997,16 +1101,10 @@ def decode_jpeg_baseline(payload: bytes) -> tuple[int, int, bytes]:
                     raise ValueError("AC run past block end")
                 zz[k] = receive_extend(rs & 0x0F)
                 k += 1
-            coef = [0.0] * 64
-            for k in range(64):
-                coef[_JPEG_ZZ[k]] = zz[k] * quant[k]
-            spatial = _idct8x8(coef)
-            for y in range(8):
-                row = (by * 8 + y) * w + bx * 8
-                for x in range(8):
-                    v = _round_half_away(spatial[y * 8 + x]) + 128
-                    out[row + x] = 0 if v < 0 else 255 if v > 255 else v
-    return w, h, bytes(out)
+            zz_blocks.append(zz)
+    # batched back half (bit-identical to per-block _idct8x8 — see the
+    # batched-DCT twins)
+    return w, h, _zz_to_raster(zz_blocks, quant, w, h)
 
 
 
@@ -1049,17 +1147,11 @@ def encode_jpeg_progressive(
     dc_huff = _jpeg_canonical(_JPEG_DC_BITS, _JPEG_DC_VALS)
     ac_huff = _jpeg_canonical(_JPEG_AC_PROG_BITS, _JPEG_AC_PROG_VALS)
 
-    blocks: list[list[int]] = []
-    for by in range(height // 8):
-        for bx in range(width // 8):
-            block = [
-                pixels[(by * 8 + y) * width + bx * 8 + x] - 128
-                for y in range(8)
-                for x in range(8)
-            ]
-            coef = _fdct8x8(block)
-            q = [_round_half_away(coef[i] / quant) for i in range(64)]
-            blocks.append([q[_JPEG_ZZ[k]] for k in range(64)])
+    # batched front half (bit-identical to per-block _fdct8x8 — see the
+    # batched-DCT twins)
+    blocks: list[list[int]] = _pixels_to_quantized_zz(
+        pixels, width, height, quant
+    )
 
     class _BitSink:
         def __init__(self) -> None:
@@ -1493,20 +1585,9 @@ def decode_jpeg_progressive(payload: bytes) -> tuple[int, int, bytes]:
     except KeyError as exc:
         raise ValueError("frame references an undeclared table") from exc
 
-    out = bytearray(w * h)
-    bw = w // 8
-    for bi, zz in enumerate(coefs):
-        coef = [0.0] * 64
-        for k in range(64):
-            coef[_JPEG_ZZ[k]] = zz[k] * quant[k]
-        spatial = _idct8x8(coef)
-        by, bx = divmod(bi, bw)
-        for y in range(8):
-            row = (by * 8 + y) * w + bx * 8
-            for x in range(8):
-                v = _round_half_away(spatial[y * 8 + x]) + 128
-                out[row + x] = 0 if v < 0 else 255 if v > 255 else v
-    return w, h, bytes(out)
+    # batched back half (bit-identical to per-block _idct8x8 — see the
+    # batched-DCT twins); `coefs` is already in raster block order
+    return w, h, _zz_to_raster(coefs, quant, w, h)
 
 
 def encode_wav_pcm16(samples: list[int], rate: int = WAV_RATE) -> bytes:

@@ -638,3 +638,36 @@ def test_jpeg_progressive_rejects_malformed():
     cut = buf[: buf.index(b"\xff\xda") + 10]
     with pytest.raises(ValueError, match="truncated"):
         decode_jpeg_progressive(cut)
+
+
+def test_batched_dct_bit_identical():
+    """The r11 numpy-batched DCT twins must be BIT-identical to the scalar
+    reference implementations on arbitrary block content — they replay the
+    same IEEE-754 operation order per element, so equality is ==, not
+    allclose. Non-constant random-ish blocks exercise every basis term."""
+    import hashlib
+
+    import numpy as np
+
+    from bfs_etl_sep2025_spark.operators.multimodal import (
+        _fdct8x8,
+        _fdct_blocks,
+        _idct8x8,
+        _idct_blocks,
+    )
+
+    raw = b"".join(
+        hashlib.sha256(i.to_bytes(4, "big")).digest() for i in range(32)
+    )  # 1024 deterministic bytes = 16 blocks
+    blocks = [
+        [raw[b * 64 + i] - 128 for i in range(64)] for b in range(16)
+    ]
+    arr = np.asarray(blocks, dtype=np.float64).reshape(-1, 8, 8)
+    fb = _fdct_blocks(arr).reshape(-1, 64)
+    for b, block in enumerate(blocks):
+        scalar = _fdct8x8(block)
+        assert fb[b].tolist() == scalar, f"fdct block {b} diverged"
+    ib = _idct_blocks(fb.reshape(-1, 8, 8)).reshape(-1, 64)
+    for b in range(16):
+        scalar = _idct8x8(fb[b].tolist())
+        assert ib[b].tolist() == scalar, f"idct block {b} diverged"
