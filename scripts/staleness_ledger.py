@@ -50,6 +50,14 @@ PLAN_CHANGED: tuple[str, ...] = (
     # r11: merge loop batched (top-B non-conflicting merges per round);
     # rows-only by nature but the value path changed.
     "text_bpe_train",
+    # r11: JPEG DCTs batched over the block axis (numpy twins proven
+    # bit-identical to the scalar reference by test + scoped oracle
+    # parity, but the codec value path was restructured — re-verify
+    # externally per the r10 precedent). Only the DCT-bearing queries:
+    # PPM/PNG/lossless/audio paths are untouched.
+    "multimodal_decode_jpeg_baseline",
+    "multimodal_decode_jpeg_progressive",
+    "multimodal_decode_image",
 )
 
 
