@@ -1815,6 +1815,24 @@ def multimodal_decode_image(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_stats(media_assets(spark, sf_dir))
 
 
+def _block_constant_raster(h: str) -> bytes:
+    """The synthetic block-constant raster the JPEG queries encode: block
+    (by, bx) is filled with ascii(h[(by*bw + bx) % 32]). numpy repeat
+    replaces the r9 per-pixel Python loop (identical bytes; the loop was
+    ~1/3 of the encode stage once the DCT went batched)."""
+    import numpy as np
+
+    vals = np.frombuffer(h.encode("ascii"), dtype=np.uint8)
+    bw, bh = _JB_W // 8, _JB_H // 8
+    grid = vals[np.arange(bh * bw) % 32].reshape(bh, bw)
+    return np.repeat(np.repeat(grid, 8, axis=0), 8, axis=1).tobytes()
+
+
+def _tiled_digest_bytes(h: str, n: int) -> bytes:
+    """bytes(ord(h[i % 32]) for i in range(n)), done C-side."""
+    return (h.encode("ascii") * ((n + 31) // 32))[:n]
+
+
 def image_stats(a: DataFrame, encoder=encode_ppm) -> DataFrame:
     """Encode->decode->pool pipeline over an assets frame (see
     :func:`multimodal_decode_image`), parameterized by the image encoder
@@ -1829,9 +1847,7 @@ def image_stats(a: DataFrame, encoder=encode_ppm) -> DataFrame:
         for pdf in batches:
             out = pdf[["asset_id"]].copy()
             out["media"] = pdf["digest"].map(
-                lambda h: encoder(
-                    bytes(ord(h[i % 32]) for i in range(n_px))
-                )
+                lambda h: encoder(_tiled_digest_bytes(h, n_px))
             )
             yield out
 
@@ -2095,9 +2111,7 @@ def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             out = pdf[["asset_id"]].copy()
             out["media"] = pdf["digest"].map(
-                lambda h: encode_ppm(
-                    bytes(ord(h[i % 32]) for i in range(n_px))
-                )
+                lambda h: encode_ppm(_tiled_digest_bytes(h, n_px))
             )
             yield out
 
@@ -2270,20 +2284,12 @@ def multimodal_decode_jpeg_baseline(
             out = pdf[["asset_id"]].copy()
 
             def build(asset_id: int, h: str) -> bytes:
-                px = bytearray(_JB_W * _JB_H)
-                for by in range(_JB_H // 8):
-                    for bx in range(_JB_W // 8):
-                        v = ord(h[((by * (_JB_W // 8)) + bx) % 32])
-                        for y in range(8):
-                            row = (by * 8 + y) * _JB_W + bx * 8
-                            for x in range(8):
-                                px[row + x] = v
                 # odd assets carry a DRI + RSTn stream (r10): restart
                 # markers are ubiquitous in real crawl JPEGs, so the
                 # external driver signal covers both container shapes —
                 # the decoded raster (and hence the oracle) is identical
                 return encode_jpeg_baseline(
-                    bytes(px), _JB_W, _JB_H,
+                    _block_constant_raster(h), _JB_W, _JB_H,
                     restart_interval=3 if asset_id % 2 else 0,
                 )
 
@@ -2381,15 +2387,9 @@ def multimodal_decode_jpeg_progressive(
             out = pdf[["asset_id"]].copy()
 
             def build(h: str) -> bytes:
-                px = bytearray(_JB_W * _JB_H)
-                for by in range(_JB_H // 8):
-                    for bx in range(_JB_W // 8):
-                        v = ord(h[((by * (_JB_W // 8)) + bx) % 32])
-                        for y in range(8):
-                            row = (by * 8 + y) * _JB_W + bx * 8
-                            for x in range(8):
-                                px[row + x] = v
-                return encode_jpeg_progressive(bytes(px), _JB_W, _JB_H)
+                return encode_jpeg_progressive(
+                    _block_constant_raster(h), _JB_W, _JB_H
+                )
 
             out["media"] = pdf["digest"].map(build)
             yield out
