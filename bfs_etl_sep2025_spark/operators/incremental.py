@@ -55,6 +55,12 @@ from bfs_etl_sep2025_spark.operators.dedup import (
     SQL_SIG,
     minhash_signatures,
 )
+from bfs_etl_sep2025_spark.operators.similarity import (
+    SEMDEDUP_STRIDE,
+    SEMDEDUP_TAU,
+    _sql_dot,
+    _sql_norm,
+)
 from bfs_etl_sep2025_spark.plans.versioned import VersionedTable
 from bfs_etl_sep2025_spark.registry import query
 from bfs_etl_sep2025_spark.tables import load
@@ -255,3 +261,216 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         v = sync_batch(spark, batch, store)
         verdicts = v if verdicts is None else verdicts.unionByName(v)
     return verdicts.orderBy("doc_id")
+
+
+# -- incremental SEMANTIC dedup (r11) ----------------------------------------
+#
+# The embedding twin of dedup_incremental_minhash: SemDeDup-style
+# within-cell cosine dedup of each NEW crawl batch against the corpus seen
+# so far, without ever re-pairing the existing corpus against itself. Same
+# batching-invariance argument as the minhash store (module docstring):
+# crawl ids are monotone and batches are contiguous id ranges, so by the
+# time doc u syncs, EVERY smaller-id doc is in the store or earlier in u's
+# own batch — the smaller-id-wins verdict over (store + batch) equals the
+# full-rescan verdict, which is exactly what the oracle recomputes.
+
+
+def _sem_sync_batch(spark, batch, cent, store):
+    """One semantic-dedup sync: BLAS-assign the delta to its fixed cell,
+    rectangular GEMM-prefilter (delta x pool — store-vs-store is never
+    re-scored) per cell, exact ordered-fold rerank behind the pushdown
+    barrier, MERGE-commit the delta, return (vec_id, exemplar) verdicts."""
+    import pandas as pd
+
+    from bfs_etl_sep2025_spark.operators.similarity import (
+        MAX_BROADCAST_CENTROIDS,
+        SEMDEDUP_TAU,
+        _dot_arr,
+        _ivf_assign,
+    )
+    from bfs_etl_sep2025_spark.operators._barrier import barrier_filter
+
+    assigned = (
+        _ivf_assign(batch, cent, MAX_BROADCAST_CENTROIDS)
+        .filter(F.col("cr") == 1)
+        .select("vec_id", "cell", "embedding", "nrm")
+        .localCheckpoint(eager=True)  # feeds the pool, the rerank, the MERGE
+    )
+    pool = (
+        store.read().unionByName(assigned) if store.exists() else assigned
+    )
+    tagged = (
+        (
+            store.read().withColumn("is_delta", F.lit(0))
+            if store.exists()
+            else spark.createDataFrame(
+                [], assigned.schema
+            ).withColumn("is_delta", F.lit(0))
+        )
+        .unionByName(assigned.withColumn("is_delta", F.lit(1)))
+    )
+    margin = 1e-9
+
+    def cell_rect_candidates(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as _np
+
+        d = pdf[pdf["is_delta"] == 1]
+        if len(d) == 0 or len(pdf) < 2:
+            return pd.DataFrame({"u": [], "v": []}, dtype="int64")
+        idu = d["vec_id"].to_numpy()
+        idv = pdf["vec_id"].to_numpy()
+        Vd = _np.stack(d["embedding"].to_numpy()).astype(_np.float64)
+        Vp = _np.stack(pdf["embedding"].to_numpy()).astype(_np.float64)
+        nd = _np.linalg.norm(Vd, axis=1, keepdims=True)
+        npl = _np.linalg.norm(Vp, axis=1, keepdims=True)
+        # same zero-norm contract as every GEMM prefilter (ADVICE r10)
+        if not (nd > 0.0).all() or not (npl > 0.0).all():
+            raise ValueError(
+                "zero-norm embedding reached a GEMM prefilter bucket: "
+                "cosine undefined; filter degenerate vectors upstream "
+                "(symmetrically in the oracle) first"
+            )
+        G = (Vd / nd) @ (Vp / npl).T
+        iu, iv = _np.nonzero(
+            (G >= SEMDEDUP_TAU - margin) & (idv[None, :] < idu[:, None])
+        )
+        return pd.DataFrame({"u": idu[iu], "v": idv[iv]})
+
+    cand = (
+        tagged.select("cell", "vec_id", "embedding", "is_delta")
+        .groupBy("cell")
+        .applyInPandas(cell_rect_candidates, "u long, v long")
+    )
+    emb_u = pool.select(
+        F.col("vec_id").alias("u"),
+        F.col("embedding").alias("u_emb"),
+        F.col("nrm").alias("u_nrm"),
+    )
+    emb_v = pool.select(
+        F.col("vec_id").alias("v"),
+        F.col("embedding").alias("v_emb"),
+        F.col("nrm").alias("v_nrm"),
+    )
+    cos = _dot_arr("u_emb", "v_emb") / (F.col("u_nrm") * F.col("v_nrm"))
+    scored = (
+        cand.join(emb_u, "u").join(emb_v, "v").select("u", "v", cos.alias("cosine"))
+    )
+    pairs = barrier_filter(scored, F.col("cosine") >= SEMDEDUP_TAU)
+    agg = pairs.groupBy("u").agg(
+        F.min("v").cast("bigint").alias("exemplar")
+    )
+    verdicts = (
+        assigned.select("vec_id")
+        .join(agg.withColumnRenamed("u", "vec_id"), "vec_id", "left")
+        .select("vec_id", "exemplar")
+    )
+    if store.exists():
+        store.upsert(assigned, keys=["vec_id"])
+    else:
+        store.create(assigned)
+    return verdicts
+
+
+@query(
+    "dedup_incremental_semantic",
+    family="dedup",
+    bench=True,  # sf1 standalone before wiring in: 9.7/8.1 s warm (r11)
+    oracle=f"""
+        WITH n AS (
+          SELECT vec_id, embedding, {_sql_norm('embedding')} AS nrm
+          FROM embeddings
+        ),
+        cent AS (
+          SELECT vec_id AS cell, embedding AS c_emb, nrm AS c_nrm
+          FROM n WHERE vec_id % {SEMDEDUP_STRIDE} = 0
+        ),
+        assign AS (
+          SELECT v.vec_id, v.embedding, v.nrm, c.cell,
+                 row_number() OVER (
+                   PARTITION BY v.vec_id
+                   ORDER BY {_sql_dot('v.embedding', 'c.c_emb')} / (v.nrm * c.c_nrm) DESC, c.cell
+                 ) AS cr
+          FROM n v CROSS JOIN cent c
+        ),
+        members AS (
+          SELECT vec_id, embedding, nrm, cell FROM assign WHERE cr = 1
+        ),
+        pairs AS (
+          SELECT b.vec_id AS u, a.vec_id AS v
+          FROM members a JOIN members b
+            ON b.cell = a.cell AND a.vec_id < b.vec_id
+          WHERE {_sql_dot('a.embedding', 'b.embedding')} / (a.nrm * b.nrm) >= {SEMDEDUP_TAU}
+        ),
+        agg AS (
+          SELECT u AS vec_id, CAST(min(v) AS BIGINT) AS exemplar
+          FROM pairs GROUP BY u
+        )
+        SELECT n.vec_id,
+               a.exemplar IS NOT NULL AS near_dup,
+               a.exemplar IS NULL AS keep,
+               a.exemplar
+        FROM n LEFT JOIN agg a ON a.vec_id = n.vec_id
+        ORDER BY n.vec_id
+    """,
+)
+def dedup_incremental_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL SemDeDup — the embedding twin of
+    :func:`dedup_incremental_minhash`, completing the incremental trio
+    (minhash store, IVF postings store, and now the semantic-dedup cell
+    store): a 100 TB pipeline semantic-dedups each new crawl batch
+    against the existing corpus WITHOUT re-pairing the corpus against
+    itself. The cell codebook is fixed offline (the deterministic
+    every-{SEMDEDUP_STRIDE}th-vector codebook shared with
+    ``dedup_semantic_embedding`` — real deployments train k-means on an
+    initial sample, same dataflow); three arrival batches (contiguous
+    ``vec_id`` ranges) are each BLAS-assigned to their cell
+    (:func:`similarity._ivf_assign`, delta-only), rectangular
+    GEMM-prefiltered against the cell's pool (delta rows x store+delta
+    rows — store-vs-store pairs are never re-scored, the property that
+    makes the sync cost O(delta x cell), not O(corpus x cell)), exact
+    ordered-fold reranked behind the pushdown barrier at
+    τ={SEMDEDUP_TAU}, and MERGE-upserted into a ``VersionedTable``
+    (vec_id, cell, embedding, nrm) store. Verdict: ``near_dup`` iff some
+    SMALLER-id doc in the same cell clears τ; ``exemplar`` is the
+    smallest such id. Ids are monotone and batches are id-ordered, so
+    every smaller-id doc is visible at sync time and the verdicts are
+    batching-invariant — oracle parity against the one-pass full-rescan
+    twin is therefore an incremental==rescan equivalence proof,
+    re-checked externally every round it's sampled.
+
+    Scale notes (100 TB): per-sync cost is O(delta x codebook) BLAS for
+    assignment + one rectangular GEMM per touched cell (cell population
+    is the knob, as in SemDeDup) + one narrow MERGE keyed on ``vec_id``
+    (file-pruned by footer ranges); only (u, v) id-pairs leave Python,
+    and the store is read via a cell equi-join, never re-paired."""
+    from bfs_etl_sep2025_spark.operators.similarity import (
+        SEMDEDUP_STRIDE,
+        _norm_arr,
+    )
+    from bfs_etl_sep2025_spark.tables import widen
+
+    e = widen(load(spark, sf_dir, "embeddings"))
+    n = e.select("vec_id", "embedding", _norm_arr("embedding").alias("nrm"))
+    cent = n.filter(F.col("vec_id") % SEMDEDUP_STRIDE == 0).select(
+        F.col("vec_id").alias("cell"),
+        F.col("embedding").alias("c_emb"),
+        F.col("nrm").alias("c_nrm"),
+    )
+    t1, t2 = n.agg(
+        F.expr("percentile(vec_id, array(0.3333333333, 0.6666666666))")
+    ).first()[0]
+    store = VersionedTable(spark, scratch_dir("sem_store_"))
+    verdicts = None
+    for batch in (
+        n.filter(F.col("vec_id") <= t1),
+        n.filter((F.col("vec_id") > t1) & (F.col("vec_id") <= t2)),
+        n.filter(F.col("vec_id") > t2),
+    ):
+        v = _sem_sync_batch(spark, batch, cent, store)
+        verdicts = v if verdicts is None else verdicts.unionByName(v)
+    return verdicts.select(
+        "vec_id",
+        F.col("exemplar").isNotNull().alias("near_dup"),
+        F.col("exemplar").isNull().alias("keep"),
+        "exemplar",
+    ).orderBy("vec_id")

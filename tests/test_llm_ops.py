@@ -660,3 +660,22 @@ def test_threshold_sweep_lsh_contained_in_exact(spark):
     hi_exact = sum(n for b, n in exact.items() if b in ("0.45-0.50", "0.50+"))
     assert hi_exact > 0 and hi_lsh / hi_exact >= 0.5
     assert sum(lsh.values()) / sum(exact.values()) >= 0.2
+
+
+def test_incremental_semantic_equals_full_rescan(spark):
+    """The incremental SemDeDup store (three id-ordered syncs) must reach
+    the exact verdicts of the one-pass full-rescan query: same removed
+    set, same smallest-id exemplar per removed doc — the incremental ==
+    rescan equivalence, checked engine-side (the DuckDB oracle re-proves
+    it externally)."""
+    inc = {
+        r.vec_id: r.exemplar
+        for r in _q("dedup_incremental_semantic")(spark, SF).collect()
+        if r.near_dup
+    }
+    full = {
+        r.vec_id_removed: r.kept_exemplar
+        for r in _q("dedup_semantic_embedding")(spark, SF).collect()
+    }
+    assert inc, "fixture is known to contain semantic near-duplicates"
+    assert inc == full

@@ -610,6 +610,9 @@ _SANCTIONED_PYTHON = {
     "similarity_ann_ivf": {"ArrowEvalPython"},  # BLAS matmul assignment
     # same BLAS assignment boundary, batched per delta sync (r10)
     "similarity_incremental_ivf": {"ArrowEvalPython"},
+    # r11: BLAS cell assignment + rectangular delta-x-pool GEMM prefilter
+    # per cell (exact rerank after) — the incremental SemDeDup sync
+    "dedup_incremental_semantic": {"ArrowEvalPython", "FlatMapGroupsInPandas"},
     # matmul assignment + per-cell GEMM pair prefilter (exact rerank after)
     "dedup_semantic_embedding": {"ArrowEvalPython", "FlatMapGroupsInPandas"},
     # blocked-GEMM all-pairs tiles (exact rerank after)
