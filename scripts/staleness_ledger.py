@@ -43,10 +43,11 @@ PLAN_CHANGED: tuple[str, ...] = (
     # r11: zero-norm embeddings excluded symmetrically on both sides of the
     # GEMM prefilter (ADVICE r10: NaN cosine ordering diverges cross-engine).
     "similarity_lsh_neardup",
-    # r11: VersionedTable stores moved to a per-session temp root cleaned at
-    # exit (ADVICE r10: unbounded disk across bench runs) — same values.
-    "dedup_incremental_minhash",
-    "similarity_incremental_ivf",
+    # (dedup_incremental_minhash / similarity_incremental_ivf: the r11
+    # scratch-dir cleanup moved their store PATHS only — plan and values
+    # untouched, oracle parity re-verified in-session, both r10-green —
+    # so they are NOT plan-changed; the freed window slots go to the
+    # r6-stale tail instead.)
     # r11: merge loop batched (top-B non-conflicting merges per round);
     # rows-only by nature but the value path changed.
     "text_bpe_train",
