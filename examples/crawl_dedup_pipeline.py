@@ -1,7 +1,7 @@
 """Incremental crawl-dedup pipeline — dedup each NEW crawl batch against
 the EXISTING corpus's persisted fingerprints, never rescanning it:
 
-    ingest_batch_0 >> ingest_batch_1 >> ingest_batch_2 >> publish
+    ingest_batch_0 >> semantic_gate_0 >> ingest_batch_1 >> ... >> publish
 
 Each ingest task takes one crawl batch (here: a contiguous ``doc_id``
 range of the ``documents`` fixture — production batches are "today's
@@ -11,6 +11,15 @@ fingerprints in), and appends the KEPT documents to the corpus table.
 The signature store and the corpus are both ``VersionedTable``s, so
 every sync is a time-travelable commit and a re-run of a failed batch
 is idempotent (MERGE on ``doc_id`` replaces instead of double-inserts).
+
+Each semantic_gate task (r11) then passes the batch's surviving docs
+through the SECOND dedup tier: their embeddings sync against a persisted
+semantic cell store (``operators/incremental.py::_sem_sync_batch`` — the
+machinery behind ``dedup_incremental_semantic``), and SemDeDup-flagged
+docs are DELETEd from the corpus (``VersionedTable.delete_where`` — a
+manifest-pruned MERGE-shaped delete, itself a time-travelable commit).
+The full production shape: text near-dup gate, then embedding-level
+near-dup gate, both incremental, both against persisted state.
 
 publish records the audit trail: per-batch verdict counts plus the store
 and corpus version histories — the load metadata a warehouse exposes.
@@ -84,18 +93,64 @@ def ingest_fn(spark, batch_no=0, sf_dir=SF_DIR, store_root=None,
     return {k: int(row[k]) for k in ("total", "kept", "exact_dup", "near_dup")}
 
 
-def publish_fn(spark, store_root=None, corpus_root=None, **_):
+def semantic_fn(spark, batch_no=0, sf_dir=SF_DIR, sem_store_root=None,
+                corpus_root=None, **_):
+    """Semantic-dedup gate for one batch: sync the batch's text-kept docs'
+    embeddings against the persisted cell store, then delete SemDeDup-
+    flagged docs from the corpus. Offline codebook = the fixed
+    every-SEMDEDUP_STRIDEth-vector cells, identical across syncs (the
+    batching-invariance precondition)."""
+    from bfs_etl_sep2025_spark.operators.incremental import _sem_sync_batch
+    from bfs_etl_sep2025_spark.operators.similarity import (
+        SEMDEDUP_STRIDE,
+        _norm_arr,
+    )
+    from bfs_etl_sep2025_spark.tables import load
+
+    bounds = _batch_bounds(spark, sf_dir, N_BATCHES)
+    lo, hi = bounds[batch_no], bounds[batch_no + 1]
+    corpus = VersionedTable(spark, corpus_root)
+    kept_ids = (
+        corpus.read()
+        .filter((F.col("doc_id") > lo) & (F.col("doc_id") <= hi))
+        .select(F.col("doc_id").alias("vec_id"))
+    )
+    n = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", _norm_arr("embedding").alias("nrm")
+    )
+    cent = n.filter(F.col("vec_id") % SEMDEDUP_STRIDE == 0).select(
+        F.col("vec_id").alias("cell"),
+        F.col("embedding").alias("c_emb"),
+        F.col("nrm").alias("c_nrm"),
+    )
+    sem_store = VersionedTable(spark, sem_store_root)
+    verdicts = _sem_sync_batch(spark, n.join(kept_ids, "vec_id"), cent, sem_store)
+    dup_ids = sorted(
+        r["vec_id"] for r in verdicts.filter("exemplar IS NOT NULL").collect()
+    )  # answer-sized (the flagged docs), like the verdict counts
+    if dup_ids:
+        corpus.delete_where(
+            f"doc_id IN ({', '.join(map(str, dup_ids))})"
+        )
+    return {"checked": verdicts.count(), "semantic_dups": len(dup_ids)}
+
+
+def publish_fn(spark, store_root=None, sem_store_root=None,
+               corpus_root=None, **_):
     store = VersionedTable(spark, store_root)
+    sem_store = VersionedTable(spark, sem_store_root)
     corpus = VersionedTable(spark, corpus_root)
     return {
         "store_versions": [h["version"] for h in store.history()],
+        "sem_store_versions": [h["version"] for h in sem_store.history()],
         "corpus_versions": [h["version"] for h in corpus.history()],
         "fingerprints": store.read().count(),
+        "sem_vectors": sem_store.read().count(),
         "corpus_docs": corpus.read().count(),
     }
 
 
-def build(store_root: str, corpus_root: str):
+def build(store_root: str, corpus_root: str, sem_store_root: str):
     with Pipeline(
         pipeline_id=PIPELINE_ID,
         schedule="0 4 * * *",  # nightly crawl ingest
@@ -103,27 +158,40 @@ def build(store_root: str, corpus_root: str):
         catchup=False,
         tags=["llm", "dedup", "incremental"],
     ) as dag:
-        ingests = [
-            PythonTask(
-                f"ingest_batch_{i}",
-                ingest_fn,
-                batch_no=i,
-                store_root=store_root,
-                corpus_root=corpus_root,
+        stages = []
+        for i in range(N_BATCHES):
+            stages.append(
+                PythonTask(
+                    f"ingest_batch_{i}",
+                    ingest_fn,
+                    batch_no=i,
+                    store_root=store_root,
+                    corpus_root=corpus_root,
+                )
             )
-            for i in range(N_BATCHES)
-        ]
+            stages.append(
+                PythonTask(
+                    f"semantic_gate_{i}",
+                    semantic_fn,
+                    batch_no=i,
+                    sem_store_root=sem_store_root,
+                    corpus_root=corpus_root,
+                )
+            )
         publish = PythonTask(
             "publish", publish_fn,
-            store_root=store_root, corpus_root=corpus_root,
+            store_root=store_root, sem_store_root=sem_store_root,
+            corpus_root=corpus_root,
         )
-        chain(*ingests, publish)
-    return dag, (*ingests, publish)
+        chain(*stages, publish)
+    return dag, (*stages, publish)
 
 
 _tmp = pathlib.Path(tempfile.gettempdir())
 dag, tasks = build(
-    str(_tmp / "crawl_dedup_store"), str(_tmp / "crawl_dedup_corpus")
+    str(_tmp / "crawl_dedup_store"),
+    str(_tmp / "crawl_dedup_corpus"),
+    str(_tmp / "crawl_dedup_sem_store"),
 )
 
 

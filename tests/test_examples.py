@@ -261,14 +261,19 @@ def test_crawl_dedup_pipeline_incremental_equals_full_rescan(spark, tmp_path):
     from bfs_etl_sep2025_spark.tables import load
 
     dag, tasks = cd.build(
-        str(tmp_path / "sig_store"), str(tmp_path / "corpus")
+        str(tmp_path / "sig_store"), str(tmp_path / "corpus"),
+        str(tmp_path / "sem_store")
     )
     dag.run(spark)
     publish = tasks[-1].last_result
-    ingested = sum(t.last_result["total"] for t in tasks[:-1])
-    kept = sum(t.last_result["kept"] for t in tasks[:-1])
+    ingests = [t for t in tasks[:-1] if t.task_id.startswith("ingest_")]
+    gates = [t for t in tasks[:-1] if t.task_id.startswith("semantic_")]
+    ingested = sum(t.last_result["total"] for t in ingests)
+    kept = sum(t.last_result["kept"] for t in ingests)
+    sem_dups = sum(t.last_result["semantic_dups"] for t in gates)
     assert publish["fingerprints"] == ingested  # every doc fingerprinted
-    assert publish["corpus_docs"] == kept
+    assert publish["sem_vectors"] == kept  # every text-kept doc embedded
+    assert publish["corpus_docs"] == kept - sem_dups
     assert len(publish["store_versions"]) == cd.N_BATCHES
 
     # full rescan: ONE sync of everything against an empty store
@@ -278,9 +283,34 @@ def test_crawl_dedup_pipeline_incremental_equals_full_rescan(spark, tmp_path):
     rescan_kept = sorted(
         r["doc_id"] for r in rescan.filter("keep").collect()
     )
+    # two-tier rescan twin: semantic dedup of the text-kept set in ONE
+    # sync against an empty store, via the same machinery
+    from bfs_etl_sep2025_spark.operators.incremental import _sem_sync_batch
+    from bfs_etl_sep2025_spark.operators.similarity import (
+        SEMDEDUP_STRIDE,
+        _norm_arr,
+    )
+
+    n = load(spark, cd.SF_DIR, "embeddings").select(
+        "vec_id", "embedding", _norm_arr("embedding").alias("nrm")
+    )
+    cent = n.filter(F.col("vec_id") % SEMDEDUP_STRIDE == 0).select(
+        F.col("vec_id").alias("cell"),
+        F.col("embedding").alias("c_emb"),
+        F.col("nrm").alias("c_nrm"),
+    )
+    kept_embs = n.filter(F.col("vec_id").isin([int(i) for i in rescan_kept]))
+    sem_rescan_store = VersionedTable(spark, str(tmp_path / "sem_rescan"))
+    sem_verd = _sem_sync_batch(spark, kept_embs, cent, sem_rescan_store)
+    sem_removed = {
+        r["vec_id"] for r in sem_verd.filter("exemplar IS NOT NULL").collect()
+    }
+    expected_final = sorted(set(rescan_kept) - sem_removed)
+
     corpus = VersionedTable(spark, str(tmp_path / "corpus"))
     incr_kept = sorted(r["doc_id"] for r in corpus.read().collect())
-    assert incr_kept == rescan_kept
+    assert incr_kept == expected_final
+    assert sem_removed, "fixture is known to contain semantic near-dups"
 
     # MERGE idempotence: re-sync batch 0 against the already-full store
     store = VersionedTable(spark, str(tmp_path / "sig_store"))
