@@ -395,24 +395,29 @@ def stream_user_profile_tws(events: DataFrame) -> DataFrame:
             )
 
         def handleInputRows(self, key, rows, timerValues):
-            n, total = (
-                self._totals.get() if self._totals.exists() else (0, 0.0)
-            )
+            # r11 (optimization guide §4): every ValueState/MapState call
+            # is a synchronous socket round-trip through the state server
+            # — at sf1 this handler ran ~3 + 3*|types| trips per (user,
+            # batch) (exists+get, then containsKey+getValue+updateValue
+            # per type, then a full iterator rescan for the top-type).
+            # Same state semantics with the minimum trips: one get()
+            # (None encodes absence), ONE iterator() pass to load the
+            # persisted map, merges in plain Python, and one updateValue
+            # per type SEEN IN THIS BATCH (the MapState contract — only
+            # touched counters are rewritten).
+            tot = self._totals.get()
+            n, total = tot if tot is not None else (0, 0.0)
+            batch_counts: dict = {}
             for pdf in rows:
                 n += len(pdf)
                 total += float(pdf["value"].sum())
                 for et, cnt in pdf.groupby("event_type").size().items():
-                    prev = (
-                        self._by_type.getValue((et,))[0]
-                        if self._by_type.containsKey((et,))
-                        else 0
-                    )
-                    self._by_type.updateValue((et,), (prev + int(cnt),))
+                    batch_counts[et] = batch_counts.get(et, 0) + int(cnt)
+            counts = {k[0]: v[0] for k, v in self._by_type.iterator()}
+            for et, cnt in batch_counts.items():
+                counts[et] = counts.get(et, 0) + cnt
+                self._by_type.updateValue((et,), (counts[et],))
             self._totals.update((n, total))
-            counts = {
-                k[0]: v[0]
-                for k, v in self._by_type.iterator()
-            }
             top = max(counts.items(), key=lambda kv: (kv[1], kv[0]))
             yield pd.DataFrame(
                 {
@@ -475,7 +480,10 @@ def stream_lsh_band_dedup(band_rows: DataFrame) -> DataFrame:
             ids: list[int] = []
             for pdf in rows:
                 ids.extend(int(x) for x in pdf["doc_id"])
-            old = self._min.get()[0] if self._min.exists() else None
+            # one get() round-trip; None encodes absence (guide §4 — the
+            # exists()+get() pair paid two state-server trips per bucket)
+            prev = self._min.get()
+            old = prev[0] if prev is not None else None
             new_min = min(ids) if old is None else min(old, min(ids))
             out = [(d, d > new_min) for d in ids]
             if old is not None and old > new_min:
