@@ -1659,26 +1659,33 @@ def corpus_soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan: shingles explode once via the codegen'd index form
     (``_ngrams``), carried as 16-byte ``unhex(md5(s))`` BINARY keys (never
-    shingle text) through ONE planted ``repartition(key)`` — the df
-    aggregate and the df-back join are both keyed on the shingle, so AQE
-    materializes the exploded subtree once (the ``corpus_span_removal``
-    exchange-reuse shape). Final rollup shuffles (doc_id, two longs).
+    shingle text). r11 (the CLAUDE.md windowable-aggregate rule): the df
+    aggregate's only consumer is the join that brings it BACK to the
+    shingle rows, so the agg+join-back pair (one exchange written once but
+    read twice, and a sort-merge join sorting both branches) collapses
+    into two window passes over ONE exchange and ONE sort —
+    ``dense_rank() over (k order by doc_id)`` followed by ``max(rank)
+    over (k)`` IS ``count(distinct doc_id) per k``, exact integers, and
+    the unordered max window reuses the (k, doc_id) sort. Final rollup
+    shuffles (doc_id, two longs).
 
-    Scale notes (100 TB): cost is one pass over corpus shingles + one
-    int-only join — strictly cheaper than the MinHash pipeline that would
-    REMOVE the same documents; df fits a broadcast only for small corpora,
-    so the shuffle join on the hashed key is the scale plan, with AQE
+    Scale notes (100 TB): cost is one pass over corpus shingles — strictly
+    cheaper than the MinHash pipeline that would REMOVE the same
+    documents; the shingle-key exchange is the scale plan, with AQE
     handling the head-shingle skew (stopword-heavy grams)."""
+    from pyspark.sql import Window as W
+
     docs = widen(load(spark, sf_dir, "documents"))
     sh = exploded_ngrams(docs, n=3).select(
         "doc_id", F.unhex(F.md5("s")).alias("k")
     )
-    sh_r = sh.repartition(F.col("k"))
-    df_tab = sh_r.groupBy("k").agg(
-        F.countDistinct("doc_id").alias("df")
-    )
-    joined = sh_r.join(df_tab, "k")
-    agg = joined.groupBy("doc_id").agg(
+    wk = W.partitionBy("k")
+    with_df = sh.select(
+        "doc_id",
+        "k",
+        F.dense_rank().over(wk.orderBy("doc_id")).alias("_dr"),
+    ).select("doc_id", F.max("_dr").over(wk).alias("df"))
+    agg = with_df.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_shingles"),
         F.sum("df").alias("df_sum"),
     )

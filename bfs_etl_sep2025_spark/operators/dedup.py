@@ -472,6 +472,12 @@ def dedup_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels = edges.select("s").distinct().select(
         F.col("s").alias("node"), F.col("s").alias("label")
     )
+    # r11: deliberately NOT the graph_pagerank/CC broadcast-fixpoint shape
+    # — there the per-round win comes from never exchanging a 24M-row edge
+    # list, but this graph is only the DUP PAIRS (~5k nodes at sf1), so
+    # the shuffle join is already cheap and a measured A/B showed the
+    # broadcast variant LOSING (6.3 -> 7.0 s: per-round broadcast builds
+    # plus the guard count outweigh the tiny exchange they remove).
     changed = 1
     for _ in range(20):  # diameter bound; dup clusters are shallow
         neighbor_min = (

@@ -312,6 +312,9 @@ def _sem_sync_batch(spark, batch, cent, store):
     margin = 1e-9
 
     def cell_rect_candidates(pdf: pd.DataFrame) -> pd.DataFrame:
+        from bfs_etl_sep2025_spark.functions.blas import single_thread_blas
+
+        single_thread_blas()  # r11: tasks fill the cores; threaded GEMM loses
         import numpy as _np
 
         d = pdf[pdf["is_delta"] == 1]
@@ -336,6 +339,11 @@ def _sem_sync_batch(spark, batch, cent, store):
         )
         return pd.DataFrame({"u": idu[iu], "v": idv[iv]})
 
+    # r11: deliberately NOT width-forced like dedup_semantic_embedding's
+    # cell exchange — each sync sees only one delta batch (a third of the
+    # corpus here), and a measured A/B showed the fixed-width repartition
+    # LOSING ~3 s across the three syncs (64-task overhead on per-batch
+    # data AQE handles fine). The BLAS pin in the GEMM stands.
     cand = (
         tagged.select("cell", "vec_id", "embedding", "is_delta")
         .groupBy("cell")

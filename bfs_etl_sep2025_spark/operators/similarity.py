@@ -344,6 +344,9 @@ def _assign_matmul(n, cent):
 
     @F.pandas_udf("array<bigint>")
     def topk_cells(emb: pd.Series) -> pd.Series:
+        from bfs_etl_sep2025_spark.functions.blas import single_thread_blas
+
+        single_thread_blas()  # r11: tasks fill the cores; threaded GEMM loses
         cells_, cnt = bc.value
         V = np.stack(emb.to_numpy()).astype(np.float64)
         S = V @ cnt
@@ -654,6 +657,9 @@ def _blocked_exact_pairs(spark: SparkSession, sf_dir: str, tau: float):
     margin = 1e-9
 
     def tile_candidates(pdf: pd.DataFrame) -> pd.DataFrame:
+        from bfs_etl_sep2025_spark.functions.blas import single_thread_blas
+
+        single_thread_blas()  # r11: tasks fill the cores; threaded GEMM loses
         import numpy as _np
 
         same = pdf["ba"].iloc[0] == pdf["bb"].iloc[0]
@@ -694,8 +700,14 @@ def _blocked_exact_pairs(spark: SparkSession, sf_dir: str, tau: float):
     union = tagged_a.unionByName(
         tagged_b.filter(F.col("ba") != F.col("bb"))
     )
-    cand = union.groupBy("ba", "bb").applyInPandas(
-        tile_candidates, "vec_a long, vec_b long"
+    # r11 (guide §2.5): explicit scale-adaptive width — the tile exchange
+    # is few-MB but each group runs a GEMM, so AQE's size-based coalescing
+    # must not shrink the stage (same fix as _lsh_band_candidates).
+    parts = 2 * spark.sparkContext.defaultParallelism
+    cand = (
+        union.repartition(parts, "ba", "bb")
+        .groupBy("ba", "bb")
+        .applyInPandas(tile_candidates, "vec_a long, vec_b long")
     )
     au = n.select(
         F.col("vec_id").alias("vec_a"),
@@ -768,7 +780,12 @@ def similarity_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``test_llm_ops`` pins containment: every LSH pair is an exact-baseline
     pair with an equal cosine."""
     n, cand = _lsh_band_candidates(spark, sf_dir, 0.45)
-    return _lsh_exact_rerank(n, cand, 0.45).orderBy("vec_a", "vec_b")
+    # r11 (CLAUDE.md r10 sort rule): the global sort's range-partition
+    # sampling would re-run the whole rerank stage (broadcast joins + the
+    # 64-term fold) a second time — checkpoint the small scored pairs so
+    # the sort samples materialized rows instead.
+    scored = _lsh_exact_rerank(n, cand, 0.45).localCheckpoint(eager=False)
+    return scored.orderBy("vec_a", "vec_b")
 
 
 def _lsh_band_candidates(spark: SparkSession, sf_dir: str, gemm_tau: float):
@@ -792,6 +809,20 @@ def _lsh_band_candidates(spark: SparkSession, sf_dir: str, gemm_tau: float):
     a hashed value; the candidate SET and every emitted cosine are
     unchanged. 179 s -> ~7 s at sf1.
 
+    r11 (guide §2.2/§2.5): the candidate/rerank exchanges carry few BYTES
+    but dense COMPUTE, so AQE's size-based coalescing crushed them — the
+    bucket-GEMM stage ran 8 tasks and the dedup+rerank stage 4 tasks of
+    27 CPU-seconds on a 32-core box. Both bands now union into ONE
+    explicit repartition (scale-adaptive: 2x defaultParallelism) whose
+    partitioning the groupBy reuses (no second exchange, no AQE
+    coalescing of a user-specified count), and the candidate pairs
+    repartition the same way on (vec_a, vec_b) so the dedup aggregate
+    and the downstream broadcast-join rerank run at full width. BLAS is
+    pinned to one thread per worker (functions/blas.py): tasks already
+    occupy every core, and the pool handoff LOSES 5x outright on these
+    small bucket GEMMs. Same-session A/B at sf1: sweep 9.0 -> 5.0 s,
+    neardup 6.2 -> 5.0 s, outputs asserted identical.
+
     Scale: one FlatMapGroupsInPandas per band bucket; bucket population
     is the LSH knob (wider bands -> smaller buckets), and only
     (vec_a, vec_b) id-pairs leave Python."""
@@ -804,9 +835,13 @@ def _lsh_band_candidates(spark: SparkSession, sf_dir: str, gemm_tau: float):
         _bucket_arr("embedding", PLANES[4:]).alias("band2"),
     )
     n = n.localCheckpoint(eager=True)  # scanned by both bands AND the rerank
+    parts = 2 * spark.sparkContext.defaultParallelism
     margin = 1e-9
 
     def bucket_candidates(pdf: pd.DataFrame) -> pd.DataFrame:
+        from bfs_etl_sep2025_spark.functions.blas import single_thread_blas
+
+        single_thread_blas()
         import numpy as _np
 
         ids = pdf["vec_id"].to_numpy()
@@ -830,16 +865,22 @@ def _lsh_band_candidates(spark: SparkSession, sf_dir: str, gemm_tau: float):
         iu, iv = _np.nonzero(_np.triu(G >= gemm_tau - margin, k=1))
         return pd.DataFrame({"vec_a": ids[iu], "vec_b": ids[iv]})
 
-    def band_candidates(band: str):
-        return (
-            n.select(F.col(band).alias("band"), "vec_id", "embedding")
-            .groupBy("band")
-            .applyInPandas(bucket_candidates, "vec_a long, vec_b long")
+    tagged = n.select(
+        F.lit(0).alias("bno"), F.col("band1").alias("band"),
+        "vec_id", "embedding",
+    ).unionByName(
+        n.select(
+            F.lit(1).alias("bno"), F.col("band2").alias("band"),
+            "vec_id", "embedding",
         )
-
-    cand = band_candidates("band1").unionByName(
-        band_candidates("band2")
-    ).dropDuplicates(["vec_a", "vec_b"])
+    )
+    cand = (
+        tagged.repartition(parts, "bno", "band")
+        .groupBy("bno", "band")
+        .applyInPandas(bucket_candidates, "vec_a long, vec_b long")
+        .repartition(parts, "vec_a", "vec_b")
+        .dropDuplicates(["vec_a", "vec_b"])
+    )
     return n, cand
 
 
@@ -1831,8 +1872,15 @@ def dedup_semantic_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("c_emb"),
         F.col("nrm").alias("c_nrm"),
     )
-    members = _ivf_assign(n, cent, MAX_BROADCAST_CENTROIDS).filter(
-        F.col("cr") == 1
+    # r11 (guide §2.4/§5): members feeds THREE consumers (the cell
+    # grouping and both rerank join legs) — un-checkpointed, the
+    # assignment matmul subtree ran once per consumer (stage dump at sf1:
+    # two full ArrowEvalPython assignment stages of ~12 s executor time
+    # each). One eager checkpoint materializes |corpus| small rows once.
+    members = (
+        _ivf_assign(n, cent, MAX_BROADCAST_CENTROIDS)
+        .filter(F.col("cr") == 1)
+        .localCheckpoint(eager=True)
     )
     # Within-cell pair generation, GEMM-PREFILTERED (r8): one numpy
     # U @ U.T per cell over unit rows emits only the (u, v) candidates
@@ -1857,6 +1905,9 @@ def dedup_semantic_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     margin = 1e-9
 
     def cell_candidates(pdf: pd.DataFrame) -> pd.DataFrame:
+        from bfs_etl_sep2025_spark.functions.blas import single_thread_blas
+
+        single_thread_blas()  # r11: tasks fill the cores; threaded GEMM loses
         import numpy as _np
 
         ids = pdf["vec_id"].to_numpy()
@@ -1886,9 +1937,17 @@ def dedup_semantic_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
             }
         )
 
-    cand = members.select("cell", "vec_id", "embedding").groupBy(
-        "cell"
-    ).applyInPandas(cell_candidates, "cell long, u long, v long")
+    # r11 (guide §2.5): the cell exchange is few-MB but compute-dense —
+    # AQE's size-based coalescing ran the GEMM+rerank at 4 tasks on a
+    # 32-core box; an explicit scale-adaptive partition count keeps the
+    # stage wide (cells are stride-bounded, so counts scale with corpus).
+    parts = 2 * spark.sparkContext.defaultParallelism
+    cand = (
+        members.select("cell", "vec_id", "embedding")
+        .repartition(parts, "cell")
+        .groupBy("cell")
+        .applyInPandas(cell_candidates, "cell long, u long, v long")
+    )
     au = members.select(
         F.col("vec_id").alias("u"),
         F.col("embedding").alias("a_emb"),
