@@ -458,12 +458,19 @@ def dedup_incremental_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bfs_etl_sep2025_spark.tables import widen
 
     e = widen(load(spark, sf_dir, "embeddings"))
-    n = e.select("vec_id", "embedding", _norm_arr("embedding").alias("nrm"))
+    # r11 (guide §5): n feeds the percentile probe, the centroid slice and
+    # all three delta batches, and cent's codebook is COLLECTED once per
+    # sync by the assignment matmul — un-checkpointed, the 64-term norm
+    # projection re-ran for every consumer (5+ recomputes across the
+    # three syncs). Materialize each once.
+    n = e.select(
+        "vec_id", "embedding", _norm_arr("embedding").alias("nrm")
+    ).localCheckpoint(eager=True)
     cent = n.filter(F.col("vec_id") % SEMDEDUP_STRIDE == 0).select(
         F.col("vec_id").alias("cell"),
         F.col("embedding").alias("c_emb"),
         F.col("nrm").alias("c_nrm"),
-    )
+    ).localCheckpoint(eager=True)
     t1, t2 = n.agg(
         F.expr("percentile(vec_id, array(0.3333333333, 0.6666666666))")
     ).first()[0]

@@ -60,6 +60,7 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
+import functools
 import json
 import os
 import re
@@ -68,6 +69,27 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 
 from bfs_etl_sep2025_spark.plans.locks import table_write_lock
+
+#: logical-plan node names that make a DataFrame a deterministic pure
+#: projection over already-materialized rows (see upsert's checkpoint skip)
+_MATERIALIZED_NODES = ("Project", "SubqueryAlias", "LogicalRDD")
+
+
+def _is_materialized_projection(df: DataFrame) -> bool:
+    """True iff ``df``'s analyzed plan is nothing but column projections
+    over a materialized RDD scan (e.g. ``checkpointed.select(cols)``) —
+    re-evaluating such a plan is deterministic, so the upsert's
+    pin-one-evaluation checkpoint would be a pure copy. Conservative:
+    any unrecognized node returns False and the checkpoint happens."""
+    try:
+        plan = df._jdf.queryExecution().analyzed().toString()
+    except Exception:
+        return False
+    for line in plan.splitlines():
+        node = line.lstrip(" :+-").split(" ", 1)[0].rstrip(",")
+        if node and not any(node.startswith(n) for n in _MATERIALIZED_NODES):
+            return False
+    return True
 
 
 class ConcurrentWriteError(RuntimeError):
@@ -711,15 +733,44 @@ class VersionedTable:
             # key range, and the rows written must all see identical data,
             # or a nondeterministic source could emit a key outside the
             # range the pruning decision was made on and leave a duplicate
-            # in an untouched dir.
-            src = source.select(*cols).localCheckpoint()
-            dup = (
-                src.groupBy(*keys)
-                .count()
-                .filter(F.col("count") > 1)
-                .limit(1)
-                .count()
-            )
+            # in an untouched dir. r11: when the source is ALREADY a plain
+            # projection over materialized rows (the incremental operators
+            # hand in localCheckpoint'd fingerprint batches), a second
+            # checkpoint is a pure copy — skip it; re-evaluation of a
+            # column projection over a checkpointed RDD is deterministic
+            # by construction.
+            src = source.select(*cols)
+            if not _is_materialized_projection(src):
+                src = src.localCheckpoint()
+            # r11: ONE aggregation job answers the dup check AND the
+            # pruning key range (count == count_distinct on the key <=>
+            # no duplicate key; a NULL anywhere in a key column falls back
+            # to the grouped check, since count_distinct drops NULL keys).
+            row = src.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.count_distinct(*keys).alias("nk"),
+                F.sum(
+                    F.when(
+                        functools.reduce(
+                            lambda a, b: a | b,
+                            [F.col(k).isNull() for k in keys],
+                        ),
+                        1,
+                    ).otherwise(0)
+                ).alias("nnull"),
+                F.min(keys[0]).alias("lo"),
+                F.max(keys[0]).alias("hi"),
+            ).first()
+            if row["nnull"]:
+                dup = (
+                    src.groupBy(*keys)
+                    .count()
+                    .filter(F.col("count") > 1)
+                    .limit(1)
+                    .count()
+                )
+            else:
+                dup = int(row["n"] != row["nk"])
             if dup:
                 raise ValueError(
                     "upsert source has duplicate rows on the key "
@@ -727,9 +778,6 @@ class VersionedTable:
                     "source)"
                 )
             self._check_constraints(src, pm.get("constraints"))
-            row = src.agg(
-                F.min(keys[0]).alias("lo"), F.max(keys[0]).alias("hi")
-            ).first()
             slo, shi = row["lo"], row["hi"]
             dirs = pm["dirs"]
             touched, untouched = [], []
