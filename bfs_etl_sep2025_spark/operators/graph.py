@@ -611,6 +611,15 @@ _PR_SCALE = 1_000_000_000_000
 #: join is the only correct plan (billions of nodes cannot broadcast).
 _MAX_BROADCAST_NODES = 5_000_000
 
+#: ...AND the broadcast regime must also be WORTH it: each round pays a
+#: fixed broadcast build + checkpoint (~0.3-0.5 s on this box), which only
+#: repays when the per-round edge exchange it removes is large. Interleaved
+#: A/B (r11): at |2E| = 238k rows (sf0.1, ~2 MB/round) the shuffle join
+#: WINS (pagerank 1.7 vs 3.0 s, CC 2.7 vs 3.4 s); at |2E| = 24M rows
+#: (sf1, ~150 MB/round) broadcast wins 2.3-2.6x. Dispatch on the symmetric
+#: edge-row count, two orders of magnitude between the measured points.
+_MIN_BROADCAST_EDGE_ROWS = 2_000_000
+
 
 def _pr_iter_sql(prev: str) -> str:
     """One unrolled PageRank round over the symmetric edge list (DuckDB)."""
@@ -683,7 +692,14 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).unionAll(e.select(F.col("v").alias("src"), F.col("u").alias("dst")))
     deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
     deg = deg.localCheckpoint(eager=True)  # referenced every round
-    small = deg.count() <= _MAX_BROADCAST_NODES
+    # both guard legs: nodes must fit a broadcast AND the per-round edge
+    # exchange being removed must be big enough to repay the per-round
+    # broadcast+checkpoint fixed cost (see _MIN_BROADCAST_EDGE_ROWS);
+    # e is the memoized cached edge list, so the count is a cache scan
+    small = (
+        deg.count() <= _MAX_BROADCAST_NODES
+        and 2 * e.count() >= _MIN_BROADCAST_EDGE_ROWS
+    )
     r = deg.select(F.col("src").alias("node"), F.lit(1.0).alias("r"))
     for _ in range(_PR_ITERS):
         rd = r.join(deg.withColumnRenamed("src", "node"), "node")
@@ -783,8 +799,13 @@ def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the node-count guard broadcast the label table each round so the
     # checkpointed edge list is never exchanged and the min-label
     # aggregate partial-aggregates map-side; past the guard keep the
-    # shuffle join.
-    small = labels.count() <= _MAX_BROADCAST_NODES
+    # shuffle join. Second guard leg as in graph_pagerank: broadcast only
+    # when the per-round edge exchange is large enough to repay the
+    # per-round broadcast build (measured losing at sf0.1's 238k rows).
+    small = (
+        labels.count() <= _MAX_BROADCAST_NODES
+        and 2 * e.count() >= _MIN_BROADCAST_EDGE_ROWS
+    )
     label_sum = None
     for _ in range(20):  # diameter bound; co-occurrence comps are shallow
         lbl = F.broadcast(labels) if small else labels
