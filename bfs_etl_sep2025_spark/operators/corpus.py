@@ -191,14 +191,18 @@ def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     (no-op on a many-split cluster input)."""
     d = widen(load(spark, sf_dir, "documents"))
     is_eval = F.col("doc_id") % 50 == 0
+    # 16-byte BINARY keys, not 32-char hex strings (the CLAUDE.md key-width
+    # rule): halves the bytes through the broadcast hash table and the
+    # count_distinct aggregate; outputs identical (gh is internal-only —
+    # r11 A/B: parity-or-better locally, scripts/ab_r11/ab_decon.py)
     eval_grams = (
         exploded_ngrams(d.filter(is_eval), n=_GRAM_N, out="g")
-        .select(F.md5("g").alias("gh"))
+        .select(F.unhex(F.md5("g")).alias("gh"))
         .distinct()
     )
     train_grams = exploded_ngrams(
         d.filter(~is_eval), n=_GRAM_N, out="g"
-    ).select("doc_id", F.md5("g").alias("gh"))
+    ).select("doc_id", F.unhex(F.md5("g")).alias("gh"))
     return (
         train_grams.join(F.broadcast(eval_grams), "gh")
         .groupBy("doc_id")

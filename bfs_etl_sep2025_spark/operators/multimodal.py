@@ -39,6 +39,7 @@ scale, so repartition by size-class before the UDF to balance executors.
 
 from __future__ import annotations
 
+import functools as _functools
 from collections.abc import Iterator
 from typing import TYPE_CHECKING
 
@@ -380,10 +381,15 @@ _JPEG_DC_BITS = (0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
 _JPEG_DC_VALS = tuple(range(12))
 
 
+@_functools.lru_cache(maxsize=256)
 def _jpeg_canonical(bits, vals):
     """Canonical JPEG Huffman assignment (T.81 C.2): symbols take
     consecutive codes within each length, code doubles between lengths.
-    Returns {symbol: (code, length)}."""
+    Returns {symbol: (code, length)}. Cached on the (bits, vals) tuples:
+    every asset of a codec query declares the same handful of tables, and
+    rebuilding the assignment per asset (and its inverse per scan) was a
+    measurable slice of the per-asset decode cost (r11 profiling). Callers
+    must treat the returned dict as read-only."""
     table, code, k = {}, 0, 0
     for length in range(1, 17):
         for _ in range(bits[length - 1]):
@@ -392,6 +398,14 @@ def _jpeg_canonical(bits, vals):
             k += 1
         code <<= 1
     return table
+
+
+@_functools.lru_cache(maxsize=256)
+def _jpeg_canonical_inv(bits, vals):
+    """Decoder view of :func:`_jpeg_canonical` — {(code, length): symbol}
+    — cached for the same reason (the decoders inverted the dict per scan
+    per asset). Read-only."""
+    return {v: k for k, v in _jpeg_canonical(bits, vals).items()}
 
 
 def encode_jpeg_lossless(
@@ -469,7 +483,7 @@ def decode_jpeg_lossless(payload: bytes) -> tuple[int, int, bytes]:
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (no SOI)")
     pos = 2
-    huffs: dict[int, dict] = {}
+    huffs: dict[int, tuple] = {}
     w = h = None
     pred_sel = None
     scan_start = None
@@ -504,7 +518,7 @@ def decode_jpeg_lossless(payload: bytes) -> tuple[int, int, bytes]:
                 bits = tuple(body[i + 1 : i + 17])
                 n = sum(bits)
                 vals = tuple(body[i + 17 : i + 17 + n])
-                huffs[tc_th] = _jpeg_canonical(bits, vals)
+                huffs[tc_th] = (bits, vals)
                 i += 17 + n
         elif marker == 0xDA:  # SOS
             ns = body[0]
@@ -521,7 +535,7 @@ def decode_jpeg_lossless(payload: bytes) -> tuple[int, int, bytes]:
         pos += 2 + ln
     if w is None or scan_start is None or 0x00 not in huffs:
         raise ValueError("missing SOF3/DHT/SOS")
-    dec = {v: k for k, v in huffs[0x00].items()}  # (code, len) -> symbol
+    dec = _jpeg_canonical_inv(*huffs[0x00])  # (code, len) -> symbol
     bitpos, bytepos = 0, scan_start
 
     def getbit() -> int:
@@ -933,7 +947,7 @@ def decode_jpeg_baseline(payload: bytes) -> tuple[int, int, bytes]:
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (no SOI)")
     pos = 2
-    huffs: dict[int, dict] = {}
+    huffs: dict[int, tuple] = {}
     qtabs: dict[int, tuple] = {}
     w = h = None
     comp_q = 0
@@ -981,7 +995,7 @@ def decode_jpeg_baseline(payload: bytes) -> tuple[int, int, bytes]:
                 bits = tuple(body[i + 1 : i + 17])
                 n = sum(bits)
                 vals = tuple(body[i + 17 : i + 17 + n])
-                huffs[tc_th] = _jpeg_canonical(bits, vals)
+                huffs[tc_th] = (bits, vals)
                 i += 17 + n
         elif marker == 0xDD:  # DRI: restart interval in MCUs (0 = none)
             if ln != 4:
@@ -1001,8 +1015,8 @@ def decode_jpeg_baseline(payload: bytes) -> tuple[int, int, bytes]:
     if w % 8 or h % 8:
         raise ValueError("partial-MCU dimensions unsupported")
     try:
-        dc_dec = {v: k for k, v in huffs[0x00 | dc_id].items()}
-        ac_dec = {v: k for k, v in huffs[0x10 | ac_id].items()}
+        dc_dec = _jpeg_canonical_inv(*huffs[0x00 | dc_id])
+        ac_dec = _jpeg_canonical_inv(*huffs[0x10 | ac_id])
         quant = qtabs[comp_q]
     except KeyError as exc:
         raise ValueError("scan references an undeclared table") from exc
@@ -1136,49 +1150,115 @@ def encode_jpeg_progressive(
     decode(baseline) bit-for-bit at any quant, and == the input raster on
     the DC-only exactness window (block-constant rasters at quant=1), the
     property the relational oracle checks."""
-    import struct
-
     if width % 8 or height % 8:
         raise ValueError(
             "progressive encoder: dimensions must be multiples of 8"
         )
     if len(pixels) != width * height:
         raise ValueError(f"need {width * height} bytes, got {len(pixels)}")
-    dc_huff = _jpeg_canonical(_JPEG_DC_BITS, _JPEG_DC_VALS)
-    ac_huff = _jpeg_canonical(_JPEG_AC_PROG_BITS, _JPEG_AC_PROG_VALS)
-
     # batched front half (bit-identical to per-block _fdct8x8 — see the
     # batched-DCT twins)
     blocks: list[list[int]] = _pixels_to_quantized_zz(
         pixels, width, height, quant
     )
+    return _encode_jpeg_progressive_from_zz(blocks, width, height, quant)
 
-    class _BitSink:
-        def __init__(self) -> None:
-            self.acc = 0
-            self.nbits = 0
-            self.out = bytearray()
 
-        def put(self, code: int, length: int) -> None:
-            if not length:
-                return
-            self.acc = (self.acc << length) | (code & ((1 << length) - 1))
-            self.nbits += length
-            while self.nbits >= 8:
-                self.nbits -= 8
-                byte = (self.acc >> self.nbits) & 0xFF
-                self.out.append(byte)
-                if byte == 0xFF:  # stuffing (T.81 F.1.2.3)
-                    self.out.append(0x00)
+def encode_jpeg_progressive_batch(
+    rasters: list[bytes], width: int, height: int, quant: int = 1
+) -> list[bytes]:
+    """Batch twin of :func:`encode_jpeg_progressive` — byte-identical
+    payload per raster (pinned by test_codecs), but the FDCT runs over
+    ``_DCT_CHUNK_BLOCKS``-block groups of assets instead of one tiny numpy
+    pass per asset (the per-asset fixed numpy cost dominated the encode
+    profile at 32x32, r11 — and a WHOLE-batch pass thrashes DRAM under a
+    32-worker pool; see the constant). Stacking the rasters is exact: blocks come
+    out in raster (by, bx) order, so the tall stack's block list is each
+    asset's block list concatenated in order, and the DCT twins are
+    elementwise over the block axis (bit-identical at any N)."""
+    if not rasters:
+        return []
+    if width % 8 or height % 8:
+        raise ValueError(
+            "progressive encoder: dimensions must be multiples of 8"
+        )
+    for px in rasters:
+        if len(px) != width * height:
+            raise ValueError(f"need {width * height} bytes, got {len(px)}")
+    per = (width // 8) * (height // 8)
+    step = max(1, _DCT_CHUNK_BLOCKS // per)  # assets per FDCT pass
+    out: list[bytes] = []
+    for lo in range(0, len(rasters), step):
+        chunk = rasters[lo : lo + step]
+        blocks = _pixels_to_quantized_zz(
+            b"".join(chunk), width, height * len(chunk), quant
+        )
+        out.extend(
+            _encode_jpeg_progressive_from_zz(
+                blocks[i * per : (i + 1) * per], width, height, quant
+            )
+            for i in range(len(chunk))
+        )
+    return out
 
-        def code(self, huff: dict, sym: int) -> None:
-            c, ln = huff[sym]
-            self.put(c, ln)
 
-        def done(self) -> bytes:
-            if self.nbits:
-                self.put((1 << (8 - self.nbits)) - 1, 8 - self.nbits)
-            return bytes(self.out)
+#: block budget per batched FDCT/IDCT pass inside the codec batch twins.
+#: Measured under REAL 32-process concurrency (the only setting that
+#: matters in a mapInPandas worker pool): per 1560-asset worker, full-batch
+#: DCT = 31.1 s (the 128-pass bit-exact folds stream multi-MB temporaries
+#: through shared DRAM 32 ways at once), per-asset = 2.47 s (8 KB arrays,
+#: cache-resident, but all numpy fixed cost), 1024-block chunks = 1.29 s
+#: (fold temporaries ~64 KB, L2-resident, numpy overhead amortized ~64x).
+#: A single-core microbench INVERTS this ranking — never tune this constant
+#: without the 32-way harness (scripts/ab_r11/mp_codec_chunks note in
+#: OPTIMIZATION_r11.md).
+_DCT_CHUNK_BLOCKS = 1024
+
+
+class _JpegBitSink:
+    """Entropy bit accumulator with 0xFF00 stuffing (T.81 F.1.2.3) —
+    module-level (it was rebuilt as a local class per encoded asset)."""
+
+    __slots__ = ("acc", "nbits", "out")
+
+    def __init__(self) -> None:
+        self.acc = 0
+        self.nbits = 0
+        self.out = bytearray()
+
+    def put(self, code: int, length: int) -> None:
+        if not length:
+            return
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            self.nbits -= 8
+            byte = (self.acc >> self.nbits) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:  # stuffing (T.81 F.1.2.3)
+                self.out.append(0x00)
+
+    def code(self, huff: dict, sym: int) -> None:
+        c, ln = huff[sym]
+        self.put(c, ln)
+
+    def done(self) -> bytes:
+        if self.nbits:
+            self.put((1 << (8 - self.nbits)) - 1, 8 - self.nbits)
+        return bytes(self.out)
+
+
+def _encode_jpeg_progressive_from_zz(
+    blocks: list[list[int]], width: int, height: int, quant: int
+) -> bytes:
+    """Container + six-scan entropy back half of the progressive encoder
+    (``blocks`` = per-block zigzag-ordered quantized coefficients, raster
+    block order) — split out so the batch twin can share it."""
+    import struct
+
+    dc_huff = _jpeg_canonical(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_huff = _jpeg_canonical(_JPEG_AC_PROG_BITS, _JPEG_AC_PROG_VALS)
+    _BitSink = _JpegBitSink
 
     def dc_first(al: int) -> bytes:
         sink = _BitSink()
@@ -1218,6 +1298,13 @@ def encode_jpeg_progressive(
                 eobrun -= run
 
         for zz in blocks:
+            if not any(zz[ss : se + 1]):
+                # all-zero before the point transform (_pt(0) == 0): the
+                # common EOB case without 63 _pt calls per block (r11)
+                eobrun += 1
+                if eobrun == 32767:
+                    flush_eob()
+                continue
             band = [_pt(zz[k], al) for k in range(ss, se + 1)]
             if not any(band):
                 eobrun += 1
@@ -1263,6 +1350,14 @@ def encode_jpeg_progressive(
             eobrun = 0
 
         for zz in blocks:
+            if not any(zz[ss : se + 1]):
+                # every event would be a zero-history zero: a pure EOB
+                # block with no pending correction bits (r11 fast path,
+                # identical emission to the general walk below)
+                eobrun += 1
+                if eobrun == 32767:
+                    flush_eob()
+                continue
             # segment: decoder-walk-ordered events since the last code —
             # 'z' = zero-history zero, ints = correction bits of
             # history-nonzero coefficients passed over
@@ -1356,12 +1451,64 @@ def decode_jpeg_progressive(payload: bytes) -> tuple[int, int, bytes]:
     structure the stream declares (single-component 8-bit); raises loudly
     on sequential input (route through :func:`decode_jpeg`), restart
     intervals, or a scan referencing an undeclared table."""
+    w, h, coefs, quant = _decode_jpeg_progressive_coefs(payload)
+    # batched back half (bit-identical to per-block _idct8x8 — see the
+    # batched-DCT twins); `coefs` is already in raster block order
+    return w, h, _zz_to_raster(coefs, quant, w, h)
+
+
+def decode_jpeg_progressive_batch(
+    payloads: list[bytes],
+) -> list[tuple[int, int, bytes]]:
+    """Batch twin of :func:`decode_jpeg_progressive` — identical pixels
+    per payload (pinned by test_codecs), but the dequant + IDCT + clamp
+    runs over ``_DCT_CHUNK_BLOCKS``-block groups of an equal-geometry,
+    equal-quant batch instead of one tiny numpy pass per asset (the
+    per-asset fixed numpy cost dominated the decode profile at 32x32, r11
+    — and a WHOLE-batch pass thrashes DRAM under a 32-worker pool; see
+    the constant). Running
+    _zz_to_raster over the vertically-stacked coefficient list is exactly
+    the per-asset call for each w*h slice (blocks are raster-ordered and
+    every twin op is elementwise over the block axis). Mixed batches fall
+    back to per-asset back halves."""
+    metas = [_decode_jpeg_progressive_coefs(p) for p in payloads]
+    if not metas:
+        return []
+    w, h, _, quant = metas[0]
+    if any(m[0] != w or m[1] != h or m[3] != quant for m in metas):
+        return [
+            (mw, mh, _zz_to_raster(mc, mq, mw, mh))
+            for mw, mh, mc, mq in metas
+        ]
+    per = (w // 8) * (h // 8)
+    step = max(1, _DCT_CHUNK_BLOCKS // per)  # assets per IDCT pass
+    n = w * h
+    out: list[tuple[int, int, bytes]] = []
+    for lo in range(0, len(metas), step):
+        group = metas[lo : lo + step]
+        coefs: list[list[int]] = []
+        for m in group:
+            coefs.extend(m[2])
+        tall = _zz_to_raster(coefs, quant, w, h * len(group))
+        out.extend(
+            (w, h, tall[i * n : (i + 1) * n]) for i in range(len(group))
+        )
+    return out
+
+
+def _decode_jpeg_progressive_coefs(
+    payload: bytes,
+) -> tuple[int, int, list[list[int]], tuple]:
+    """Marker walk + every scan's entropy decode (the front half of
+    :func:`decode_jpeg_progressive`): returns ``(w, h, per-block zigzag
+    coefficient lists in raster block order, quant table)`` so the batch
+    twin can run one shared dequant/IDCT back half."""
     import struct
 
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (no SOI)")
     pos = 2
-    huffs: dict[int, dict] = {}
+    huffs: dict[int, tuple] = {}
     qtabs: dict[int, tuple] = {}
     w = h = None
     comp_q = 0
@@ -1417,7 +1564,7 @@ def decode_jpeg_progressive(payload: bytes) -> tuple[int, int, bytes]:
                 raise ValueError("progressive scan mixes DC and AC bands")
             if ah == 0:  # first pass
                 try:
-                    dec = {v: k for k, v in huffs[0x00 | dc_id].items()}
+                    dec = _jpeg_canonical_inv(*huffs[0x00 | dc_id])
                 except KeyError as exc:
                     raise ValueError(
                         "scan references an undeclared table"
@@ -1432,7 +1579,7 @@ def decode_jpeg_progressive(payload: bytes) -> tuple[int, int, bytes]:
                     zz[0] |= getbit() << al
         elif ah == 0:  # AC first scan
             try:
-                dec = {v: k for k, v in huffs[0x10 | ac_id].items()}
+                dec = _jpeg_canonical_inv(*huffs[0x10 | ac_id])
             except KeyError as exc:
                 raise ValueError(
                     "scan references an undeclared table"
@@ -1461,7 +1608,7 @@ def decode_jpeg_progressive(payload: bytes) -> tuple[int, int, bytes]:
                     k += 1
         else:  # AC refinement scan (G.2)
             try:
-                dec = {v: k for k, v in huffs[0x10 | ac_id].items()}
+                dec = _jpeg_canonical_inv(*huffs[0x10 | ac_id])
             except KeyError as exc:
                 raise ValueError(
                     "scan references an undeclared table"
@@ -1568,7 +1715,7 @@ def decode_jpeg_progressive(payload: bytes) -> tuple[int, int, bytes]:
                 bits = tuple(body[i + 1 : i + 17])
                 n = sum(bits)
                 vals = tuple(body[i + 17 : i + 17 + n])
-                huffs[tc_th] = _jpeg_canonical(bits, vals)
+                huffs[tc_th] = (bits, vals)
                 i += 17 + n
         elif marker == 0xDA:  # SOS: decode this scan's entropy segment
             if coefs is None:
@@ -1584,10 +1731,7 @@ def decode_jpeg_progressive(payload: bytes) -> tuple[int, int, bytes]:
         quant = qtabs[comp_q]
     except KeyError as exc:
         raise ValueError("frame references an undeclared table") from exc
-
-    # batched back half (bit-identical to per-block _idct8x8 — see the
-    # batched-DCT twins); `coefs` is already in raster block order
-    return w, h, _zz_to_raster(coefs, quant, w, h)
+    return w, h, coefs, quant
 
 
 def encode_wav_pcm16(samples: list[int], rate: int = WAV_RATE) -> bytes:
@@ -2385,32 +2529,55 @@ def multimodal_decode_jpeg_progressive(
     def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = pdf[["asset_id"]].copy()
-
-            def build(h: str) -> bytes:
-                return encode_jpeg_progressive(
-                    _block_constant_raster(h), _JB_W, _JB_H
-                )
-
-            out["media"] = pdf["digest"].map(build)
+            # batch twin: byte-identical payloads, one FDCT per batch
+            # instead of one tiny numpy pass per asset (r11)
+            out["media"] = encode_jpeg_progressive_batch(
+                [_block_constant_raster(h) for h in pdf["digest"]],
+                _JB_W,
+                _JB_H,
+            )
             yield out
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = []
-            for asset_id, media in zip(pdf["asset_id"], pdf["media"]):
-                w, h, pixels = decode_image(bytes(media))
-                s = sum(pixels)
-                rows.append(
-                    (asset_id, w, h, s, s / len(pixels),
-                     max(pixels), min(pixels))
-                )
-            import pandas as _pd
+        import numpy as _np
+        import pandas as _pd
 
-            yield _pd.DataFrame(
-                rows,
-                columns=["asset_id", "width", "height", "px_sum",
-                         "mean_px", "max_px", "min_px"],
+        cols = ["asset_id", "width", "height", "px_sum",
+                "mean_px", "max_px", "min_px"]
+        for pdf in batches:
+            # batch twin: pixel-identical rasters, one IDCT per batch (r11)
+            decoded = decode_jpeg_progressive_batch(
+                [bytes(m) for m in pdf["media"]]
             )
+            sizes = {(w, h) for w, h, _ in decoded}
+            if len(sizes) == 1:
+                w, h = next(iter(sizes))
+                px = _np.frombuffer(
+                    b"".join(pix for _, _, pix in decoded), dtype=_np.uint8
+                ).reshape(len(decoded), w * h)
+                # int64 sums / per-row max & min match the Python
+                # sum()/max()/min() exactly (values < 2^53)
+                ps = px.sum(axis=1, dtype=_np.int64)
+                yield _pd.DataFrame({
+                    "asset_id": pdf["asset_id"].to_numpy(),
+                    "width": w,
+                    "height": h,
+                    "px_sum": ps,
+                    "mean_px": ps / (w * h),
+                    "max_px": px.max(axis=1).astype(_np.int32),
+                    "min_px": px.min(axis=1).astype(_np.int32),
+                })
+            else:  # mixed geometry (not this fixture) or empty batch
+                rows = []
+                for asset_id, (w, h, pixels) in zip(
+                    pdf["asset_id"], decoded
+                ):
+                    s = sum(pixels)
+                    rows.append(
+                        (asset_id, w, h, s, s / len(pixels),
+                         max(pixels), min(pixels))
+                    )
+                yield _pd.DataFrame(rows, columns=cols)
 
     # widen the NARROW digest projection (payload already dropped) before
     # the codec: a small fixture scans as 1-2 tasks, which ran the whole

@@ -671,3 +671,59 @@ def test_batched_dct_bit_identical():
     for b in range(16):
         scalar = _idct8x8(fb[b].tolist())
         assert ib[b].tolist() == scalar, f"idct block {b} diverged"
+
+def test_jpeg_progressive_batch_twins_identical():
+    """The r11 batch twins (one FDCT/IDCT across an equal-geometry batch)
+    must be BYTE-identical per asset to the per-asset functions — payload
+    bytes from the encoder, raster bytes from the decoder — on
+    block-constant fixtures, arbitrary rasters, several quants, and mixed
+    batches (which fall back to per-asset back halves)."""
+    import hashlib
+    import random
+
+    from bfs_etl_sep2025_spark.operators.multimodal import (
+        _block_constant_raster,
+        decode_jpeg_progressive,
+        decode_jpeg_progressive_batch,
+        encode_jpeg_progressive,
+        encode_jpeg_progressive_batch,
+    )
+
+    digests = [
+        hashlib.md5(str(i).encode()).hexdigest() for i in range(64)
+    ]
+    rasters = [_block_constant_raster(h) for h in digests]
+    rng = random.Random(7)
+    rasters += [
+        bytes(rng.randrange(256) for _ in range(32 * 32)) for _ in range(8)
+    ]
+
+    batch_payloads = encode_jpeg_progressive_batch(rasters, 32, 32)
+    assert batch_payloads == [
+        encode_jpeg_progressive(r, 32, 32) for r in rasters
+    ]
+    batch_decoded = decode_jpeg_progressive_batch(batch_payloads)
+    assert [
+        (w, h, bytes(px)) for w, h, px in batch_decoded
+    ] == [
+        (w, h, bytes(px))
+        for w, h, px in map(decode_jpeg_progressive, batch_payloads)
+    ]
+
+    # mixed-quant batch: the uniform fast path must not fire, and the
+    # fallback must still match per-asset decoding exactly
+    mixed = [
+        encode_jpeg_progressive(rasters[0], 32, 32, quant=1),
+        encode_jpeg_progressive(rasters[1], 32, 32, quant=3),
+    ]
+    assert [
+        (w, h, bytes(px))
+        for w, h, px in decode_jpeg_progressive_batch(mixed)
+    ] == [
+        (w, h, bytes(px))
+        for w, h, px in map(decode_jpeg_progressive, mixed)
+    ]
+
+    # degenerate inputs
+    assert encode_jpeg_progressive_batch([], 32, 32) == []
+    assert decode_jpeg_progressive_batch([]) == []
