@@ -95,8 +95,27 @@ def fingerprint_batch(docs: DataFrame) -> DataFrame:
     )
 
 
+def commit_pending(
+    store: VersionedTable, pending: list[DataFrame], keys: list[str]
+) -> None:
+    """Commit a deferred sync run's delta batches: MERGE semantics per
+    batch (later batches win on a shared key), one lock/manifest round
+    for the whole group via :meth:`VersionedTable.upsert_many`."""
+    if not pending:
+        return
+    batches = pending
+    if not store.exists():
+        store.create(batches[0])
+        batches = batches[1:]
+    if batches:
+        store.upsert_many(batches, keys=keys)
+
+
 def sync_batch(
-    spark: SparkSession, batch_docs: DataFrame, store: VersionedTable
+    spark: SparkSession,
+    batch_docs: DataFrame,
+    store: VersionedTable,
+    pending: list[DataFrame] | None = None,
 ) -> DataFrame:
     """Dedup one delta batch against the persisted fingerprint store,
     commit the batch's fingerprints (MERGE-upsert on ``doc_id`` —
@@ -106,14 +125,29 @@ def sync_batch(
     The batch's fingerprints are localCheckpoint'd once: they feed the
     store join, the within-batch join, and the store MERGE — without the
     checkpoint the shingle/minhash pipeline (the dominant cost) would run
-    three times."""
+    three times.
+
+    DEFERRED-COMMIT mode (r12, VERDICT r11 item 2): with ``pending`` (a
+    caller-owned list of earlier deltas' checkpointed fingerprints), the
+    prior pool is store + pending — identical rows to what the store
+    would hold had they been committed, read from the in-memory
+    checkpoints instead of a parquet round-trip — and this batch's
+    fingerprints are APPENDED to ``pending`` instead of committed. The
+    caller ends the sync run with ONE multi-batch MERGE
+    (``store.upsert_many(pending, keys=["doc_id"])``), collapsing N×
+    (dup-check job + write job + manifest commit) into one commit cycle.
+    Verdicts are unchanged by construction (same pool rows, same rule)."""
     fp = fingerprint_batch(batch_docs).localCheckpoint(eager=True)
 
     # everything seen so far that may outrank a batch doc: the store
     # (strictly earlier syncs) plus this batch itself (within-batch dups);
     # the doc_id < filter makes double-listing harmless and the verdicts
     # batching-invariant
-    pool = store.read().unionByName(fp) if store.exists() else fp
+    pool = fp
+    for earlier in pending or []:
+        pool = pool.unionByName(earlier)
+    if store.exists():
+        pool = pool.unionByName(store.read())
     prior = pool.select(
         F.col("doc_id").alias("prior_id"),
         F.col("h_exact").alias("prior_h"),
@@ -181,7 +215,10 @@ def sync_batch(
 
     # commit the batch's fingerprints — MERGE semantics: a re-run of the
     # same batch replaces its own rows instead of double-inserting
-    if store.exists():
+    # (deferred mode hands the delta to the caller's group commit instead)
+    if pending is not None:
+        pending.append(fp)
+    elif store.exists():
         store.upsert(fp, keys=["doc_id"])
     else:
         store.create(fp)
@@ -256,10 +293,17 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.filter((F.col("doc_id") > t1) & (F.col("doc_id") <= t2)),
         d.filter(F.col("doc_id") > t2),
     )
+    # r12 (VERDICT r11 item 2): deferred-commit syncs — per-batch verdicts
+    # are computed against the identical prior pool (earlier deltas ride
+    # their in-memory checkpoints instead of a store re-read), then the
+    # whole run commits in ONE multi-batch MERGE instead of three
+    # write+dup-check+commit cycles.
+    pending: list[DataFrame] = []
     verdicts = None
     for batch in parts:
-        v = sync_batch(spark, batch, store)
+        v = sync_batch(spark, batch, store, pending=pending)
         verdicts = v if verdicts is None else verdicts.unionByName(v)
+    commit_pending(store, pending, keys=["doc_id"])
     return verdicts.orderBy("doc_id")
 
 
@@ -275,11 +319,16 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # full-rescan verdict, which is exactly what the oracle recomputes.
 
 
-def _sem_sync_batch(spark, batch, cent, store):
+def _sem_sync_batch(spark, batch, cent, store, pending=None):
     """One semantic-dedup sync: BLAS-assign the delta to its fixed cell,
     rectangular GEMM-prefilter (delta x pool — store-vs-store is never
     re-scored) per cell, exact ordered-fold rerank behind the pushdown
-    barrier, MERGE-commit the delta, return (vec_id, exemplar) verdicts."""
+    barrier, MERGE-commit the delta, return (vec_id, exemplar) verdicts.
+
+    ``pending`` switches on the same deferred-commit mode as
+    :func:`sync_batch`: earlier deltas' checkpointed rows stand in for
+    their (not yet committed) store versions, the delta is appended to
+    ``pending``, and the caller group-commits via :func:`commit_pending`."""
     import pandas as pd
 
     from bfs_etl_sep2025_spark.operators.similarity import (
@@ -296,13 +345,17 @@ def _sem_sync_batch(spark, batch, cent, store):
         .select("vec_id", "cell", "embedding", "nrm")
         .localCheckpoint(eager=True)  # feeds the pool, the rerank, the MERGE
     )
-    pool = (
-        store.read().unionByName(assigned) if store.exists() else assigned
-    )
+    prior = None
+    for earlier in pending or []:
+        prior = earlier if prior is None else prior.unionByName(earlier)
+    if store.exists():
+        sread = store.read()
+        prior = sread if prior is None else prior.unionByName(sread)
+    pool = assigned if prior is None else prior.unionByName(assigned)
     tagged = (
         (
-            store.read().withColumn("is_delta", F.lit(0))
-            if store.exists()
+            prior.withColumn("is_delta", F.lit(0))
+            if prior is not None
             else spark.createDataFrame(
                 [], assigned.schema
             ).withColumn("is_delta", F.lit(0))
@@ -372,7 +425,9 @@ def _sem_sync_batch(spark, batch, cent, store):
         .join(agg.withColumnRenamed("u", "vec_id"), "vec_id", "left")
         .select("vec_id", "exemplar")
     )
-    if store.exists():
+    if pending is not None:
+        pending.append(assigned)
+    elif store.exists():
         store.upsert(assigned, keys=["vec_id"])
     else:
         store.create(assigned)
@@ -475,14 +530,18 @@ def dedup_incremental_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("percentile(vec_id, array(0.3333333333, 0.6666666666))")
     ).first()[0]
     store = VersionedTable(spark, scratch_dir("sem_store_"))
+    # r12: deferred-commit syncs + one multi-batch MERGE (see
+    # dedup_incremental_minhash) — verdicts identical by construction.
+    pending: list[DataFrame] = []
     verdicts = None
     for batch in (
         n.filter(F.col("vec_id") <= t1),
         n.filter((F.col("vec_id") > t1) & (F.col("vec_id") <= t2)),
         n.filter(F.col("vec_id") > t2),
     ):
-        v = _sem_sync_batch(spark, batch, cent, store)
+        v = _sem_sync_batch(spark, batch, cent, store, pending=pending)
         verdicts = v if verdicts is None else verdicts.unionByName(v)
+    commit_pending(store, pending, keys=["vec_id"])
     return verdicts.select(
         "vec_id",
         F.col("exemplar").isNotNull().alias("near_dup"),

@@ -388,8 +388,12 @@ def _jpeg_canonical(bits, vals):
     Returns {symbol: (code, length)}. Cached on the (bits, vals) tuples:
     every asset of a codec query declares the same handful of tables, and
     rebuilding the assignment per asset (and its inverse per scan) was a
-    measurable slice of the per-asset decode cost (r11 profiling). Callers
-    must treat the returned dict as read-only."""
+    measurable slice of the per-asset decode cost (r11 profiling). The
+    cached mapping is wrapped read-only (ADVICE r11): a future caller
+    mutating it would otherwise silently corrupt every later decode that
+    shares the cache entry."""
+    import types
+
     table, code, k = {}, 0, 0
     for length in range(1, 17):
         for _ in range(bits[length - 1]):
@@ -397,15 +401,115 @@ def _jpeg_canonical(bits, vals):
             code += 1
             k += 1
         code <<= 1
-    return table
+    return types.MappingProxyType(table)
 
 
 @_functools.lru_cache(maxsize=256)
 def _jpeg_canonical_inv(bits, vals):
     """Decoder view of :func:`_jpeg_canonical` — {(code, length): symbol}
     — cached for the same reason (the decoders inverted the dict per scan
-    per asset). Read-only."""
-    return {v: k for k, v in _jpeg_canonical(bits, vals).items()}
+    per asset). Read-only-enforced like its twin."""
+    import types
+
+    return types.MappingProxyType(
+        {v: k for k, v in _jpeg_canonical(bits, vals).items()}
+    )
+
+
+@_functools.lru_cache(maxsize=256)
+def _jpeg_lut16(bits, vals):
+    """16-bit-lookahead Huffman decode table (r12, VERDICT r11 item 4):
+    ``lut[window] = (symbol << 5) | code_length`` for every 16-bit window
+    whose prefix is a code of the canonical table, 0 where no code is a
+    prefix (invalid stream). JPEG codes are <= 16 bits, so one lookup
+    replaces the bit-at-a-time ``(code, length) in dict`` walk. ~512 KB
+    per distinct table per worker process, amortized by the lru_cache
+    exactly like the canonical dicts."""
+    lut = [0] * 65536
+    code, k = 0, 0
+    for length in range(1, 17):
+        span = 1 << (16 - length)
+        for _ in range(bits[length - 1]):
+            start = code << (16 - length)
+            lut[start : start + span] = [(vals[k] << 5) | length] * span
+            code += 1
+            k += 1
+        code <<= 1
+    return lut
+
+
+class _JpegBitReader:
+    """MSB-first bit reader over a DESTUFFED entropy segment with a
+    16-bit lookahead fast path: ``read_symbol`` resolves a whole Huffman
+    code in ONE :func:`_jpeg_lut16` lookup instead of per-bit dict
+    probes, and ``get_bits`` gathers k <= 16 bits from one 4-byte window.
+    The caller destuffs (0xFF00 -> 0xFF) and bounds the segment at the
+    next marker (:func:`_jpeg_scan_segment`); reading past the end raises
+    the same ValueError the per-bit reader did — "ran into a marker" when
+    a real marker ends the segment, "truncated entropy stream" when the
+    payload itself ends."""
+
+    __slots__ = ("d", "nbits", "pos", "end_err")
+
+    def __init__(self, destuffed: bytes, ends_at_marker: bool = True) -> None:
+        # 3 pad bytes keep every in-bounds 4-byte window gather whole;
+        # nbits still bounds reads at the true segment end
+        self.d = destuffed + b"\x00\x00\x00"
+        self.nbits = 8 * len(destuffed)
+        self.pos = 0
+        self.end_err = (
+            "entropy stream ran into a marker"
+            if ends_at_marker
+            else "truncated entropy stream"
+        )
+
+    def read_symbol(self, lut: list) -> int:
+        p = self.pos
+        if p >= self.nbits:
+            raise ValueError(self.end_err)
+        i = p >> 3
+        w = (
+            int.from_bytes(self.d[i : i + 4], "big") >> (16 - (p & 7))
+        ) & 0xFFFF
+        e = lut[w]
+        ln = e & 31
+        if ln == 0:
+            raise ValueError("invalid Huffman code in scan")
+        if p + ln > self.nbits:
+            raise ValueError(self.end_err)
+        self.pos = p + ln
+        return e >> 5
+
+    def get_bits(self, k: int) -> int:
+        if k == 0:
+            return 0
+        p = self.pos
+        if p + k > self.nbits:
+            raise ValueError(self.end_err)
+        i = p >> 3
+        v = int.from_bytes(self.d[i : i + 4], "big")
+        self.pos = p + k
+        return (v >> (32 - (p & 7) - k)) & ((1 << k) - 1)
+
+
+def _jpeg_scan_segment(payload: bytes, scan_pos: int) -> tuple[bytes, int]:
+    """(destuffed entropy bytes, next-marker position) for the scan
+    starting at ``scan_pos``: the segment ends at the first 0xFF followed
+    by a non-0x00 byte (a real marker; stuffed 0xFF00 pairs collapse to
+    the 0xFF data byte they encode). Both the find and the replace run at
+    C speed instead of the former per-byte Python walk."""
+    end = scan_pos
+    n = len(payload)
+    while True:
+        i = payload.find(b"\xff", end)
+        if i == -1 or i + 1 >= n:
+            end = n
+            break
+        if payload[i + 1] != 0:
+            end = i
+            break
+        end = i + 2
+    return payload[scan_pos:end].replace(b"\xff\x00", b"\xff"), end
 
 
 def encode_jpeg_lossless(
@@ -535,44 +639,18 @@ def decode_jpeg_lossless(payload: bytes) -> tuple[int, int, bytes]:
         pos += 2 + ln
     if w is None or scan_start is None or 0x00 not in huffs:
         raise ValueError("missing SOF3/DHT/SOS")
-    dec = _jpeg_canonical_inv(*huffs[0x00])  # (code, len) -> symbol
-    bitpos, bytepos = 0, scan_start
-
-    def getbit() -> int:
-        nonlocal bitpos, bytepos
-        if bytepos >= len(payload):
-            raise ValueError("truncated entropy stream")
-        b = payload[bytepos]
-        if b == 0xFF:
-            if bytepos + 1 >= len(payload):
-                raise ValueError("truncated entropy stream")
-            if payload[bytepos + 1] != 0x00:
-                # a real marker (e.g. EOI) — the scan must not read past it
-                raise ValueError("entropy stream ran into a marker")
-        bit = (b >> (7 - bitpos)) & 1
-        bitpos += 1
-        if bitpos == 8:
-            bitpos = 0
-            bytepos += 2 if b == 0xFF else 1  # skip the stuffed 0x00
-        return bit
+    lut = _jpeg_lut16(*huffs[0x00])
+    # r12: one destuff pass + 16-bit-lookahead reads (see _JpegBitReader)
+    seg, seg_end = _jpeg_scan_segment(payload, scan_start)
+    rd = _JpegBitReader(seg, seg_end < len(payload))
 
     out = bytearray()
     for r in range(h):
         for c in range(w):
-            code, length = 0, 0
-            while True:
-                code = (code << 1) | getbit()
-                length += 1
-                if (code, length) in dec:
-                    ssss = dec[(code, length)]
-                    break
-                if length > 16:
-                    raise ValueError("invalid Huffman code in scan")
+            ssss = rd.read_symbol(lut)
             diff = 0
             if ssss:
-                v = 0
-                for _ in range(ssss):
-                    v = (v << 1) | getbit()
+                v = rd.get_bits(ssss)
                 # EXTEND (T.81 F.2.2.1)
                 diff = v if v >= (1 << (ssss - 1)) else v - (1 << ssss) + 1
             if c > 0:
@@ -1015,79 +1093,47 @@ def decode_jpeg_baseline(payload: bytes) -> tuple[int, int, bytes]:
     if w % 8 or h % 8:
         raise ValueError("partial-MCU dimensions unsupported")
     try:
-        dc_dec = _jpeg_canonical_inv(*huffs[0x00 | dc_id])
-        ac_dec = _jpeg_canonical_inv(*huffs[0x10 | ac_id])
+        dc_lut = _jpeg_lut16(*huffs[0x00 | dc_id])
+        ac_lut = _jpeg_lut16(*huffs[0x10 | ac_id])
         quant = qtabs[comp_q]
     except KeyError as exc:
         raise ValueError("scan references an undeclared table") from exc
-    bitpos, bytepos = 0, scan_start
-
-    def getbit() -> int:
-        nonlocal bitpos, bytepos
-        if bytepos >= len(payload):
-            raise ValueError("truncated entropy stream")
-        b = payload[bytepos]
-        if b == 0xFF:
-            if bytepos + 1 >= len(payload):
-                raise ValueError("truncated entropy stream")
-            if payload[bytepos + 1] != 0x00:
-                raise ValueError("entropy stream ran into a marker")
-        bit = (b >> (7 - bitpos)) & 1
-        bitpos += 1
-        if bitpos == 8:
-            bitpos = 0
-            bytepos += 2 if b == 0xFF else 1
-        return bit
-
-    def read_symbol(dec: dict) -> int:
-        code, length = 0, 0
-        while True:
-            code = (code << 1) | getbit()
-            length += 1
-            if (code, length) in dec:
-                return dec[(code, length)]
-            if length > 16:
-                raise ValueError("invalid Huffman code in scan")
-
-    def receive_extend(size: int) -> int:
-        v = 0
-        for _ in range(size):
-            v = (v << 1) | getbit()
-        return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+    # r12: destuffed restart segments + 16-bit-lookahead reads. Each
+    # restart interval's entropy bytes end at the next real marker (the
+    # RSTn), so one _jpeg_scan_segment per interval replaces the per-bit
+    # stuffing checks, and consume_rst swaps in the next segment's reader.
+    seg, seg_end = _jpeg_scan_segment(payload, scan_start)
+    rd = _JpegBitReader(seg, seg_end < len(payload))
 
     def consume_rst(expected: int) -> None:
         """Restart boundary (T.81 E.1.4): drop the 1-padding to the byte
         edge, verify the modulo-8 RSTm sequence number, reset DC."""
-        nonlocal bitpos, bytepos, pred
-        if bitpos:  # discard pad bits; the pad byte may be 0xFF00-stuffed
-            b = payload[bytepos]
-            bytepos += (
-                2
-                if b == 0xFF
-                and bytepos + 1 < len(payload)
-                and payload[bytepos + 1] == 0x00
-                else 1
-            )
-            bitpos = 0
+        nonlocal rd, seg_end, pred
+        if rd.nbits - rd.pos >= 8:
+            # more than pad bits remain before the segment's marker: the
+            # decoder is not actually at the restart boundary
+            raise ValueError("expected RSTn at restart boundary")
+        p = seg_end
         # fill bytes are legal before any marker (B.1.1.2)
         while (
-            bytepos + 2 < len(payload)
-            and payload[bytepos] == 0xFF
-            and payload[bytepos + 1] == 0xFF
+            p + 2 < len(payload)
+            and payload[p] == 0xFF
+            and payload[p + 1] == 0xFF
         ):
-            bytepos += 1
+            p += 1
         if (
-            bytepos + 1 >= len(payload)
-            or payload[bytepos] != 0xFF
-            or not 0xD0 <= payload[bytepos + 1] <= 0xD7
+            p + 1 >= len(payload)
+            or payload[p] != 0xFF
+            or not 0xD0 <= payload[p + 1] <= 0xD7
         ):
             raise ValueError("expected RSTn at restart boundary")
-        if payload[bytepos + 1] != 0xD0 + expected:
+        if payload[p + 1] != 0xD0 + expected:
             raise ValueError(
                 "RSTn out of sequence — entropy stream lost sync at a "
                 "restart boundary"
             )
-        bytepos += 2
+        seg, seg_end = _jpeg_scan_segment(payload, p + 2)
+        rd = _JpegBitReader(seg, seg_end < len(payload))
         pred = 0
 
     pred = 0
@@ -1099,12 +1145,16 @@ def decode_jpeg_baseline(payload: bytes) -> tuple[int, int, bytes]:
                 consume_rst((mcu // restart_interval - 1) & 7)
             mcu += 1
             zz = [0] * 64
-            ssss = read_symbol(dc_dec)
-            pred += receive_extend(ssss) if ssss else 0
+            ssss = rd.read_symbol(dc_lut)
+            if ssss:
+                v = rd.get_bits(ssss)
+                pred += (
+                    v if v >= (1 << (ssss - 1)) else v - (1 << ssss) + 1
+                )
             zz[0] = pred
             k = 1
             while k < 64:
-                rs = read_symbol(ac_dec)
+                rs = rd.read_symbol(ac_lut)
                 if rs == 0x00:  # EOB
                     break
                 if rs == 0xF0:  # ZRL
@@ -1113,7 +1163,9 @@ def decode_jpeg_baseline(payload: bytes) -> tuple[int, int, bytes]:
                 k += rs >> 4
                 if k > 63:
                     raise ValueError("AC run past block end")
-                zz[k] = receive_extend(rs & 0x0F)
+                s = rs & 0x0F
+                v = rd.get_bits(s)
+                zz[k] = v if v >= (1 << (s - 1)) else v - (1 << s) + 1
                 k += 1
             zz_blocks.append(zz)
     # batched back half (bit-identical to per-block _idct8x8 — see the
@@ -1516,45 +1568,17 @@ def _decode_jpeg_progressive_coefs(
 
     def decode_scan(scan_pos: int, body: bytes) -> int:
         """Entropy-decode one scan starting at ``scan_pos``; returns the
-        position of the next marker."""
+        position of the next marker. r12: bits come from the destuffed
+        segment through the 16-bit-lookahead reader (one LUT probe per
+        Huffman symbol, one window gather per bit group) instead of the
+        bit-at-a-time dict walk."""
         nonlocal coefs
         ss, se = body[3], body[4]
         ah, al = body[5] >> 4, body[5] & 0x0F
         dc_id, ac_id = body[2] >> 4, body[2] & 0x0F
-        bitpos, bytepos = 0, scan_pos
-
-        def getbit() -> int:
-            nonlocal bitpos, bytepos
-            if bytepos >= len(payload):
-                raise ValueError("truncated entropy stream")
-            b = payload[bytepos]
-            if b == 0xFF:
-                if bytepos + 1 >= len(payload):
-                    raise ValueError("truncated entropy stream")
-                if payload[bytepos + 1] != 0x00:
-                    raise ValueError("entropy stream ran into a marker")
-            bit = (b >> (7 - bitpos)) & 1
-            bitpos += 1
-            if bitpos == 8:
-                bitpos = 0
-                bytepos += 2 if b == 0xFF else 1
-            return bit
-
-        def read_symbol(dec: dict) -> int:
-            code, length = 0, 0
-            while True:
-                code = (code << 1) | getbit()
-                length += 1
-                if (code, length) in dec:
-                    return dec[(code, length)]
-                if length > 16:
-                    raise ValueError("invalid Huffman code in scan")
-
-        def get_bits(n: int) -> int:
-            v = 0
-            for _ in range(n):
-                v = (v << 1) | getbit()
-            return v
+        destuffed, next_marker = _jpeg_scan_segment(payload, scan_pos)
+        rd = _JpegBitReader(destuffed, next_marker < len(payload))
+        read_symbol, get_bits = rd.read_symbol, rd.get_bits
 
         def extend(v: int, size: int) -> int:
             return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
@@ -1564,22 +1588,22 @@ def _decode_jpeg_progressive_coefs(
                 raise ValueError("progressive scan mixes DC and AC bands")
             if ah == 0:  # first pass
                 try:
-                    dec = _jpeg_canonical_inv(*huffs[0x00 | dc_id])
+                    lut = _jpeg_lut16(*huffs[0x00 | dc_id])
                 except KeyError as exc:
                     raise ValueError(
                         "scan references an undeclared table"
                     ) from exc
                 pred = 0
                 for zz in coefs:
-                    size = read_symbol(dec)
+                    size = read_symbol(lut)
                     pred += extend(get_bits(size), size) if size else 0
                     zz[0] = pred << al
             else:  # refinement: one raw bit per block
                 for zz in coefs:
-                    zz[0] |= getbit() << al
+                    zz[0] |= get_bits(1) << al
         elif ah == 0:  # AC first scan
             try:
-                dec = _jpeg_canonical_inv(*huffs[0x10 | ac_id])
+                lut = _jpeg_lut16(*huffs[0x10 | ac_id])
             except KeyError as exc:
                 raise ValueError(
                     "scan references an undeclared table"
@@ -1591,7 +1615,7 @@ def _decode_jpeg_progressive_coefs(
                     continue
                 k = ss
                 while k <= se:
-                    rs = read_symbol(dec)
+                    rs = read_symbol(lut)
                     r, s = rs >> 4, rs & 0x0F
                     if s == 0:
                         if r == 15:
@@ -1608,7 +1632,7 @@ def _decode_jpeg_progressive_coefs(
                     k += 1
         else:  # AC refinement scan (G.2)
             try:
-                dec = _jpeg_canonical_inv(*huffs[0x10 | ac_id])
+                lut = _jpeg_lut16(*huffs[0x10 | ac_id])
             except KeyError as exc:
                 raise ValueError(
                     "scan references an undeclared table"
@@ -1617,14 +1641,14 @@ def _decode_jpeg_progressive_coefs(
             eobrun = 0
 
             def correct(zz: list[int], k: int) -> None:
-                if getbit():
+                if get_bits(1):
                     zz[k] += plus if zz[k] > 0 else minus
 
             for zz in coefs:
                 k = ss
                 if eobrun == 0:
                     while k <= se:
-                        rs = read_symbol(dec)
+                        rs = read_symbol(lut)
                         r, s = rs >> 4, rs & 0x0F
                         newval = 0
                         if s == 0:
@@ -1640,7 +1664,7 @@ def _decode_jpeg_progressive_coefs(
                                     "refinement scan carries a "
                                     "multi-bit coefficient"
                                 )
-                            newval = plus if getbit() else minus
+                            newval = plus if get_bits(1) else minus
                         while k <= se:
                             if zz[k] != 0:
                                 correct(zz, k)
@@ -1658,15 +1682,7 @@ def _decode_jpeg_progressive_coefs(
                             correct(zz, k)
                         k += 1
                     eobrun -= 1
-        # advance past any partial byte to the next marker
-        p = bytepos if bitpos == 0 else bytepos + (
-            2 if payload[bytepos] == 0xFF else 1
-        )
-        while p + 1 < len(payload) and not (
-            payload[p] == 0xFF and payload[p + 1] != 0x00
-        ):
-            p += 1
-        return p
+        return next_marker
 
     while pos + 2 <= len(payload):
         if payload[pos] != 0xFF:

@@ -825,7 +825,19 @@ def _lsh_band_candidates(spark: SparkSession, sf_dir: str, gemm_tau: float):
 
     Scale: one FlatMapGroupsInPandas per band bucket; bucket population
     is the LSH knob (wider bands -> smaller buckets), and only
-    (vec_a, vec_b) id-pairs leave Python."""
+    (vec_a, vec_b) id-pairs leave Python.
+
+    r12 (VERDICT r11 item 7): the band keys are 4-bit, so there are at
+    most 2x16 buckets — the groupBy bounds candidate-stage parallelism at
+    32 tasks no matter how wide the cluster, and one bucket's GEMM grows
+    quadratically with corpus size. Past ``_SUBBLOCK_MIN_ROWS`` total
+    vectors the within-bucket work is SUB-BLOCKED with the
+    ``_blocked_exact_pairs`` tile scheme (hash each member into
+    ceil(population/_SUBBLOCK_TILE) sub-blocks per bucket, one GEMM per
+    ordered sub-block pair): parallelism becomes O(sum of nb² over
+    buckets) and per-task memory is two bounded tiles. Below the guard
+    the plan is unchanged (local fixtures never trip it; the pinned test
+    forces the guard and asserts identical candidates)."""
     e = widen(load(spark, sf_dir, "embeddings"))
     n = e.select(
         "vec_id",
@@ -874,14 +886,140 @@ def _lsh_band_candidates(spark: SparkSession, sf_dir: str, gemm_tau: float):
             "vec_id", "embedding",
         )
     )
+    if n.count() >= _SUBBLOCK_MIN_ROWS:  # cheap job: n is checkpointed
+        raw = _subblocked_bucket_candidates(
+            spark, tagged, parts, gemm_tau, margin
+        )
+    else:
+        raw = (
+            tagged.repartition(parts, "bno", "band")
+            .groupBy("bno", "band")
+            .applyInPandas(bucket_candidates, "vec_a long, vec_b long")
+        )
     cand = (
-        tagged.repartition(parts, "bno", "band")
-        .groupBy("bno", "band")
-        .applyInPandas(bucket_candidates, "vec_a long, vec_b long")
-        .repartition(parts, "vec_a", "vec_b")
+        raw.repartition(parts, "vec_a", "vec_b")
         .dropDuplicates(["vec_a", "vec_b"])
     )
     return n, cand
+
+
+#: total-vector guard for within-bucket GEMM sub-blocking: below this the
+#: per-bucket GEMMs are small and the plain groupBy is cheaper (every local
+#: fixture, incl. sf1's ~50k vectors, stays below); above it one bucket's
+#: members would exceed tile memory and serialize a whole-cluster stage into
+#: <=32 tasks. Production knob — override via conf if the corpus profile
+#: says otherwise.
+_SUBBLOCK_MIN_ROWS = 200_000
+#: target rows per sub-block: two ~4k x 64-double tiles (~2 MB each) per
+#: task, the same budget as _NEARDUP_BLOCK's expected tile size
+_SUBBLOCK_TILE = 4096
+
+
+def _subblocked_bucket_candidates(spark, tagged, parts, gemm_tau, margin):
+    """Within-bucket tile sub-blocking (big-corpus regime of
+    :func:`_lsh_band_candidates`): members of each (bno, band) bucket are
+    hashed into ``nb = ceil(population / _SUBBLOCK_TILE)`` sub-blocks and
+    every ordered sub-block pair GEMMs as its own task — identical
+    candidate SET to the one-GEMM-per-bucket shape (each unordered pair
+    lands in exactly one tile; min/max normalization keeps vec_a < vec_b),
+    with parallelism O(sum nb²) instead of O(#buckets)."""
+    import math
+
+    sizes = (
+        tagged.groupBy("bno", "band").agg(F.count(F.lit(1)).alias("n_b"))
+        .collect()
+    )  # bounded by band cardinality (2 x 16 here), never by rows
+    nb_rows = [
+        (r["bno"], r["band"], max(1, math.ceil(r["n_b"] / _SUBBLOCK_TILE)))
+        for r in sizes
+    ]
+    nbdf = spark.createDataFrame(nb_rows, "bno int, band string, nb int")
+    tile_rows = [
+        (bno, band, i, j)
+        for bno, band, nb in nb_rows
+        for i in range(nb)
+        for j in range(i, nb)
+    ]
+    tiles = spark.createDataFrame(
+        tile_rows, "t_bno int, t_band string, sa int, sb int"
+    )
+    t = tagged.join(F.broadcast(nbdf), ["bno", "band"]).select(
+        "bno",
+        "band",
+        "vec_id",
+        "embedding",
+        F.pmod(F.xxhash64("vec_id"), F.col("nb")).cast("int").alias("sub"),
+    )
+    # pure equi-joins against the broadcast tile list: each member row
+    # replicates into exactly the tiles its sub-block participates in
+    side_a = t.join(
+        F.broadcast(tiles),
+        (F.col("bno") == F.col("t_bno"))
+        & (F.col("band") == F.col("t_band"))
+        & (F.col("sub") == F.col("sa")),
+    ).select(
+        "bno", "band", "sa", "sb", "vec_id", "embedding",
+        F.lit(0).alias("side"),
+    )
+    side_b = t.join(
+        F.broadcast(tiles.filter(F.col("sa") != F.col("sb"))),
+        (F.col("bno") == F.col("t_bno"))
+        & (F.col("band") == F.col("t_band"))
+        & (F.col("sub") == F.col("sb")),
+    ).select(
+        "bno", "band", "sa", "sb", "vec_id", "embedding",
+        F.lit(1).alias("side"),
+    )
+
+    def tile_bucket_candidates(pdf: pd.DataFrame) -> pd.DataFrame:
+        from bfs_etl_sep2025_spark.functions.blas import single_thread_blas
+
+        single_thread_blas()
+        import numpy as _np
+
+        same = pdf["sa"].iloc[0] == pdf["sb"].iloc[0]
+        sa_rows = pdf[pdf["side"] == 0]
+        sb_rows = pdf if same else pdf[pdf["side"] == 1]
+        if len(sa_rows) == 0 or len(sb_rows) == 0:
+            return pd.DataFrame({"vec_a": [], "vec_b": []}, dtype="int64")
+        ia = sa_rows["vec_id"].to_numpy()
+        ib = sb_rows["vec_id"].to_numpy()
+        oa, ob = _np.argsort(ia), _np.argsort(ib)
+        ia, ib = ia[oa], ib[ob]
+        A = _np.stack(sa_rows["embedding"].to_numpy()[oa]).astype(_np.float64)
+        B = (
+            A
+            if same
+            else _np.stack(sb_rows["embedding"].to_numpy()[ob]).astype(
+                _np.float64
+            )
+        )
+        na = _np.linalg.norm(A, axis=1, keepdims=True)
+        nb_ = na if same else _np.linalg.norm(B, axis=1, keepdims=True)
+        if not (na > 0.0).all() or not (nb_ > 0.0).all():
+            raise ValueError(
+                "zero-norm embedding reached a GEMM prefilter bucket: "
+                "cosine undefined; filter degenerate vectors upstream "
+                "(symmetrically in the oracle) first"
+            )
+        U = A / na
+        Vn = U if same else B / nb_
+        G = U @ Vn.T
+        mask = G >= gemm_tau - margin
+        if same:
+            mask = _np.triu(mask, k=1)
+        iu, iv = _np.nonzero(mask)
+        u, v = ia[iu], ib[iv]
+        return pd.DataFrame(
+            {"vec_a": _np.minimum(u, v), "vec_b": _np.maximum(u, v)}
+        )
+
+    return (
+        side_a.unionByName(side_b)
+        .repartition(parts, "bno", "band", "sa", "sb")
+        .groupBy("bno", "band", "sa", "sb")
+        .applyInPandas(tile_bucket_candidates, "vec_a long, vec_b long")
+    )
 
 
 def _lsh_exact_rerank(n, cand, tau: float):

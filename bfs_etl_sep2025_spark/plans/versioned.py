@@ -75,21 +75,47 @@ from bfs_etl_sep2025_spark.plans.locks import table_write_lock
 _MATERIALIZED_NODES = ("Project", "SubqueryAlias", "LogicalRDD")
 
 
+def _plan_deterministic(plan) -> bool:
+    """Every expression in ``plan``'s tree is deterministic
+    (``Expression.deterministic`` is itself recursive over the expression
+    subtree, so one call per top-level expression per node suffices)."""
+    exprs = plan.expressions()
+    for i in range(exprs.size()):
+        if not exprs.apply(i).deterministic():
+            return False
+    children = plan.children()
+    for i in range(children.size()):
+        if not _plan_deterministic(children.apply(i)):
+            return False
+    return True
+
+
 def _is_materialized_projection(df: DataFrame) -> bool:
     """True iff ``df``'s analyzed plan is nothing but column projections
     over a materialized RDD scan (e.g. ``checkpointed.select(cols)``) —
     re-evaluating such a plan is deterministic, so the upsert's
     pin-one-evaluation checkpoint would be a pure copy. Conservative:
-    any unrecognized node returns False and the checkpoint happens."""
+    any unrecognized node returns False and the checkpoint happens.
+
+    r12 (VERDICT r11 item 5): node names alone were not enough — a
+    ``checkpointed.select(rand())`` is a Project over a LogicalRDD yet
+    re-evaluates nondeterministically, which is exactly the hazard the
+    checkpoint exists to pin. Every expression in the plan must also be
+    deterministic (checked via Catalyst's own recursive
+    ``Expression.deterministic``)."""
     try:
-        plan = df._jdf.queryExecution().analyzed().toString()
+        plan = df._jdf.queryExecution().analyzed()
+        plan_str = plan.toString()
     except Exception:
         return False
-    for line in plan.splitlines():
+    for line in plan_str.splitlines():
         node = line.lstrip(" :+-").split(" ", 1)[0].rstrip(",")
         if node and not any(node.startswith(n) for n in _MATERIALIZED_NODES):
             return False
-    return True
+    try:
+        return _plan_deterministic(plan)
+    except Exception:
+        return False
 
 
 class ConcurrentWriteError(RuntimeError):
@@ -802,6 +828,167 @@ class VersionedTable:
             d = self._write_data_dir(new, parent + 1)
             return self._commit(
                 parent + 1, parent, untouched + [d], "upsert"
+            )
+
+    def upsert_many(self, sources: list[DataFrame], keys: list[str]) -> int:
+        """Multi-batch MERGE: the committed snapshot equals
+        ``for s in sources: self.upsert(s, keys)`` — later sources win on a
+        shared key, every source must individually be unique on the key
+        (per-batch dup semantics) — but the whole run costs ONE lock round,
+        ONE aggregation job for every batch's dup check + pruning key
+        range, ONE rewrite/write job and ONE manifest commit instead of N
+        of each (r12, VERDICT r11 item 2: the three-sync incremental
+        fingerprint stores paid the fixed upsert cost three times over).
+
+        Deliberate differences from N sequential upserts: history records
+        ONE version (op ``upsert_many(n)``), so time travel cannot observe
+        the intermediate states and :meth:`changes` reports the NET change
+        of the whole group. NULL-key rows follow single-upsert semantics
+        exactly: they never match (SQL join NULL semantics), so each
+        batch's NULL-key row inserts and accumulates.
+        """
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        if not sources:
+            raise ValueError("upsert_many requires at least one source")
+        if len(sources) == 1:
+            return self.upsert(sources[0], keys)
+        with table_write_lock(self.root):
+            parent = self.current_version()
+            pm = self._manifest(parent)
+            if pm.get("schema"):
+                cols = [
+                    f["name"] for f in json.loads(pm["schema"])["fields"]
+                ]
+            else:
+                cols = self._read_dirs(pm["dirs"], None).columns
+            srcs: list[DataFrame] = []
+            for i, s in enumerate(sources):
+                missing = [c for c in cols if c not in s.columns]
+                if missing:
+                    raise ValueError(
+                        f"upsert source [{i}] lacks committed columns "
+                        f"{missing} on {self.root}: upsert replaces whole "
+                        "rows, so an implicit NULL backfill would silently "
+                        "erase matched rows' values — supply every column "
+                        "explicitly"
+                    )
+                s = s.select(*cols)
+                # same pin-one-evaluation rule as upsert(), per source
+                if not _is_materialized_projection(s):
+                    s = s.localCheckpoint()
+                srcs.append(s)
+            null_key = functools.reduce(
+                lambda a, b: a | b, [F.col(k).isNull() for k in keys]
+            )
+            tagged = functools.reduce(
+                lambda a, b: a.unionByName(b),
+                [
+                    s.withColumn("_b", F.lit(i))
+                    for i, s in enumerate(srcs)
+                ],
+            )
+            # ONE job: every batch's dup check + pruning key range
+            stats = {
+                r["_b"]: r
+                for r in tagged.groupBy("_b")
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.count_distinct(*keys).alias("nk"),
+                    F.sum(F.when(null_key, 1).otherwise(0)).alias("nnull"),
+                    F.min(keys[0]).alias("lo"),
+                    F.max(keys[0]).alias("hi"),
+                )
+                .collect()
+            }
+            for i, s in enumerate(srcs):
+                row = stats.get(i)
+                if row is None:  # empty source: nothing to check
+                    continue
+                if row["nnull"]:
+                    dup = (
+                        s.groupBy(*keys)
+                        .count()
+                        .filter(F.col("count") > 1)
+                        .limit(1)
+                        .count()
+                    )
+                else:
+                    dup = int(row["n"] != row["nk"])
+                if dup:
+                    raise ValueError(
+                        f"upsert source [{i}] has duplicate rows on the "
+                        f"key {keys} — nondeterministic MERGE (deduplicate "
+                        "the source)"
+                    )
+            # one check over all incoming rows: any batch's violation
+            # raises, same as checking each batch in turn
+            self._check_constraints(
+                tagged.select(*cols), pm.get("constraints")
+            )
+            # effective delta: later batch wins per non-NULL key (the
+            # sequential-MERGE outcome); NULL-key rows all pass through.
+            # When the batches' keys[0] ranges are pairwise DISJOINT (the
+            # normal CDC/ingest shape — monotone batch key ranges), no
+            # fully-non-NULL key can repeat across batches (a repeat needs
+            # equal keys[0], i.e. overlapping ranges) and NULL-key rows
+            # pass through either way — skip the window's exchange+sort.
+            spans = sorted(
+                (r["lo"], r["hi"])
+                for r in stats.values()
+                if r["lo"] is not None
+            )
+            overlapping = any(
+                spans[i][1] >= spans[i + 1][0]
+                for i in range(len(spans) - 1)
+            )
+            if not overlapping:
+                eff = tagged.select(*cols)
+            else:
+                w = Window.partitionBy(*keys).orderBy(F.col("_b").desc())
+                eff = (
+                    tagged.filter(~null_key)
+                    .withColumn("_rn", F.row_number().over(w))
+                    .filter(F.col("_rn") == 1)
+                    .select(*cols)
+                )
+                if any(r["nnull"] for r in stats.values()):
+                    eff = eff.unionByName(
+                        tagged.filter(null_key).select(*cols)
+                    )
+            # prune: a dir is touched iff it overlaps ANY batch's key range
+            # (tighter than the merged min..max when batches are disjoint)
+            ranges = [
+                (r["lo"], r["hi"])
+                for r in stats.values()
+                if r["lo"] is not None
+            ]
+            dirs = pm["dirs"]
+            touched, untouched = [], []
+            for d in dirs:
+                dlo, dhi = self._key_range(d, keys[0])
+                if not ranges:  # all-empty / all-NULL-key sources
+                    overlaps = False
+                elif dlo is None:  # no footer stats -> cannot prune
+                    overlaps = True
+                else:
+                    overlaps = any(
+                        not (shi < dlo or slo > dhi) for slo, shi in ranges
+                    )
+                (touched if overlaps else untouched).append(d)
+            if touched:
+                tgt = self._read_dirs(touched, pm.get("schema"))
+                kept = tgt.join(eff.select(*keys), keys, "left_anti")
+                new = kept.unionByName(eff)
+            else:
+                new = eff
+            d = self._write_data_dir(new, parent + 1)
+            return self._commit(
+                parent + 1,
+                parent,
+                untouched + [d],
+                f"upsert_many({len(sources)})",
             )
 
     def _touched_dirs(
