@@ -11,6 +11,9 @@ import sys
 import pytest
 from pyspark.sql import functions as F
 
+#: slow tier (r12): end-to-end example-pipeline DAG runs
+pytestmark = pytest.mark.slow
+
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(__file__)), "examples"))
 
 

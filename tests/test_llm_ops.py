@@ -75,6 +75,7 @@ def test_lsh_topk_subset_of_bruteforce_universe(spark):
             assert bf[(r.query_id, r.vec_id)] == r.cosine
 
 
+@pytest.mark.slow
 def test_multitable_lsh_recall_dominates_single_table(spark):
     """The two-table union's candidate set is a superset of table A's, so
     per query its best-found cosine must be >= the single-table best."""
@@ -487,6 +488,7 @@ def test_bpe_merge_regex_matches_reference_on_adversarial_words(spark):
             assert inner == row["want"], (l, r, row["w"], inner, row["want"])
 
 
+@pytest.mark.slow
 def test_multitable_lsh_dominates_single_table_recall(spark):
     """The multitable variant exists to buy recall: for every query, the
     union of two independent hyperplane tables must retrieve a SUPERSET of

@@ -32,6 +32,9 @@ import pytest
 from bfs_etl_sep2025_spark import registry
 from bfs_etl_sep2025_spark.operators.corpus import _CDC_W
 
+#: slow tier (r12): long-doc regime parity sweeps are minutes-scale by design
+pytestmark = pytest.mark.slow
+
 _WORDS = (
     "the fast key order sort table scan merge part window small hash join "
     "batch state stream shuffle spark chunk span quote header license block"

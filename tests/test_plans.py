@@ -562,6 +562,7 @@ _SANCTIONED_BNLJ = {
 }
 
 
+@pytest.mark.slow
 def test_registry_wide_no_unsanctioned_nested_loops(spark):
     """EVERY registered query's optimized plan is audited: a
     BroadcastNestedLoopJoin or CartesianProduct outside the sanctioned
@@ -644,6 +645,7 @@ _PY_NODES = (
 )
 
 
+@pytest.mark.slow
 def test_registry_wide_python_boundaries(spark):
     """The hot path stays JVM-side: any Python evaluation node in any
     registered query's plan must be declared here with its exact node

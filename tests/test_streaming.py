@@ -12,6 +12,9 @@ from bfs_etl_sep2025_spark.streaming.jobs import (
     stream_windowed_counts,
 )
 
+#: slow tier (r12): every test drains a real structured-streaming query
+pytestmark = pytest.mark.slow
+
 SCHEMA = (
     "event_id bigint, ts timestamp_ntz, user_id bigint, "
     "event_type string, value double, props string"

@@ -128,6 +128,7 @@ def test_vacuum_bounds_history(vt, spark):
     assert not (set(vt._manifest(4)["dirs"]) - remaining)
 
 
+@pytest.mark.slow
 def test_streaming_cdc_upsert_into_versioned_table(spark, tmp_path):
     """foreachBatch + VersionedTable.upsert: the CDC sink with time travel.
     Each micro-batch commits one atomic version; a replayed batch of the
@@ -208,6 +209,7 @@ def test_streaming_cdc_upsert_into_versioned_table(spark, tmp_path):
     ]
 
 
+@pytest.mark.slow
 def test_versioned_random_op_sequences_match_model(spark, tmp_path):
     """Model-based check: random append/upsert/delete/rollback sequences
     against a pure-Python dict model — every intermediate version must
@@ -529,6 +531,7 @@ def test_vacuum_keeps_live_nested_dirs(spark, tmp_path):
     assert vt.read().count() == 21
 
 
+@pytest.mark.slow
 def test_cdc_sink_auto_optimize(spark, tmp_path):
     """The library CDC sink upserts every micro-batch and runs OPTIMIZE
     after every N — so a drained stream leaves a compacted, range-
@@ -604,6 +607,7 @@ _OPS = st.lists(
 )
 
 
+@pytest.mark.slow
 @settings(
     max_examples=5,
     deadline=None,
